@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+
+import graft.model.DatasetStatus
+import graft.registry.DatasetRegistry
+
+class RegistrySpec extends SparkSpec {
+
+  private def freshRegistry(): DatasetRegistry = {
+    val dir = Files.createTempDirectory("graft-registry").toString
+    new DatasetRegistry(spark, s"$dir/registry")
+  }
+
+  private val d = Date.valueOf("2025-04-01")
+
+  test("insert allocates increasing ids and the row is active") {
+    val reg = freshRegistry()
+    val id1 = reg.insert(d, "A", 1, 1)
+    val id2 = reg.insert(d, "B", 1, 1)
+    assert(id1 == 1L && id2 == 2L)
+    assert(reg.active().collect().map(_.label).toSet == Set("A", "B"))
+  }
+
+  test("single-active invariant: re-inserting same (label,type,date) deactivates the sibling") {
+    val reg = freshRegistry()
+    val id1 = reg.insert(d, "A", 1, 1)
+    val id2 = reg.insert(d, "A", 1, 1)
+    val rows = reg.load().collect()
+    assert(rows.length == 2)
+    val byId = rows.map(r => r.datasetid -> r).toMap
+    assert(!byId(id1).isactive)
+    assert(byId(id1).datastatusid == DatasetStatus.Inactive.id)
+    assert(byId(id1).effthrudate.isDefined) // SCD-2 closed out
+    assert(byId(id2).isactive)
+    // at most one active per key — the trigger-enforced invariant
+    val actives = rows.filter(r => r.isactive && r.label == "A" && r.datasetdate == d)
+    assert(actives.length == 1)
+  }
+
+  test("different date or type does not displace") {
+    val reg = freshRegistry()
+    reg.insert(d, "A", 1, 1)
+    reg.insert(Date.valueOf("2025-04-02"), "A", 1, 1)
+    reg.insert(d, "A", 2, 1)
+    assert(reg.active().count() == 3)
+  }
+
+  test("setStatus Empty deactivates; latestActiveDate ignores inactive") {
+    val reg = freshRegistry()
+    val id1 = reg.insert(d, "A", 1, 1)
+    val id2 = reg.insert(Date.valueOf("2025-04-03"), "A", 1, 1)
+    reg.setStatus(id2, DatasetStatus.Empty)
+    assert(reg.latestActiveDate(1).contains(d))
+    assert(reg.activeIds(1, d) == Seq(id1))
+  }
+
+  test("latestActiveFacts prunes to the newest active version") {
+    import spark.implicits._
+    val reg = freshRegistry()
+    val id1 = reg.insert(d, "A", 7, 1)
+    val id2 = reg.insert(d, "A", 7, 1) // displaces id1
+    val facts = Seq((id1, "old"), (id2, "new")).toDF("datasetid", "v")
+    val got = reg.latestActiveFacts(facts, 7).collect().map(_.getString(1)).toSeq
+    assert(got == Seq("new"))
+    assert(reg.latestActiveFacts(facts, 99).count() == 0)
+  }
+
+  test("racing inserts preserve the invariant (serialized writer)") {
+    val reg = freshRegistry()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => { reg.insert(d, "A", 1, 1); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val rows = reg.load().collect()
+    assert(rows.length == 8)
+    assert(rows.count(_.isactive) == 1)
+  }
+}
