@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its 100 TB shuffle profile:
+  *
+  *  - exact: hash-groupBy on a 64-bit fingerprint (shuffle key is 8
+  *    bytes, not the document), keeper = min id;
+  *  - MinHash + LSH: per-row signature computation entirely in
+  *    higher-order functions (zero shuffle), then ONE shuffle on
+  *    (band, bandHash) to find candidates, then exact verification
+  *    restricted to candidates;
+  *  - SimHash: per-row 64-bit sketch via HOF fold, near-dup = equal
+  *    sketch (or banded Hamming buckets);
+  *  - exact n-gram Jaccard: explode distinct shingles → self-join on
+  *    shingle → per-pair intersection counts; the O(pairs) step only
+  *    materializes pairs that share ≥1 shingle.
+  */
+object Dedup {
+
+  // ── shingling ─────────────────────────────────────────────────────
+  /** Distinct word k-grams of `text` as an array column. Pure per-row
+    * HOF compute (split → slice windows → concat), no shuffle.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    val n = size(words)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(0), n - k), i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+        .otherwise(array())
+    )
+  }
+
+  // ── exact dedup ───────────────────────────────────────────────────
+  /** Exact duplicate groups: rows agreeing on `key` columns. Returns
+    * one row per distinct key with keeper id (min), duplicate count.
+    * The groupBy shuffles xxhash64(key) + id only — constant-width
+    * rows regardless of document size — then keeps one full row per
+    * group via a second semi-join.
+    */
+  def exactDedupStats(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** The deduplicated frame itself: keep the min-id row per key. */
+  def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ── MinHash + LSH ─────────────────────────────────────────────────
+  /** Deterministic universal-hash parameters for n permutations.
+    * Domain is the Mersenne prime 2^31-1 so `a*h + b` stays below
+    * 2^62 — Spark 4 runs ANSI mode, where a 64-bit overflow is an
+    * error, not a wrap.
+    */
+  private val MersennePrime = (1L << 31) - 1
+  private def hashParams(n: Int): Seq[(Long, Long)] =
+    (0 until n).map { i =>
+      // splitmix64-style mixing of the permutation index → (a, b)
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val a = math.abs(mix(i.toLong * 2 + 1)) % (MersennePrime - 1) + 1
+      val b = math.abs(mix(i.toLong * 2 + 2)) % MersennePrime
+      (a, b)
+    }
+
+  /** MinHash signature (array<long> of length n) over the document's
+    * shingle set: sig[i] = min over shingles of (a_i*h + b_i) mod p,
+    * h = xxhash64(shingle). Entirely per-row HOF compute inside one
+    * codegen stage — signatures for 100 TB cost one scan, no shuffle.
+    */
+  def minHashSignature(text: Column, k: Int = 3, numHashes: Int = 64): Column = {
+    val hashes = transform(wordShingles(text, k), s => pmod(xxhash64(s), lit(MersennePrime)))
+    val sigs = hashParams(numHashes).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `r` rows;
+    * a pair is a candidate iff some band hashes equal. Emits
+    * (band_idx, band_hash) rows; the ONLY shuffle in the pipeline is
+    * the groupBy/self-join on these 16-byte keys.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band_idx"), xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)).cast("string")).as("band_hash"))
+    )
+
+  /** Candidate near-duplicate pairs via MinHash LSH, with the MinHash
+    * Jaccard estimate. `threshold` filters on the estimate;
+    * verification against exact Jaccard is [[jaccardPairs]]'s job.
+    */
+  def minHashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sigs = df
+      .select(col(idCol).as("id"), minHashSignature(col(textCol), k, numHashes).as("sig"))
+      .where(size(col("sig")) > 0 && !array_contains(transform(col("sig"), x => x.isNull), true))
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(lshBands(col("sig"), bands, r)).as("band"))
+      .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v
+        ).cast("double") / numHashes
+      )
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ── exact n-gram Jaccard ──────────────────────────────────────────
+  /** Exact word-k-gram Jaccard for all pairs sharing at least one
+    * shingle. shuffle profile: explode shingles (map-side), self-join
+    * grouped on the shingle hash, then per-pair count aggregation.
+    * At corpus scale, run AFTER LSH restricts the pair set; standalone
+    * it is the oracle-verifiable ground truth.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.0
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), k)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n")) // shingles are distinct already
+    val pairs = sh.alias("x")
+      .join(sh.alias("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard", col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  // ── SimHash ───────────────────────────────────────────────────────
+  /** 64-bit SimHash over whitespace tokens: per-bit vote sum of token
+    * hashes, sign → bit. One HOF fold per row, zero shuffle. Near-dups
+    * have small Hamming distance; equal sketches catch the tightest
+    * band, `bit_count(s1 ^ s2) <= d` generalizes.
+    */
+  def simHash64(text: Column): Column = {
+    val tokens = split(trim(text), "\\s+")
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(
+          acc,
+          transform(sequence(lit(0), lit(63)),
+            b => when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1)),
+          (a, v) => a + v
+        )
+      }
+    )
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x)
+    )
+  }
+}

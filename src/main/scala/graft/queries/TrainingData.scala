@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Functions, RollingHash64}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal plumbing) + ingestion scalar ops, instantiated
+  * against the `documents`/`embeddings` tables as verifiable queries.
+  * Exact/deterministic ops carry DuckDB oracles; approximate ops
+  * (MinHash LSH, SimHash, hyperplane ANN) are rows-only here and are
+  * verified against exact ground truth in their ScalaTest specs.
+  */
+object TrainingData {
+
+  // ── exact dedup ──────────────────────────────────────────────────
+  val td01ExactDedup = Query(
+    "td01_exact_dedup",
+    Some("""SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies, text
+            |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup
+        .exactDedupStats(t.documents, "doc_id", Seq("text"))
+        .orderBy("keeper_id")
+        .select("keeper_id", "n_copies", "text")
+    }
+  )
+
+  /** MD5 content fingerprint — same algorithm in both engines, so the
+    * exact-dup prefilter is oracle-checkable end to end.
+    */
+  val td02Fingerprint = Query(
+    "td02_fingerprint",
+    Some("""SELECT doc_id, MD5(text) AS fp_md5 FROM documents ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents.select(col("doc_id"), md5(col("text")).as("fp_md5")).orderBy("doc_id")
+    }
+  )
+
+  // ── text analysis ────────────────────────────────────────────────
+  val td03Tokens = Query(
+    "td03_tokens",
+    Some("""SELECT doc_id,
+            |  CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            |       ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS INT) AS n_tokens,
+            |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish
+            |FROM documents ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish")
+        )
+        .orderBy("doc_id")
+    }
+  )
+
+  val td04Quality = Query(
+    "td04_quality",
+    Some("""WITH q AS (SELECT doc_id, text,
+            |  CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            |       ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS INT) AS n_tokens,
+            |  CAST(LEN(regexp_extract_all(LOWER(text),
+            |    '\b(the|a|and|of|to|in|is|it)\b')) AS INT) AS n_stop
+            |FROM documents)
+            |SELECT doc_id, n_tokens,
+            |  CASE WHEN n_tokens > 0
+            |    THEN CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / n_tokens
+            |    ELSE 0.0 END AS avg_token_len,
+            |  CASE WHEN LENGTH(text) > 0
+            |    THEN CAST(LEN(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) / LENGTH(text)
+            |    ELSE 0.0 END AS punct_ratio,
+            |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END
+            |    AS stopword_ratio
+            |FROM q ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis
+        .qualityFeatures(t.documents, col("text"))
+        .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio")
+        .orderBy("doc_id")
+    }
+  )
+
+  val td05LangId = Query(
+    "td05_langid", {
+      // score expressions mirror TextAnalysis.langMarkers exactly; the
+      // CASE evaluates languages in ascending code order, which is the
+      // same deterministic tiebreak the Scala argmax applies.
+      def score(ws: Seq[String]) =
+        ws.map(w => s"LEN(regexp_extract_all(LOWER(text), '\\b$w\\b'))").mkString(" + ")
+      val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+      val scores = langs.map(l => s"(${score(TextAnalysis.langMarkers(l))}) AS s_$l").mkString(",\n  ")
+      val greatest = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      Some(
+        s"""WITH s AS (SELECT doc_id, lang,
+           |  $scores
+           |FROM documents),
+           |m AS (SELECT *, $greatest AS m FROM s)
+           |SELECT doc_id, lang, CASE WHEN m = 0 THEN 'und' $cases END AS lang_guess
+           |FROM m ORDER BY doc_id""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // ── exact n-gram Jaccard near-dup (ground truth) ─────────────────
+  val td06Jaccard = Query(
+    "td06_jaccard_pairs",
+    Some("""WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            |       FROM words, UNNEST(range(1, LEN(w) - 1)) AS t(i)),
+            |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+            |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
+            |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+            |SELECT id_a, id_b, n_common,
+            |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+            |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+            |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+            |ORDER BY id_a, id_b""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup
+        .jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.2)
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  // ── approximate dedup (rows-only; verified in DedupSpec) ─────────
+  val dd01MinHash = Query(
+    "dd01_minhash_lsh",
+    None,
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup
+        .minHashCandidates(t.documents, "doc_id", "text",
+          k = 3, numHashes = 64, bands = 16, threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  val dd02SimHash = Query(
+    "dd02_simhash",
+    None,
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("doc_id"), Dedup.simHash64(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** Custom codegen'd Catalyst expression fingerprint (rows-only: the
+    * polynomial hash has no DuckDB builtin; golden values are asserted
+    * in TextAnalysisSpec).
+    */
+  val dd03Rolling = Query(
+    "dd03_rolling_fingerprint",
+    None,
+    (spark, dir) => {
+      RollingHash64.register(spark)
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("doc_id"), RollingHash64(col("text")).as("fp_rolling"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // ── similarity search ────────────────────────────────────────────
+  val ss01CosineKnn = Query(
+    "ss01_cosine_knn",
+    Some("""WITH p AS (
+            |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            |    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+            |                                 CAST(c.embedding AS DOUBLE[])), 4) AS sim
+            |  FROM embeddings q, embeddings c
+            |  WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+            |SELECT query_id, corpus_id, sim, CAST(r AS INT) AS rank FROM (
+            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+            |  FROM p) WHERE r <= 3 ORDER BY query_id, rank""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Similarity
+        .bruteForceKnn(t.embeddings, t.embeddings.filter(col("vec_id") < 50),
+          "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  val ss02LshAnn = Query(
+    "ss02_lsh_ann",
+    None,
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Similarity
+        .lshKnn(t.embeddings, "vec_id", "embedding", k = 3, bits = 8, tables = 2)
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  // ── multimodal plumbing ──────────────────────────────────────────
+  val mm01BinaryMeta = Query(
+    "mm01_binary_meta",
+    Some("""SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+            |  CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 256.0) AS BIGINT) AS n_frames
+            |FROM documents ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(
+          col("doc_id"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          ceil(length(col("text").cast("binary")) / 256.0).cast("long").as("n_frames")
+        )
+        .orderBy("doc_id")
+    }
+  )
+
+  val mm02MediaFeatures = Query(
+    "mm02_media_features",
+    None,
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val media = Multimodal.asMediaBatch(t.documents, "doc_id", "text")
+      Multimodal
+        .decodeFeatures(media, new Multimodal.StubDecoder)
+        .toDF()
+        .orderBy("media_id")
+    }
+  )
+
+  // ── ingestion scalar ops over testdata ───────────────────────────
+  val in01NormalizeStamp = Query(
+    "in01_normalize_stamp",
+    Some("""SELECT doc_id, text, lang AS metadata_label, CAST(42 AS BIGINT) AS datasetid
+            |FROM documents ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      // T1 applied to deliberately messy upstream names + T3 stamp
+      val messy = t.documents.select(
+        col("doc_id").as("Doc ID"), col("text").as("Text"), col("lang").as("Lang-Code"))
+      val normalized = Functions.normalizeColumns(messy)
+      normalized
+        .select(
+          col("doc_id"),
+          col("text"),
+          col("lang_code").as("metadata_label"),
+          lit(42L).as("datasetid")
+        )
+        .orderBy("doc_id")
+    }
+  )
+
+  val in02MetaExtract = Query(
+    "in02_meta_extract",
+    Some("""WITH f AS (SELECT doc_id, source, source || '_' || doc_id || '.csv' AS fname FROM documents)
+            |SELECT doc_id,
+            |  CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS src_num,
+            |  split_part(regexp_replace(fname, '\.[^.]*$', ''), '_', 2) AS fname_token
+            |FROM f ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val f = t.documents.withColumn(
+        "fname", concat(col("source"), lit("_"), col("doc_id"), lit(".csv")))
+      f.select(
+          col("doc_id"),
+          regexp_extract(col("source"), "src(\\d+)", 1).cast("int").as("src_num"),
+          Functions.filenameToken(col("fname"), "_", 1).as("fname_token")
+        )
+        .orderBy("doc_id")
+    }
+  )
+
+  val in03LengthPolicy = Query(
+    "in03_length_policy",
+    Some("""SELECT source, CAST(MAX(LENGTH(text)) AS INT) AS max_len,
+            |  CAST(LEAST(FLOOR(MAX(LENGTH(text)) * 1.5), 4000) AS INT) AS varchar_len
+            |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .groupBy("source")
+        .agg(
+          max(length(col("text"))).cast("int").as("max_len"),
+          least(floor(max(length(col("text"))) * 1.5), lit(4000)).cast("int").as("varchar_len")
+        )
+        .orderBy("source")
+    }
+  )
+
+  val in04Truncate = Query(
+    "in04_truncate",
+    Some("""SELECT doc_id, SUBSTRING(text, 1, 100) AS t100,
+            |  LENGTH(text) > 100 AS was_truncated
+            |FROM documents ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(
+          col("doc_id"),
+          substring(col("text"), 1, 100).as("t100"),
+          (length(col("text")) > 100).as("was_truncated")
+        )
+        .orderBy("doc_id")
+    }
+  )
+
+  val all: Seq[Query] = Seq(
+    td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
+    td06Jaccard, dd01MinHash, dd02SimHash, dd03Rolling, ss01CosineKnn,
+    ss02LshAnn, mm01BinaryMeta, mm02MediaFeatures,
+    in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate
+  )
+}

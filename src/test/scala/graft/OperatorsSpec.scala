@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingHash64
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.Tables
+
+/** Specs for the training-data operators. Approximate ops (MinHash
+  * LSH, SimHash, hyperplane ANN) are judged against exact ground truth
+  * computed on the same data — the correctness bar is recall, not
+  * hash equality.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables(spark, sf).documents.cache()
+  private lazy val emb = Tables(spark, sf).embeddings.cache()
+
+  // ── dedup ─────────────────────────────────────────────────────────
+  test("exactDedup keeps min-id row per duplicate group") {
+    val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("id", "t")
+    val kept = Dedup.exactDedup(df, "id", Seq("t")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    val stats = Dedup.exactDedupStats(df, "id", Seq("t")).collect()
+    assert(stats.find(_.getString(0) == "same").get.getLong(2) == 2L)
+  }
+
+  test("wordShingles yields distinct k-grams; short texts yield none") {
+    val got = Seq(("a b c d", 1), ("a b", 2), ("", 3))
+      .toDF("t", "id")
+      .select(Dedup.wordShingles(col("t"), 3).as("s"))
+      .collect()
+      .map(_.getSeq[String](0).toSet)
+    assert(got(0) == Set("a b c", "b c d"))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("minhash LSH candidates achieve full recall vs exact jaccard >= 0.5 (sf0.001)") {
+    val truth = Dedup
+      .jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val cand = Dedup
+      .minHashCandidates(docs, "doc_id", "text", k = 3, numHashes = 64, bands = 16, threshold = 0.35)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(truth.nonEmpty, "fixture should contain near-duplicates")
+    assert((truth -- cand).isEmpty, s"missed pairs: ${truth -- cand}")
+  }
+
+  test("minhash estimate tracks exact jaccard within 0.2") {
+    val est = Dedup
+      .minHashCandidates(docs, "doc_id", "text", threshold = 0.35)
+      .withColumnRenamed("est_jaccard", "est")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.0)
+    val joined = est
+      .join(exact, Seq("id_a", "id_b"))
+      .select(abs(col("est") - col("jaccard")).as("err"))
+      .agg(max("err"))
+      .head()
+      .getDouble(0)
+    assert(joined < 0.2, s"max |est - exact| = $joined")
+  }
+
+  test("simhash: near-identical texts land within small hamming distance, unrelated far") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different words about spark query engines and column pruning")
+    ).toDF("id", "t")
+    val m = df
+      .select(col("id"), Dedup.simHash64(col("t")).as("h"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) <= 12, s"near-dup hamming ${ham(m(1L), m(2L))}")
+    assert(ham(m(1L), m(3L)) > 12, s"unrelated hamming ${ham(m(1L), m(3L))}")
+  }
+
+  // ── similarity ────────────────────────────────────────────────────
+  test("brute-force knn is symmetric-sane and deterministic") {
+    val knn = Similarity
+      .bruteForceKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+      .collect()
+    assert(knn.length == 30)
+    assert(knn.forall(r => r.getLong(0) != r.getLong(1)))
+    val again = Similarity
+      .bruteForceKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+      .collect()
+    assert(knn.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0)))
+      .toDF("a", "b", "c")
+    val r = df
+      .select(
+        Similarity.cosine(col("a"), col("b")).as("same"),
+        Similarity.cosine(col("a"), col("c")).as("orth"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("LSH ANN recall@3 vs brute force is useful (> 0.25) and rescoring is exact") {
+    val brute = Similarity
+      .bruteForceKnn(emb, emb, "vec_id", "embedding", k = 3)
+      .select("query_id", "corpus_id", "sim")
+    // tiny fixture (50 vectors): coarse buckets + more tables so the
+    // probe set is meaningful; production sizing is data-dependent
+    val ann = Similarity
+      .lshKnn(emb, "vec_id", "embedding", k = 3, bits = 3, tables = 8)
+      .select("query_id", "corpus_id", "sim")
+    val b = brute.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val a = ann.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val recall = a.keySet.count(b.keySet).toDouble / b.size
+    assert(recall > 0.25, s"recall@3 = $recall")
+    // where ANN returned a true-top-3 pair, the rescored sim is exact
+    a.keySet.intersect(b.keySet).foreach(k => assert(a(k) == b(k)))
+  }
+
+  // ── text analysis ─────────────────────────────────────────────────
+  test("langId identifies real sentences per language and 'und' for noise") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and this is fine"),
+      ("de", "der hund und das kind sind nicht da"),
+      ("es", "el perro que corre y los gatos una casa"),
+      ("fr", "le chien dans les rues une belle ville"),
+      ("zh", "这 是 的 一个 测试 了 在 北京"),
+      ("und", "xyzzy plugh qwertyuiop")
+    ).toDF("expected", "t")
+    val got = df
+      .select(col("expected"), TextAnalysis.langId(col("t")).as("got"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (exp, g) => assert(g == exp, s"expected $exp got $g") }
+  }
+
+  test("tokenCount handles empties; bpeish counts symbol runs") {
+    val df = Seq(("", 0), ("  ", 1), ("one two  three", 2), ("a-b c3d!", 3)).toDF("t", "id")
+    val got = df
+      .select(col("id"), TextAnalysis.tokenCount(col("t")).as("n"),
+        TextAnalysis.bpeishTokenCount(col("t")).as("b"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2)))
+      .toMap
+    assert(got(0) == ((0, 0)) && got(1) == ((0, 0)))
+    assert(got(2) == ((3, 3)))
+    // "a-b c3d!" → tokens: [a-b, c3d!]; bpeish: a, -, b, c, 3, d, !
+    assert(got(3) == ((2, 7)))
+  }
+
+  test("rolling_hash64 matches the scala reference implementation and runs under codegen") {
+    RollingHash64.register(spark)
+    def ref(s: String): Long = {
+      var h = 1469598103934665603L
+      s.getBytes("UTF-8").foreach(b => h = h * 1000003L + (b & 0xffL))
+      h
+    }
+    val inputs = Seq("", "a", "hello world", "é中文")
+    val got = inputs.toDF("t")
+      .select(RollingHash64(col("t")).as("h"))
+      .collect()
+      .map(_.getLong(0))
+    assert(got.toSeq == inputs.map(ref))
+  }
+
+  // ── multimodal ────────────────────────────────────────────────────
+  test("media decode plumbing: deterministic features, frame sampling covers all bytes") {
+    val media = Multimodal.asMediaBatch(docs, "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(media, new Multimodal.StubDecoder).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall(f => f.n_bytes > 0 && f.width >= 16 && f.n_frames >= 1))
+    // determinism across runs
+    val again = Multimodal.decodeFeatures(media, new Multimodal.StubDecoder).collect()
+    assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+    // frame sampling: ceil(bytes/frameBytes) frames per doc, bytes roundtrip
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64)
+    val perDoc = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
+      sum(length(col("frame"))).as("bytes")).withColumnRenamed("media_id", "mid")
+    val check = media
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .join(perDoc, col("media_id") === col("mid"))
+      .filter(col("n") =!= ceil(col("n_bytes") / 64.0).cast("long") || col("bytes") =!= col("n_bytes"))
+    assert(check.isEmpty)
+  }
+}
