@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface. The reference is cron-driven
+  * micro-batch (SURVEY.md §2.7) — `file_watcher/` polled on a
+  * schedule — which maps exactly onto a file-source stream with
+  * `Trigger.AvailableNow`: process everything that has landed, then
+  * stop; re-run on the next schedule. `cleanSource=archive` reproduces
+  * the post-commit archive move (K5).
+  *
+  * Watermarked tumbling-window aggregation is the extension surface
+  * for the `events` stream table (not required for reference parity —
+  * the reference has no event-time logic).
+  */
+object StreamingIngest {
+
+  /** File-source stream over a landing directory; `pathGlobFilter`
+    * narrows to the config's file shape (S3's glob analog — full regex
+    * selection stays a batch-side concern).
+    */
+  def fileStream(
+      spark: SparkSession,
+      directory: String,
+      schema: StructType,
+      globFilter: String,
+      archiveDir: Option[String] = None
+  ): DataFrame = {
+    val r = spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("pathGlobFilter", globFilter)
+      .option("maxFilesPerTrigger", "1000")
+    archiveDir
+      .map(a => r.option("cleanSource", "archive").option("sourceArchiveDir", a))
+      .getOrElse(r)
+      .csv(directory)
+  }
+
+  /** Run an ingestion stream to completion of the currently-available
+    * backlog (`Trigger.AvailableNow`), landing each micro-batch through
+    * `onBatch` — where the registry upsert + datasetid stamping live
+    * (the transactional seam `foreachBatch` provides).
+    */
+  def runAvailableNow(
+      source: DataFrame,
+      checkpoint: String,
+      onBatch: (DataFrame, Long) => Unit
+  ): StreamingQuery = {
+    val q = source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(df.toDF(), id))
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream —
+    * count + sum(value) per (window, event_type). Late rows beyond the
+    * watermark are dropped; state is bounded by watermark horizon ×
+    * group cardinality, which is what keeps it runnable over an
+    * unbounded 100 TB/day firehose.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      watermark: String
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("bucket"),
+        col("event_type"),
+        col("n"),
+        col("sum_value")
+      )
+}
