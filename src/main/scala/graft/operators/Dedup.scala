@@ -25,13 +25,25 @@ object Dedup {
   /** Distinct word k-grams of `text` as an array column. Pure per-row
     * HOF compute (split → slice windows → concat), no shuffle.
     */
-  def wordShingles(text: Column, k: Int): Column = {
-    val words = split(trim(text), "\\s+")
+  def wordShingles(text: Column, k: Int): Column =
+    shinglesFromWords(split(trim(text), "\\s+"), k)
+
+  /** Shingles via k-1 shifted copies zipped together — NOT via
+    * `transform(sequence(...), i => slice(words, ...))`: referencing
+    * the words array inside a lambda re-evaluates its whole subtree
+    * (including the regex split) once per element, turning an O(n)
+    * shingling into O(n²)-with-regex. The shifted-zip form evaluates
+    * each slice once per row.
+    */
+  def shinglesFromWords(words: Column, k: Int): Column = {
     val n = size(words)
+    val shifted = (1 until k).map(i => slice(words, lit(i + 1), n))
+    val zipped =
+      shifted.foldLeft(words)((acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
+    // zip_with null-pads to the longer side → drop the k-1 partial
+    // windows at the tail
     array_distinct(
-      when(n >= k,
-        transform(sequence(lit(0), n - k), i => concat_ws(" ", slice(words, i + 1, lit(k)))))
-        .otherwise(array())
+      when(n >= k, slice(zipped, lit(1), n - k + 1)).otherwise(array().cast("array<string>"))
     )
   }
 
@@ -79,11 +91,22 @@ object Dedup {
     * codegen stage — signatures for 100 TB cost one scan, no shuffle.
     */
   def minHashSignature(text: Column, k: Int = 3, numHashes: Int = 64): Column = {
+    val params = hashParams(numHashes)
+    // (a_i, b_i) as one constant struct array: the fold below updates
+    // all n mins in ONE pass over the shingle hashes. The naive form —
+    // n × array_min(transform(hashes, ...)) — duplicates the entire
+    // shingle+hash subtree n times (measured: single task pinned in
+    // regex split for minutes at sf0.1).
+    val ab = array(params.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
     val hashes = transform(wordShingles(text, k), s => pmod(xxhash64(s), lit(MersennePrime)))
-    val sigs = hashParams(numHashes).map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
-    }
-    array(sigs: _*)
+    val init = array_repeat(lit(MersennePrime), numHashes)
+    when(size(hashes) > 0,
+      aggregate(hashes, init, (acc, h) =>
+        zip_with(acc, ab, (m, p) =>
+          least(m, pmod(h * p.getField("a") + p.getField("b"), lit(MersennePrime))))))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `r` rows;
@@ -114,28 +137,32 @@ object Dedup {
     val r = numHashes / bands
     val sigs = df
       .select(col(idCol).as("id"), minHashSignature(col(textCol), k, numHashes).as("sig"))
-      .where(size(col("sig")) > 0 && !array_contains(transform(col("sig"), x => x.isNull), true))
+      .where(size(col("sig")) > 0)
     val banded = sigs
       .select(col("id"), col("sig"), explode(lshBands(col("sig"), bands, r)).as("band"))
       .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
+      // both sides of the self-join read this frame — materialize the
+      // signatures once instead of recomputing them per side
+      .cache()
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-      .withColumn(
-        "est_jaccard",
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      // compute the estimate BEFORE dedup so the distinct shuffles
+      // (id,id,double) rows, not two 64-long signature arrays per pair
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        (aggregate(
+          zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0),
           (acc, v) => acc + v
-        ).cast("double") / numHashes
+        ).cast("double") / numHashes).as("est_jaccard")
       )
+      .distinct()
       .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
   }
 
   // ── exact n-gram Jaccard ──────────────────────────────────────────
@@ -152,11 +179,15 @@ object Dedup {
       k: Int = 3,
       threshold: Double = 0.0
   ): DataFrame = {
+    // join on the 8-byte shingle hash, not the shingle string — the
+    // shuffle moves fixed-width keys; xxhash64 collisions are
+    // negligible for intersection COUNTING at these cardinalities
     val sh = df
       .select(col(idCol).as("id"), explode(wordShingles(col(textCol), k)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n")) // shingles are distinct already
     val pairs = sh.alias("x")
-      .join(sh.alias("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .join(sh.alias("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
@@ -174,19 +205,19 @@ object Dedup {
     * band, `bit_count(s1 ^ s2) <= d` generalizes.
     */
   def simHash64(text: Column): Column = {
-    val tokens = split(trim(text), "\\s+")
+    // hash once per token here — inside the fold the hash would be
+    // recomputed per bit (64×)
+    val hashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
     val votes = aggregate(
-      tokens,
+      hashes,
       array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
+      (acc, h) =>
         zip_with(
           acc,
           transform(sequence(lit(0), lit(63)),
             b => when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1)),
           (a, v) => a + v
         )
-      }
     )
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)), (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),

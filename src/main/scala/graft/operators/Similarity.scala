@@ -7,20 +7,21 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor operators over an embedding column
   * (`array<float>`).
   *
-  * Baseline: brute-force cosine top-k — a broadcast cross join whose
-  * inner product runs as higher-order functions inside codegen. Cost
-  * is O(N·Q·d) FLOPs; correct at any scale where the QUERY side is
-  * broadcastable.
+  * Baseline: brute-force cosine top-k — a broadcast cross join. The
+  * inner product is UNROLLED over the (schema-known) dimension into
+  * `a[1]*b[1] + … + a[d]*b[d]`, which whole-stage codegen compiles to
+  * straight-line arithmetic; higher-order functions (`aggregate`/
+  * `zip_with`) do not participate in codegen and cost an order of
+  * magnitude more per pair. Norms are computed once per ROW before the
+  * join, not once per pair.
   *
-  * Scale path: random-hyperplane LSH bucketing — per-row signature
-  * (zero shuffle), one shuffle on the bucket key, exact rescoring only
-  * within buckets. Recall tunable via bits/tables; verified against
-  * the brute-force baseline in SimilaritySpec.
+  * Scale path: random-hyperplane LSH bucketing — per-row signature,
+  * one shuffle on the bucket key, exact rescoring only within buckets.
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns as one fused
-    * expression: dot / (|a| |b|), null-safe for zero vectors.
+  /** Cosine similarity via higher-order functions — dimension-generic
+    * form for ad-hoc use. Hot paths use [[dotUnrolled]].
     */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
@@ -29,7 +30,20 @@ object Similarity {
     when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0d))
   }
 
+  /** Codegen-friendly inner product for a fixed dimension: left-to-
+    * right sum, same association order as a sequential fold (keeps
+    * cross-engine rounding identical).
+    */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Vector length probed from the data (one tiny action) when the
+    * caller doesn't pass it.
+    */
+  private def probeDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
 
   /** Brute-force top-k cosine neighbors for every vector in `queries`
     * against `corpus`. `queries` is broadcast (the small side by
@@ -43,14 +57,22 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      roundTo: Int = 4
+      roundTo: Int = 4,
+      dim: Int = -1
   ): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val d = if (dim > 0) dim else probeDim(corpus, vecCol)
+    def side(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+        .withColumn(s"${v}_norm", sqrt(dotUnrolled(col(v), col(v), d)))
+    val c = side(corpus, "corpus_id", "cv")
+    val q = side(queries, "query_id", "qv")
     val scored = c
       .crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("cv"), col("qv")), roundTo))
+      .withColumn(
+        "sim",
+        round(dotUnrolled(col("cv"), col("qv"), d) / (col("cv_norm") * col("qv_norm")), roundTo)
+      )
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("corpus_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -60,20 +82,19 @@ object Similarity {
 
   /** Random-hyperplane signature: bit j = sign(dot(v, r_j)) where r_j
     * is a deterministic pseudo-random ±1 hyperplane derived from
-    * xxhash64(j, i). Per-row compute only.
+    * xxhash64(seed, j, i). Per-row compute only.
     */
   def hyperplaneSignature(vec: Column, bits: Int, seed: Int = 0): Column = {
     val v = asDouble(vec)
     val dims = size(v)
     val bitCols = (0 until bits).map { j =>
-      // dot(v, r_j) with r_j[i] = ±1 from a hash of (seed, j, i)
       val s = aggregate(
         zip_with(v, sequence(lit(0), dims - 1),
           (x, i) => when(pmod(xxhash64(lit(seed), lit(j), i), lit(2)) === 0, x).otherwise(-x)),
         lit(0.0d),
         (acc, x) => acc + x
       )
-      when(s >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      when(s >= 0, call_function("shiftleft", lit(1L), lit(j))).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -89,15 +110,20 @@ object Similarity {
       k: Int,
       bits: Int = 12,
       tables: Int = 4,
-      roundTo: Int = 4
+      roundTo: Int = 4,
+      dim: Int = -1
   ): DataFrame = {
-    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val d = if (dim > 0) dim else probeDim(corpus, vecCol)
+    val base = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("v_norm", sqrt(dotUnrolled(col("v"), col("v"), d)))
     // per-table hyperplane seeds decorrelate the tables; a vector lands
-    // in one bucket per table, so probe cost is `tables` bucket scans
+    // in one bucket per table. Signatures computed once, then reused by
+    // both sides of the self-join.
     val tabled = (0 until tables).map { t =>
       base.withColumn("table_id", lit(t))
         .withColumn("bucket", hyperplaneSignature(col("v"), bits, seed = t))
-    }.reduce(_ union _)
+    }.reduce(_ union _).cache()
     val a = tabled.alias("a")
     val b = tabled.alias("b")
     val pairs = a
@@ -105,10 +131,12 @@ object Similarity {
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("query_id"), col("b.id").as("corpus_id"),
-        col("a.v").as("qv"), col("b.v").as("cv"))
+      .select(
+        col("a.id").as("query_id"), col("b.id").as("corpus_id"),
+        round(
+          dotUnrolled(col("a.v"), col("b.v"), d) / (col("a.v_norm") * col("b.v_norm")),
+          roundTo).as("sim"))
       .distinct()
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), roundTo))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("corpus_id"))
     pairs
       .withColumn("rank", row_number().over(w))
