@@ -75,7 +75,8 @@ final class GenericImporter(
     registry: DatasetRegistry,
     warehouse: String,
     enforceLengths: Boolean = false,
-    today: () => LocalDate = () => LocalDate.now()
+    today: () => LocalDate = () => LocalDate.now(),
+    xlsConverter: XlsConverter = new PassthroughConverter
 ) {
 
   val InvalidMarker = "Invalid Event ID"
@@ -90,6 +91,28 @@ final class GenericImporter(
   }
 
   def importFile(config: ImportConfig, file: Path, typeId: Int, sourceId: Int): FileResult = {
+    // S2: XLS/XLSX go through the converter seam first (the reference
+    // shells into xls_to_csv, generic_import.py:648-649); the stub
+    // passthrough handles CSV-shaped test payloads
+    val readable =
+      if (config.fileType == "XLS" || config.fileType == "XLSX")
+        try xlsConverter.toCsv(file)
+        catch { case _: Exception => file }
+      else file
+    try doImportFile(config, file, readable, typeId, sourceId)
+    finally
+      // the temp CSV is removed once the load completes
+      // (generic_import.py:697-704)
+      if (readable != file) Files.deleteIfExists(readable)
+  }
+
+  private def doImportFile(
+      config: ImportConfig,
+      file: Path,
+      readable: Path,
+      typeId: Int,
+      sourceId: Int
+  ): FileResult = {
     val fname = file.getFileName.toString
     val label = Functions
       .parseMetadata(fname, config.labelSource, config.labelLocation, config.delimiter)
@@ -104,7 +127,7 @@ final class GenericImporter(
     val id = registry.insert(dsDate, label, typeId, sourceId)
 
     val df0 =
-      try readAllString(file)
+      try readAllString(readable)
       catch {
         case _: Exception =>
           registry.setStatus(id, DatasetStatus.Empty)

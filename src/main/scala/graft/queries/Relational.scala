@@ -449,10 +449,80 @@ object Relational {
     }
   )
 
+  /** Q5 in its literal form — a correlated scalar subquery (the
+    * reference's business-day lookup shape,
+    * create_f_get_event_changes.sql:17-22). Catalyst decorrelates it
+    * into an aggregate + join; q06 shows the equivalent window idiom.
+    */
+  val q18CorrelatedScalar = Query(
+    "q18_correlated_scalar",
+    Some("""SELECT c_nationkey, COUNT(*) AS n_above_nation_avg
+            |FROM customer c
+            |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+            |                   WHERE c2.c_nationkey = c.c_nationkey)
+            |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.createOrReplaceTempView("graft_q18_customer")
+      spark.sql(
+        """SELECT c_nationkey, COUNT(*) AS n_above_nation_avg
+          |FROM graft_q18_customer c
+          |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM graft_q18_customer c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    }
+  )
+
+  /** Q4: LATERAL subquery — per-group top-N via a correlated derived
+    * table (the reference's LEFT JOIN LATERAL,
+    * create_f_get_event_changes.sql:100-108).
+    */
+  val q19Lateral = Query(
+    "q19_lateral",
+    Some("""SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+            |FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+            |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+            |         WHERE o.o_orderpriority = p.o_orderpriority
+            |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+            |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders.createOrReplaceTempView("graft_q19_orders")
+      spark.sql(
+        """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+          |FROM (SELECT DISTINCT o_orderpriority FROM graft_q19_orders) p,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_q19_orders o
+          |         WHERE o.o_orderpriority = p.o_orderpriority
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin)
+    }
+  )
+
+  /** Left-semi join (EXISTS) — the complement of q04's anti join. */
+  val q20ExistsSemi = Query(
+    "q20_exists_semi",
+    Some("""SELECT c_nationkey, COUNT(*) AS n_big_spenders
+            |FROM customer c
+            |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            |              AND o.o_totalprice > 400000)
+            |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer
+        .join(
+          t.orders.filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_big_spenders"))
+        .orderBy("c_nationkey")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     q01GroupAgg, q02ScalarAgg, q03JoinAgg, q04AntiJoin, q05CrossScalar,
     q06WindowPrev, q07CaseCoalesce, q08Strings, q09Except, q10UnionDistinct,
     q11DistinctFilter, q12TopK, q13Calendar, q14Flagship, q15Json,
-    q16TimeBucket, q17LatestActive
+    q16TimeBucket, q17LatestActive, q18CorrelatedScalar, q19Lateral, q20ExistsSemi
   )
 }
