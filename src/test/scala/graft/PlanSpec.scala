@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.queries.{Relational, Tables, TrainingData}
+
+/** Physical-plan assertions — the "would this survive 100×" checks.
+  * A query that returns correct rows through the wrong plan (full
+  * scans, shuffled dim joins, global sorts) fails here even though the
+  * oracle gate passes.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filter + projection reach the parquet scan (PushedFilters, pruned ReadSchema)") {
+    val t = Tables(spark, sf)
+    val q = t.orders
+      .filter(col("o_totalprice") > 100000)
+      .select("o_orderkey", "o_totalprice")
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)]"), p)
+    // column pruning: the scan must not read the other 4 columns
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), p)
+  }
+
+  test("fact-dim join broadcasts the dim (no shuffle of the fact side)") {
+    val p = plan(Relational.q03JoinAgg.build(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("scalar cross join is a broadcast nested loop, not a cartesian shuffle") {
+    val p = plan(Relational.q05CrossScalar.build(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("orderBy+limit compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.q12TopK.build(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("anti and semi joins plan as join strategies, not subquery re-execution") {
+    val pa = plan(Relational.q04AntiJoin.build(spark, sf))
+    val ps = plan(Relational.q20ExistsSemi.build(spark, sf))
+    assert(pa.contains("LeftAnti"), pa)
+    assert(ps.contains("LeftSemi"), ps)
+  }
+
+  test("whole-stage codegen covers the scan->project pipeline of scalar ops") {
+    // AQE prints codegen spans only in the finalized plan → execute first
+    val df = TrainingData.td02Fingerprint.build(spark, sf)
+    df.collect() // count() would plan a different QueryExecution
+    val p = plan(df)
+    // formatted explain marks codegen stages with "[codegen id : N]"
+    assert(p.contains("codegen id"), p)
+    assert(p.contains("* Project"), p)
+  }
+
+  test("salted join equals plain join and spreads the hot key") {
+    val big = spark.range(0, 10000)
+      .select(when(col("id") % 10 === 0, lit("HOT")).otherwise(concat(lit("k"), col("id"))).as("k"),
+        col("id").as("v"))
+    val small = Seq(("HOT", 1), ("k1", 2), ("k2", 3)).toDF("k", "w")
+    val plain = big.join(small, Seq("k")).agg(sum("v"), count(lit(1))).head()
+    val salted = Skew.saltedJoin(big, small, "k", salt = 8).agg(sum("v"), count(lit(1))).head()
+    assert(plain == salted)
+  }
+
+  test("two-phase agg equals direct agg for associative aggregates") {
+    val df = spark.range(0, 10000)
+      .select((col("id") % 5).as("k"), col("id").as("v"))
+    val direct = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").collect().toSeq
+    val twoPhase = Skew.twoPhaseAgg(
+      df, "k", salt = 16,
+      agg = Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+      merge = Seq(sum("ps").as("s"), sum("pn").as("n"))
+    ).orderBy("k").collect().toSeq
+    assert(direct == twoPhase)
+  }
+}
