@@ -315,10 +315,103 @@ object TrainingData {
     }
   )
 
+  /** Embedding-cosine near-duplicate pairs: vectors whose cosine
+    * exceeds a tight threshold — semantic dedup over the embedding
+    * column. Same broadcast-pair plan as the KNN; the threshold filter
+    * makes the output the dedup candidate set.
+    */
+  val dd04CosineDup = Query(
+    "dd04_cosine_dup",
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            |                               CAST(b.embedding AS DOUBLE[])), 4) AS sim
+            |FROM embeddings a, embeddings b
+            |WHERE a.vec_id < b.vec_id
+            |  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+            |ORDER BY id_a, id_b""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val d = 64
+      def side(n: String) = t.embeddings.select(
+        col("vec_id").as(s"id_$n"),
+        transform(col("embedding"), x => x.cast("double")).as(s"v_$n"))
+      val a = side("a").withColumn("n_a", sqrt(Similarity.dotUnrolled(col("v_a"), col("v_a"), d)))
+      val b = side("b").withColumn("n_b", sqrt(Similarity.dotUnrolled(col("v_b"), col("v_b"), d)))
+      a.crossJoin(broadcast(b))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim",
+          round(Similarity.dotUnrolled(col("v_a"), col("v_b"), d) / (col("n_a") * col("n_b")), 4))
+        .filter(col("sim") >= 0.35)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  /** HLL approximate distinct (the sketch aggregate the exact path
+    * can't afford at 100 TB). Rows-only: DuckDB's approx sketch is a
+    * different algorithm; OperatorsSpec bounds the error vs exact.
+    */
+  val td07ApproxDistinct = Query(
+    "td07_approx_distinct",
+    None,
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.events
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("event_type")
+    }
+  )
+
+  /** Batch sessionization — lag + cumulative-sum windows (the
+    * window-function form of the stateful streaming operator in
+    * `streaming.Sessionize`; SessionizeSpec asserts agreement).
+    */
+  val st01Sessionize = Query(
+    "st01_sessionize",
+    Some("""WITH lagged AS (
+            |  SELECT user_id, ts, event_id,
+            |    CASE WHEN LAG(ts) OVER w IS NULL
+            |         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+            |         THEN 1 ELSE 0 END AS new_s
+            |  FROM events
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            |sess AS (
+            |  SELECT user_id, ts,
+            |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |                     ROWS UNBOUNDED PRECEDING) AS session_num
+            |  FROM lagged)
+            |SELECT user_id, session_num, COUNT(*) AS n_events,
+            |  MIN(ts) AS start_ts, MAX(ts) AS end_ts
+            |FROM sess GROUP BY user_id, session_num
+            |ORDER BY user_id, session_num""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val lagged = t.events
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      lagged
+        .withColumn("session_num",
+          sum(col("new_s")).over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_num")
+        .agg(count(lit(1)).as("n_events"), min("ts").as("start_ts"), max("ts").as("end_ts"))
+        .orderBy("user_id", "session_num")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
-    td06Jaccard, dd01MinHash, dd02SimHash, dd03Rolling, ss01CosineKnn,
-    ss02LshAnn, mm01BinaryMeta, mm02MediaFeatures,
-    in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate
+    td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
+    dd04CosineDup, ss01CosineKnn, ss02LshAnn, mm01BinaryMeta, mm02MediaFeatures,
+    in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
+    st01Sessionize
   )
 }

@@ -172,6 +172,17 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == inputs.map(ref))
   }
 
+  test("approx_count_distinct sketch stays within rsd bounds of exact") {
+    val events = Tables(spark, sf).events
+    val approx = graft.queries.TrainingData.td07ApproxDistinct.build(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy("event_type").agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.1, s"$k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
   // ── multimodal ────────────────────────────────────────────────────
   test("media decode plumbing: deterministic features, frame sampling covers all bytes") {
     val media = Multimodal.asMediaBatch(docs, "doc_id", "text")
