@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph}
+
+/** Additional relational surface beyond the reference's literal usage
+  * — rollup/grouping sets, exact percentiles, pivot, ordered string
+  * aggregation, outer join, and dedup-group resolution via connected
+  * components. A user switching engines gets these "for free" from
+  * Spark; each is exposed and oracle-checked so the capability is
+  * proven, not presumed.
+  */
+object Extras {
+
+  /** ROLLUP with grouping_id — subtotal lattices in one pass. */
+  val x01Rollup = Query(
+    "x01_rollup",
+    Some("""SELECT l_returnflag, l_linestatus,
+            |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+            |  COUNT(*) AS n,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty")
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"), asc("gid"))
+    }
+  )
+
+  /** Exact percentiles (continuous interpolation) per group. */
+  val x02Percentiles = Query(
+    "x02_percentiles",
+    Some("""SELECT o_orderpriority,
+            |  PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+            |  PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+            |  PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.75)").as("p75")
+        )
+        .orderBy("o_orderpriority")
+    }
+  )
+
+  /** Pivot (wide aggregation) — DuckDB oracle via FILTER aggregates. */
+  val x03Pivot = Query(
+    "x03_pivot",
+    Some("""SELECT l_returnflag,
+            |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F,
+            |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val p = t.lineitem
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .orderBy("l_returnflag")
+      // pivot leaves missing cells null; oracle FILTER yields 0
+      p.select(
+        col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"))
+    }
+  )
+
+  /** Ordered string aggregation (listagg). */
+  val x04StringAgg = Query(
+    "x04_string_agg",
+    Some("""SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+            |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.nation
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+        .orderBy("n_regionkey")
+    }
+  )
+
+  /** Full outer join with null-filling — beyond the reference's join
+    * surface but table stakes for an engine swap.
+    */
+  val x05FullOuter = Query(
+    "x05_full_outer",
+    Some("""WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n95 FROM orders
+            |          WHERE YEAR(o_orderdate) = 1995 GROUP BY 1),
+            |b AS (SELECT o_custkey AS k, COUNT(*) AS n96 FROM orders
+            |      WHERE YEAR(o_orderdate) = 1996 GROUP BY 1)
+            |SELECT COALESCE(a.k, b.k) AS custkey,
+            |  COALESCE(n95, 0) AS n95, COALESCE(n96, 0) AS n96
+            |FROM a FULL OUTER JOIN b ON a.k = b.k
+            |ORDER BY custkey""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      def yearly(y: Int, as: String) = t.orders
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as(as))
+      val a = yearly(1995, "n95")
+      val b = yearly(1996, "n96")
+      a.join(b.withColumnRenamed("k", "k2"), col("k") === col("k2"), "full_outer")
+        .select(
+          coalesce(col("k"), col("k2")).as("custkey"),
+          coalesce(col("n95"), lit(0L)).as("n95"),
+          coalesce(col("n96"), lit(0L)).as("n96"))
+        .orderBy("custkey")
+    }
+  )
+
+  /** Dedup-group resolution: near-dup candidate pairs (exact jaccard
+    * ≥ 0.2) → connected components → (doc_id, component). The oracle
+    * recomputes the same closure with a recursive CTE.
+    */
+  val dd05DedupGroups = Query(
+    "dd05_dedup_groups",
+    Some("""WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            |       FROM words, UNNEST(range(1, LEN(w) - 1)) AS t(i)),
+            |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+            |cand AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+            |         FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+            |pairs AS (SELECT a, b FROM cand JOIN sizes sa ON a = sa.doc_id
+            |          JOIN sizes sb ON b = sb.doc_id
+            |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2),
+            |edges AS (SELECT a AS src, b AS dst FROM pairs
+            |          UNION SELECT b, a FROM pairs),
+            |nodes AS (SELECT DISTINCT src AS id FROM edges),
+            |reach AS (
+            |  SELECT id, id AS r FROM nodes
+            |  UNION
+            |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+            |SELECT id AS doc_id, MIN(r) AS component FROM reach
+            |GROUP BY id ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val pairs = Dedup
+        .jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.2)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      Graph
+        .connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val all: Seq[Query] = Seq(
+    x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter, dd05DedupGroups
+  )
+}

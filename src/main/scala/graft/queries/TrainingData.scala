@@ -332,18 +332,8 @@ object TrainingData {
             |ORDER BY id_a, id_b""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
-      val d = 64
-      def side(n: String) = t.embeddings.select(
-        col("vec_id").as(s"id_$n"),
-        transform(col("embedding"), x => x.cast("double")).as(s"v_$n"))
-      val a = side("a").withColumn("n_a", sqrt(Similarity.dotUnrolled(col("v_a"), col("v_a"), d)))
-      val b = side("b").withColumn("n_b", sqrt(Similarity.dotUnrolled(col("v_b"), col("v_b"), d)))
-      a.crossJoin(broadcast(b))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("sim",
-          round(Similarity.dotUnrolled(col("v_a"), col("v_b"), d) / (col("n_a") * col("n_b")), 4))
-        .filter(col("sim") >= 0.35)
-        .select("id_a", "id_b", "sim")
+      Similarity
+        .cosinePairsKernel(t.embeddings, "vec_id", "embedding", threshold = 0.35)
         .orderBy("id_a", "id_b")
     }
   )
