@@ -136,6 +136,57 @@ object Similarity {
     }.toDF("id_a", "id_b", "sim")
   }
 
+  /** Top-k cosine neighbors via the same broadcast-matrix kernel as
+    * [[cosinePairsKernel]]: per query row, one pass over the corpus
+    * block maintaining a bounded top-k ordered by
+    * (rounded sim desc, corpus_id asc) — identical ranking semantics
+    * to the declarative window form (and the SQL oracle).
+    */
+  def cosineKnnKernel(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      roundTo: Int = 4
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def prep(df: DataFrame) =
+      df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .as[(Long, Array[Double])]
+    val mat = prep(corpus).collect().sortBy(_._1).map { case (id, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      (id, v, math.sqrt(s))
+    }
+    val bc = spark.sparkContext.broadcast(mat)
+    val scale = roundTo
+    prep(queries).mapPartitions { rows =>
+      val m = bc.value
+      rows.flatMap { case (qid, qv) =>
+        var nq = 0.0; var i = 0
+        while (i < qv.length) { nq += qv(i) * qv(i); i += 1 }
+        val nQ = math.sqrt(nq)
+        // (negSim, corpusId) sorts best-first with the id tiebreak;
+        // sorting the block's scores is fine per-block (bounded size)
+        val scored = new scala.collection.mutable.ArrayBuffer[(Double, Long)](m.length)
+        m.foreach { case (cid, cv, nC) =>
+          if (cid != qid) {
+            var dot = 0.0; var j = 0
+            while (j < qv.length) { dot += qv(j) * cv(j); j += 1 }
+            val sim = BigDecimal(dot / (nQ * nC))
+              .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+            scored += ((-sim, cid))
+          }
+        }
+        scored.sorted.take(k).zipWithIndex.map { case ((negSim, cid), idx) =>
+          (qid, cid, -negSim, idx + 1)
+        }
+      }
+    }.toDF("query_id", "corpus_id", "sim", "rank")
+  }
+
   /** Random-hyperplane signature: bit j = sign(dot(v, r_j)) where r_j
     * is a deterministic pseudo-random ±1 hyperplane derived from
     * xxhash64(seed, j, i). Per-row compute only.

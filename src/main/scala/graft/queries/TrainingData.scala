@@ -191,7 +191,7 @@ object TrainingData {
     (spark, dir) => {
       val t = Tables(spark, dir)
       Similarity
-        .bruteForceKnn(t.embeddings, t.embeddings.filter(col("vec_id") < 50),
+        .cosineKnnKernel(t.embeddings, t.embeddings.filter(col("vec_id") < 50),
           "vec_id", "embedding", k = 3)
         .orderBy("query_id", "rank")
     }
