@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry point (driver contract): runs every catalog query
@@ -11,8 +13,14 @@ import org.apache.spark.sql.SparkSession
   * a long-lived service or a 100 TB batch (JIT, codegen compile,
   * parquet footer reads); the second run measures the actual operator
   * pipeline. `total` is the sum of reported times.
+  *
+  * Each query runs under a cancellable job group with a hard timeout,
+  * so one pathological plan cannot stall the whole bench (-1 marks a
+  * timeout/failure).
   */
 object Bench {
+  private val TimeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "180").toLong
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,21 +33,39 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(fn: => Unit): Double = {
-      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    val pool = Executors.newCachedThreadPool()
+
+    /** Run `fn` in a cancellable job group; seconds, or -1 on
+      * timeout/failure.
+      */
+    def guarded(name: String)(fn: => Unit): Double = {
+      val fut = pool.submit(new java.util.concurrent.Callable[Double] {
+        def call(): Double = {
+          // job group is thread-local: set it in the executing thread
+          spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+          val t0 = System.nanoTime()
+          fn
+          (System.nanoTime() - t0) / 1e9
+        }
+      })
+      try fut.get(TimeoutSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(s"bench-$name")
+          fut.cancel(true)
+          -1.0
+        case _: Throwable => -1.0
+      }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t =
-        try {
-          time(fn(spark, sfDir).count()) // warmup: codegen + JIT + footers
-          time(fn(spark, sfDir).count())
-        } catch { case _: Throwable => -1.0 }
-      name -> t
+      guarded(name)(fn(spark, sfDir).count()) // warmup: codegen + JIT + footers
+      name -> guarded(name)(fn(spark, sfDir).count())
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    pool.shutdownNow()
     spark.stop()
   }
 }

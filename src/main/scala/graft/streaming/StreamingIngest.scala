@@ -61,6 +61,21 @@ object StreamingIngest {
     q
   }
 
+  /** Streaming deduplication: drop re-deliveries of the same key
+    * within the watermark horizon — the streaming form of the
+    * reference's "same (label,type,date) re-delivered" story, with
+    * state bounded by the watermark instead of growing forever.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * count + sum(value) per (window, event_type). Late rows beyond the
     * watermark are dropped; state is bounded by watermark horizon ×

@@ -63,6 +63,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("* Project"), p)
   }
 
+  test("bucketed co-located join plans with zero shuffle exchanges") {
+    val t = Tables(spark, sf)
+    // a fresh JVM gets a fresh in-memory catalog but inherits the old
+    // warehouse dirs — drop both and remove orphan locations
+    Seq("graft_orders_b", "graft_customer_b").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$tbl")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    graft.operators.Bucketing.writeBucketed(
+      t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "graft_orders_b", "o_custkey", 8)
+    graft.operators.Bucketing.writeBucketed(
+      t.customer.select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "o_custkey"),
+      "graft_customer_b", "o_custkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = graft.operators.Bucketing.colocatedJoin(
+        spark, "graft_orders_b", "graft_customer_b", "o_custkey")
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      // same join on unbucketed frames DOES shuffle — the bucketing is
+      // what removed the exchanges
+      val unbucketed = t.orders.select("o_orderkey", "o_custkey")
+        .join(t.customer.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
+      assert(plan(unbucketed).contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join equals plain join and spreads the hot key") {
     val big = spark.range(0, 10000)
       .select(when(col("id") % 10 === 0, lit("HOT")).otherwise(concat(lit("k"), col("id"))).as("k"),

@@ -40,6 +40,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming dedup drops re-delivered keys within the watermark") {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val batch = Tables(spark, "/root/testdata/sf0.001").events.limit(200)
+    // duplicate every event (re-delivery) — stream must emit each once
+    batch.union(batch).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val deduped = StreamingIngest.dedupStream(stream, Seq("event_id"), "ts", "1 hour")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out")
+    assert(got.count() == 200)
+    assert(got.select("event_id").distinct().count() == 200)
+  }
+
   test("file-source ingestion with Trigger.AvailableNow lands batches through foreachBatch") {
     val root = Files.createTempDirectory("graft-stream2")
     val in = Files.createDirectories(root.resolve("landing"))
