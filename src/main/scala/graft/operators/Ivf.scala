@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a k-means coarse
+  * quantizer assigns every vector to its nearest centroid; search
+  * probes only the `nprobe` closest clusters and rescores exactly
+  * inside them. The standard beyond-LSH scale path (FAISS-style IVF
+  * flat, re-expressed on Spark):
+  *
+  *  - training: Lloyd's iterations as distributed assign (broadcast
+  *    centroids, mapPartitions kernel) + per-cluster mean (posexplode
+  *    → groupBy (cluster, dim) average — one shuffle of k×d cells);
+  *  - index: one `cluster_id` column on the corpus — at scale the
+  *    corpus is then REPARTITIONED/persisted by cluster_id, so a probe
+  *    reads only its clusters' partitions;
+  *  - search: per query, nearest `nprobe` centroids → exact cosine
+  *    over those clusters' members only (≈ nprobe/k of the corpus).
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def nearest(v: Array[Double], n: Int): Seq[Int] =
+      centroids.indices
+        .map(i => (dist2(centroids(i), v), i))
+        .sorted.take(n).map(_._2)
+  }
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def toVec(df: DataFrame, idCol: String, vecCol: String) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+  }
+
+  /** Lloyd's k-means. Init = the k vectors with smallest ids
+    * (deterministic); each iteration is one broadcast-assign pass and
+    * one (cluster, dim)-cell aggregation.
+    */
+  def train(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5
+  ): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = toVec(df, idCol, vecCol)
+    var centroids = data.orderBy(col(idCol)).take(k).map(_._2)
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = data.mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (_, v) =>
+          var best = 0; var bestD = Double.MaxValue; var i = 0
+          while (i < cs.length) {
+            val d = dist2(cs(i), v); if (d < bestD) { bestD = d; best = i }; i += 1
+          }
+          (best, v)
+        }
+      }
+      // per-cluster mean via (cluster, dim) cells — k×d aggregation
+      val means = assigned
+        .flatMap { case (c, v) => v.indices.map(i => (c, i, v(i))) }
+        .toDF("c", "i", "x")
+        .groupBy("c", "i")
+        .agg(avg("x").as("m"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(cells) =>
+            val arr = new Array[Double](centroids(c).length)
+            cells.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            arr
+          case None => centroids(c) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    Model(centroids)
+  }
+
+  /** Stamp each corpus row with its cluster. At scale, follow with
+    * `.repartition(col("cluster_id"))` + persist so probes are
+    * partition-local reads.
+    */
+  def index(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    toVec(df, idCol, vecCol).mapPartitions { rows =>
+      val cs = bc.value
+      rows.map { case (id, v) =>
+        var best = 0; var bestD = Double.MaxValue; var i = 0
+        while (i < cs.length) {
+          val d = dist2(cs(i), v); if (d < bestD) { bestD = d; best = i }; i += 1
+        }
+        (id, v, best)
+      }
+    }.toDF(idCol, vecCol, "cluster_id")
+  }
+
+  /** Probe search: top-k cosine among the members of each query's
+    * `nprobe` nearest clusters. Ranking/rounding matches the exact
+    * kernels: (rounded sim desc, id asc).
+    */
+  def search(
+      indexed: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Model,
+      k: Int,
+      nprobe: Int,
+      roundTo: Int = 4
+  ): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    // cluster -> members map, broadcast (at 100 TB scale this becomes
+    // a partition-pruned join on cluster_id instead of a broadcast)
+    val members = indexed
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"), col("cluster_id"))
+      .as[(Long, Array[Double], Int)]
+      .collect()
+      .groupBy(_._3)
+      .map { case (c, rows) =>
+        c -> rows.map { case (id, v, _) =>
+          var n = 0.0; var i = 0
+          while (i < v.length) { n += v(i) * v(i); i += 1 }
+          (id, v, math.sqrt(n))
+        }.sortBy(_._1)
+      }
+    val bcMembers = spark.sparkContext.broadcast(members)
+    val bcModel = spark.sparkContext.broadcast(model)
+    val scale = roundTo
+    toVec(queries, idCol, vecCol).mapPartitions { rows =>
+      val mem = bcMembers.value
+      val m = bcModel.value
+      rows.flatMap { case (qid, qv) =>
+        var nq = 0.0; var i = 0
+        while (i < qv.length) { nq += qv(i) * qv(i); i += 1 }
+        val nQ = math.sqrt(nq)
+        val scored = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+        m.nearest(qv, nprobe).foreach { c =>
+          mem.getOrElse(c, Array.empty).foreach { case (cid, cv, nC) =>
+            if (cid != qid) {
+              var dot = 0.0; var j = 0
+              while (j < qv.length) { dot += qv(j) * cv(j); j += 1 }
+              val sim = BigDecimal(dot / (nQ * nC))
+                .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+              scored += ((-sim, cid))
+            }
+          }
+        }
+        scored.sorted.take(k).zipWithIndex.map { case ((negSim, cid), idx) =>
+          (qid, cid, -negSim, idx + 1)
+        }
+      }
+    }.toDF("query_id", "corpus_id", "sim", "rank")
+  }
+}

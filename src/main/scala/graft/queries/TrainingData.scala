@@ -208,6 +208,25 @@ object TrainingData {
     }
   )
 
+  /** IVF ANN (k-means coarse quantizer + probe search) — the
+    * beyond-LSH scale path. Rows-only: the trained centroids depend on
+    * FP aggregation order, so exact bits vary run-to-run; recall and
+    * the nprobe=k exactness property are asserted in OperatorsSpec.
+    */
+  val ss03IvfAnn = Query(
+    "ss03_ivf_ann",
+    None,
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val model = graft.operators.Ivf.train(t.embeddings, "vec_id", "embedding", k = 16, iters = 3)
+      val indexed = graft.operators.Ivf.index(t.embeddings, "vec_id", "embedding", model)
+      graft.operators.Ivf
+        .search(indexed, t.embeddings.filter(col("vec_id") < 50), "vec_id", "embedding",
+          model, k = 3, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }
+  )
+
   // ── multimodal plumbing ──────────────────────────────────────────
   val mm01BinaryMeta = Query(
     "mm01_binary_meta",
@@ -400,7 +419,7 @@ object TrainingData {
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
-    dd04CosineDup, ss01CosineKnn, ss02LshAnn, mm01BinaryMeta, mm02MediaFeatures,
+    dd04CosineDup, ss01CosineKnn, ss02LshAnn, ss03IvfAnn, mm01BinaryMeta, mm02MediaFeatures,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
     st01Sessionize
   )

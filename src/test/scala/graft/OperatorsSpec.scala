@@ -172,6 +172,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == inputs.map(ref))
   }
 
+  test("IVF ANN: trained index + probe search beats LSH recall at a fraction of the scan") {
+    import graft.operators.Ivf
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 4)
+    assert(model.centroids.length == 8)
+    val indexed = Ivf.index(emb, "vec_id", "embedding", model)
+    // every row lands in exactly one cluster
+    assert(indexed.count() == emb.count())
+    assert(indexed.select("cluster_id").distinct().count() <= 8)
+    val brute = Similarity.bruteForceKnn(emb, emb, "vec_id", "embedding", k = 3)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.search(indexed, emb, "vec_id", "embedding", model, k = 3, nprobe = 4)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.count(brute).toDouble / brute.size
+    assert(recall > 0.5, s"IVF recall@3 = $recall")
+    // nprobe = all clusters -> exact equality with brute force
+    val full = Ivf.search(indexed, emb, "vec_id", "embedding", model, k = 3, nprobe = 8)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+  }
+
   test("approx_count_distinct sketch stays within rsd bounds of exact") {
     val events = Tables(spark, sf).events
     val approx = graft.queries.TrainingData.td07ApproxDistinct.build(spark, sf)
