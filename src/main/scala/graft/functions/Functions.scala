@@ -67,8 +67,10 @@ object Functions {
     */
   def filenameToken(file: Column, delimiter: String, index: Int): Column = {
     val base = regexp_replace(regexp_extract(file, "([^/]+)$", 1), "\\.[^.]*$", "")
-    // element_at is 1-based
-    element_at(split(base, java.util.regex.Pattern.quote(delimiter)), index + 1)
+    // try_element_at (1-based) returns null out of range — the Column
+    // analog of parseMetadata's None; plain element_at would THROW
+    // under Spark 4's ANSI mode
+    try_element_at(split(base, java.util.regex.Pattern.quote(delimiter)), lit(index + 1))
   }
 
   // ── T5: dataset-date parsing ──────────────────────────────────────

@@ -39,6 +39,8 @@ object Graph {
         .join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("id2"))
         .agg(min("component").as("nmin"))
+      // checkpoint ONCE: `next` and the changed-count both read the
+      // materialized result instead of re-running the propagation join
       val updated = labels
         .join(neighborMin, labels("id") === col("id2"), "left")
         .select(
@@ -46,9 +48,9 @@ object Graph {
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
           (col("nmin") < col("component")).as("changed")
         )
-      val next = updated.select(col("id"), col("component")).localCheckpoint()
+        .localCheckpoint()
       changed = updated.filter(col("changed")).count()
-      labels = next
+      labels = updated.select(col("id"), col("component"))
       iter += 1
     }
     labels

@@ -98,6 +98,9 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int = 1): DataFrame =
     media
       .withColumn("n_bytes", length(col("payload")).cast("long"))
+      // empty payloads yield zero frames — without the filter,
+      // sequence(0, -1) auto-negates its step and yields [0, -1]
+      .filter(col("n_bytes") > 0)
       .withColumn(
         "frame_idx",
         explode(sequence(lit(0), ceil(col("n_bytes") / frameBytes).cast("int") - 1))

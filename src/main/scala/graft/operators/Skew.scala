@@ -31,6 +31,11 @@ object Skew {
       salt: Int,
       joinType: String = "inner"
   ): DataFrame = {
+    // right/full outer would see each small-side replica as its own
+    // row: unmatched replicas surface as spurious null-padded output
+    require(
+      Set("inner", "left", "left_outer", "left_semi", "left_anti").contains(joinType),
+      s"saltedJoin supports big-side-preserving join types only, got '$joinType'")
     val spark = small.sparkSession
     val saltCol = "__graft_salt"
     val b = big.withColumn(saltCol, pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))

@@ -74,9 +74,17 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在")
   )
 
+  /** Marker match pattern, shared verbatim with the DuckDB oracle SQL
+    * (td05): ASCII words use \b boundaries; CJK markers match as bare
+    * literals — Java's \b is Unicode-aware but RE2's is ASCII-only,
+    * so a \b around a CJK char would diverge between engines.
+    */
+  def markerPattern(w: String): String =
+    if (w.forall(_ < 128)) s"\\b$w\\b" else w
+
   def langScore(text: Column, lang: String): Column =
     langMarkers(lang)
-      .map(w => regexp_count(lower(text), lit(s"\\b$w\\b")).cast("int"))
+      .map(w => regexp_count(lower(text), lit(markerPattern(w))).cast("int"))
       .reduce(_ + _)
 
   def langId(text: Column): Column = {

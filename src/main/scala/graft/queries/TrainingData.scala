@@ -93,7 +93,8 @@ object TrainingData {
       // CASE evaluates languages in ascending code order, which is the
       // same deterministic tiebreak the Scala argmax applies.
       def score(ws: Seq[String]) =
-        ws.map(w => s"LEN(regexp_extract_all(LOWER(text), '\\b$w\\b'))").mkString(" + ")
+        ws.map(w => s"LEN(regexp_extract_all(LOWER(text), '${TextAnalysis.markerPattern(w)}'))")
+          .mkString(" + ")
       val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
       val scores = langs.map(l => s"(${score(TextAnalysis.langMarkers(l))}) AS s_$l").mkString(",\n  ")
       val greatest = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"

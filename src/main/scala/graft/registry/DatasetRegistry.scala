@@ -86,22 +86,31 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
     newId
   }
 
-  /** Update one dataset's status; deactivates it unless the new status
-    * is Active (mirrors the status transitions of
-    * generic_import.py:307-311 marking datasets Empty/Failed).
+  /** Update one dataset's status ONLY — `isactive` is untouched,
+    * mirroring the reference's `update_dataset_empty_status`
+    * (generic_import.py:307-311), which is a status-column UPDATE.
+    * An Empty/Failed dataset that displaced a sibling at insert time
+    * therefore REMAINS the active version of its (label, type, date)
+    * — exactly the reference's registry state after a bad
+    * re-delivery. Explicit deactivation is [[deactivate]].
     */
   def setStatus(datasetid: Long, status: DatasetStatus): Unit = lock.synchronized {
+    overwrite(load().collect().toSeq.map { m =>
+      if (m.datasetid == datasetid) m.copy(datastatusid = status.id) else m
+    })
+  }
+
+  /** Explicitly deactivate a dataset, closing its SCD-2 window. */
+  def deactivate(datasetid: Long): Unit = lock.synchronized {
     val now = new Timestamp(System.currentTimeMillis())
-    val updated = load().collect().toSeq.map { m =>
+    overwrite(load().collect().toSeq.map { m =>
       if (m.datasetid == datasetid)
         m.copy(
-          datastatusid = status.id,
-          isactive = status == DatasetStatus.Active,
-          effthrudate = if (status == DatasetStatus.Active) None else Some(now)
-        )
+          isactive = false,
+          datastatusid = DatasetStatus.Inactive.id,
+          effthrudate = Some(now))
       else m
-    }
-    overwrite(updated)
+    })
   }
 
   /** All currently-active dataset rows (Q-pattern: `isactive AND ...`

@@ -59,7 +59,11 @@ object Sessionize {
             toTs(s.startMicros), toTs(s.lastMicros))
           st = SessionState(s.sessionNum + 1, m, m, 1L)
         case s =>
-          st = s.copy(lastMicros = m, nEvents = s.nEvents + 1)
+          // a late cross-batch event (m < lastMicros) joins the open
+          // session but must NOT regress its end — otherwise the next
+          // on-time event measures its gap against the regressed value
+          // and splits a session the batch computation keeps together
+          st = s.copy(lastMicros = math.max(s.lastMicros, m), nEvents = s.nEvents + 1)
       }
     }
     if (st != null) state.update(st)

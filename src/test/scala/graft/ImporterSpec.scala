@@ -155,7 +155,11 @@ class ImporterSpec extends SparkSpec {
     assert(r2.files.head.status == DatasetStatus.Empty)
     val empties = reg.load().collect().filter(_.datastatusid == DatasetStatus.Empty.id)
     assert(empties.length == 2)
-    assert(empties.forall(!_.isactive))
+    // reference parity: the Empty dataset remains the active version of
+    // its (label, type, date) — the bad re-delivery displaced any prior
+    // sibling at insert time, and update_dataset_empty_status does not
+    // flip isactive (generic_import.py:307-311)
+    assert(empties.forall(_.isactive))
   }
 
   test("F2 variant evolution + COALESCE-over-variants analytics read") {

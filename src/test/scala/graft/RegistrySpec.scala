@@ -47,11 +47,20 @@ class RegistrySpec extends SparkSpec {
     assert(reg.active().count() == 3)
   }
 
-  test("setStatus Empty deactivates; latestActiveDate ignores inactive") {
+  test("setStatus changes status ONLY (reference parity: Empty datasets stay active)") {
     val reg = freshRegistry()
     val id1 = reg.insert(d, "A", 1, 1)
     val id2 = reg.insert(Date.valueOf("2025-04-03"), "A", 1, 1)
     reg.setStatus(id2, DatasetStatus.Empty)
+    // update_dataset_empty_status (generic_import.py:307-311) is a
+    // status-column UPDATE; isactive is untouched
+    val rows = reg.load().collect().map(r => r.datasetid -> r).toMap
+    assert(rows(id2).datastatusid == DatasetStatus.Empty.id && rows(id2).isactive)
+    assert(reg.latestActiveDate(1).contains(Date.valueOf("2025-04-03")))
+    // explicit deactivation closes the SCD-2 window
+    reg.deactivate(id2)
+    val after = reg.load().collect().map(r => r.datasetid -> r).toMap
+    assert(!after(id2).isactive && after(id2).effthrudate.isDefined)
     assert(reg.latestActiveDate(1).contains(d))
     assert(reg.activeIds(1, d) == Seq(id1))
   }
