@@ -12,6 +12,31 @@ import org.apache.spark.sql.SparkSession
   * (`spark.sql.adaptive.coalescePartitions.enabled`).
   */
 object Sessions {
+
+  /** Builder pre-configured for a real cluster run against ~100 TB.
+    * No `master` — spark-submit supplies it. Differences from the
+    * local harness are the knobs that only matter at scale:
+    * AQE coalescing + skew-join splitting sized by
+    * `advisoryPartitionSizeInBytes`, CBO fed by `ANALYZE TABLE`
+    * (ops.Maintenance.analyze), dynamic partition pruning for the
+    * registry→fact semi-joins, and 128 MB scan partitions.
+    */
+  def clusterBuilder(app: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(app)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (128 * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", "2000") // AQE coalesces down
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
   def local(cores: Int = 32, app: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()

@@ -125,12 +125,20 @@ object Similarity {
         var na = 0.0; var i = 0
         while (i < va.length) { na += va(i) * va(i); i += 1 }
         val nA = math.sqrt(na)
+        // primitive-math prefilter: HALF_UP(x, s) >= t iff
+        // x >= t - 0.5*10^-s, so only near/above-threshold pairs pay
+        // the BigDecimal rounding (2M allocations otherwise)
+        val rawCut = threshold - 0.5 * math.pow(10, -scale) - 1e-12
         m.iterator.filter(_._1 > idA).flatMap { case (idB, vb, nB) =>
           var dot = 0.0; var j = 0
           while (j < va.length) { dot += va(j) * vb(j); j += 1 }
-          val sim = BigDecimal(dot / (nA * nB))
-            .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (sim >= threshold) Some((idA, idB, sim)) else None
+          val raw = dot / (nA * nB)
+          if (raw < rawCut) None
+          else {
+            val sim = BigDecimal(raw)
+              .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (sim >= threshold) Some((idA, idB, sim)) else None
+          }
         }
       }
     }.toDF("id_a", "id_b", "sim")
