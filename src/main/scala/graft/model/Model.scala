@@ -162,6 +162,46 @@ final case class LogEntry(
     elapsedSec: Double
 )
 
+/** Scheduled-task row, mirroring `dba.tscheduler` (reference:
+  * onboarding/sql/create_tscheduler.sql:1-12). The reference renders
+  * these rows into /etc/cron.d entries (jobscripts/update_cron_jobs
+  * .py:13-33); here the validated config is the engine's scheduling
+  * API surface (execution belongs to whatever scheduler hosts the
+  * jobs — cron, Airflow, a streaming trigger).
+  */
+final case class ScheduledTask(
+    schedulerId: Int,
+    taskName: String,
+    taskDescription: Option[String],
+    frequency: String, // 5-field cron expression
+    scriptPath: String,
+    scriptArgs: Option[String],
+    isActive: Boolean
+)
+
+object ScheduledTask {
+  private val fieldRe = "^[0-9*,/\\-]+$".r
+
+  /** Minimal cron validation: 5 fields, each from the cron charset —
+    * enough to reject the malformed rows the reference's renderer
+    * would happily write into /etc/cron.d.
+    */
+  def validated(t: ScheduledTask): Either[List[String], ScheduledTask] = {
+    val errs = List.newBuilder[String]
+    val fields = t.frequency.trim.split("\\s+")
+    if (fields.length != 5)
+      errs += s"frequency '${t.frequency}' must have 5 cron fields, got ${fields.length}"
+    else
+      fields.zip(Seq("minute", "hour", "dom", "month", "dow")).foreach { case (f, n) =>
+        if (fieldRe.findFirstIn(f).isEmpty) errs += s"cron $n field '$f' is invalid"
+      }
+    if (t.taskName.trim.isEmpty) errs += "taskname must be non-empty"
+    if (t.scriptPath.trim.isEmpty) errs += "scriptpath must be non-empty"
+    val e = errs.result()
+    if (e.isEmpty) Right(t) else Left(e)
+  }
+}
+
 /** Report configuration, mirroring `dba.treportmanager` (reference:
   * onboarding/sql/create_treportmanager.sql:6-20): an HTML template
   * with `{{placeholder}}` slots filled by query grids, plus named CSV

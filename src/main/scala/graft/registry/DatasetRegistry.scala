@@ -118,6 +118,16 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
     */
   def active(): Dataset[DatasetMeta] = load().filter(_.isactive)
 
+  /** Full SCD-2 version history for one (label, type) — every version
+    * ever registered, in effective order, with its window and status.
+    */
+  def history(label: String, datasettypeid: Int): Seq[DatasetMeta] =
+    load()
+      .filter(m => m.label == label && m.datasettypeid == datasettypeid)
+      .collect()
+      .sortBy(m => (m.datasetdate.getTime, m.efffromdate.getTime))
+      .toSeq
+
   /** Latest active dataset date for a type — the reference's
     * `MAX(datasetdate)` scalar CTE (meetmax_url_download.py:52-58).
     */

@@ -56,7 +56,18 @@ object PipelineDemo {
     val rep = Maintenance.compact(spark, frag)
     println(s"[demo] compaction: ${rep.filesBefore} -> ${rep.filesAfter} files, rows ${rep.rows}")
 
-    // 4. flush ops tables
+    // 4. backup + retention (daily_backup.sh analog)
+    graft.ops.Backup.backup(spark, frag, s"$root/backups", "20260811")
+    graft.ops.Backup.backup(spark, frag, s"$root/backups", "20260812")
+    graft.ops.Backup.prune(spark, s"$root/backups", "frag", keep = 1)
+    println(s"[demo] backup stamps after prune(keep=1): " +
+      graft.ops.Backup.stamps(spark, s"$root/backups", "frag").mkString(","))
+    println(s"[demo] restored row count: " + {
+      graft.ops.Backup.restore(spark, s"$root/backups/frag/20260812", frag)
+      spark.read.parquet(frag).count()
+    })
+
+    // 5. flush ops tables
     logger.flush(); metrics.flush(); metrics.stop()
     println(s"[demo] log rows: ${spark.read.parquet(s"$root/logs").count()}, " +
       s"metric snapshots: ${spark.read.parquet(s"$root/stats").count()}, " +
