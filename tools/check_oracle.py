@@ -12,10 +12,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
+    # exact compare by default: every catalog query is engineered to be
+    # bit-identical to its oracle (decimal-cast sums, shared rounding
+    # semantics). NaN normalization only.
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
     return v
 
 
