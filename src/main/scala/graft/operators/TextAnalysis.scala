@@ -74,6 +74,15 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在")
   )
 
+  /** Dedup-canonical text: lowercase, strip punctuation/symbols,
+    * collapse runs of whitespace, trim — the standard normalization
+    * applied before exact/near-dup hashing in pre-training pipelines,
+    * so trivially-different copies ("Hello,  World!" vs "hello world")
+    * land in the same dup group.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Marker match pattern, shared verbatim with the DuckDB oracle SQL
     * (td05): ASCII words use \b boundaries; CJK markers match as bare
     * literals — Java's \b is Unicode-aware but RE2's is ASCII-only,

@@ -377,6 +377,26 @@ object TrainingData {
     }
   )
 
+  /** Dedup-canonical normalization + fingerprint of the normalized
+    * form — trivially-different copies collapse to one hash.
+    */
+  val td08NormalizedFp = Query(
+    "td08_normalized_fp",
+    Some("""SELECT doc_id,
+            |  TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+            |                      '\s+', ' ', 'g')) AS norm_text,
+            |  MD5(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+            |                          '\s+', ' ', 'g'))) AS norm_fp
+            |FROM documents ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val norm = TextAnalysis.normalizeForDedup(col("text"))
+      t.documents
+        .select(col("doc_id"), norm.as("norm_text"), md5(norm).as("norm_fp"))
+        .orderBy("doc_id")
+    }
+  )
+
   /** Batch sessionization — lag + cumulative-sum windows (the
     * window-function form of the stateful streaming operator in
     * `streaming.Sessionize`; SessionizeSpec asserts agreement).
@@ -422,6 +442,6 @@ object TrainingData {
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
     dd04CosineDup, ss01CosineKnn, ss02LshAnn, ss03IvfAnn, mm01BinaryMeta, mm02MediaFeatures,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
-    st01Sessionize
+    st01Sessionize, td08NormalizedFp
   )
 }
