@@ -159,7 +159,37 @@ object Extras {
     }
   )
 
+  /** Backward as-of join — last click before each purchase per user
+    * (attribution shape; the reference's correlated business-day
+    * lookup generalized). Oracle = DuckDB's native ASOF LEFT JOIN;
+    * our composed union-sort-window implementation must match it
+    * row for row.
+    */
+  val x06AsOf = Query(
+    "x06_asof_join",
+    Some("""WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+            |c AS (SELECT user_id, ts AS click_ts, value AS click_value FROM events WHERE event_type = 'click')
+            |SELECT p.user_id, p.ts, p.event_id, p.value,
+            |  c.click_ts AS asof_click_ts, c.click_value
+            |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts
+            |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val ev = t.events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.operators.AsOf
+        .joinBackward(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+          rightCols = Seq("click_value"))
+        .withColumnRenamed("asof_click_ts", "asof_click_ts")
+        .orderBy("user_id", "ts", "event_id")
+    }
+  )
+
   val all: Seq[Query] = Seq(
-    x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter, dd05DedupGroups
+    x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
+    x06AsOf, dd05DedupGroups
   )
 }
