@@ -397,6 +397,39 @@ object TrainingData {
     }
   )
 
+  /** Token repetition ratio (Gopher/RefinedWeb-style quality filter):
+    * 1 - distinct/total tokens; high values flag boilerplate/spam.
+    */
+  val td09Repetition = Query(
+    "td09_repetition",
+    Some("""WITH w AS (SELECT doc_id,
+            |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+            |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks
+            |FROM documents)
+            |SELECT doc_id, CAST(LEN(toks) AS INT) AS n_tokens,
+            |  CAST(LEN(list_distinct(toks)) AS INT) AS n_distinct,
+            |  CASE WHEN LEN(toks) > 0
+            |    THEN 1.0 - CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks)
+            |    ELSE 0.0 END AS repetition_ratio
+            |FROM w ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      t.documents
+        .select(col("doc_id"), toks.as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("int").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("int").as("n_distinct"),
+          when(size(col("toks")) > 0,
+            lit(1.0) - size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+            .otherwise(lit(0.0)).as("repetition_ratio")
+        )
+        .orderBy("doc_id")
+    }
+  )
+
   /** Batch sessionization — lag + cumulative-sum windows (the
     * window-function form of the stateful streaming operator in
     * `streaming.Sessionize`; SessionizeSpec asserts agreement).
@@ -442,6 +475,6 @@ object TrainingData {
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
     dd04CosineDup, ss01CosineKnn, ss02LshAnn, ss03IvfAnn, mm01BinaryMeta, mm02MediaFeatures,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
-    st01Sessionize, td08NormalizedFp
+    st01Sessionize, td08NormalizedFp, td09Repetition
   )
 }

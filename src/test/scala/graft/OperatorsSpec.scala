@@ -157,6 +157,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3) == ((2, 7)))
   }
 
+  test("GraftExtensions exposes rolling_hash64 to pure-SQL sessions") {
+    // getOrCreate() returns the suite's shared session and silently
+    // drops builder-time extensions — clear active/default so a NEW
+    // SparkSession (same SparkContext) is constructed with them
+    val S = org.apache.spark.sql.SparkSession
+    val prior = spark
+    S.clearActiveSession(); S.clearDefaultSession()
+    try {
+      val ext = S.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val got = ext.sql("SELECT rolling_hash64('hello world') AS h").head().getLong(0)
+      var h = 1469598103934665603L
+      "hello world".getBytes("UTF-8").foreach(b => h = h * 1000003L + (b & 0xffL))
+      assert(got == h)
+    } finally {
+      S.setActiveSession(prior); S.setDefaultSession(prior)
+    }
+  }
+
   test("rolling_hash64 matches the scala reference implementation and runs under codegen") {
     RollingHash64.register(spark)
     def ref(s: String): Long = {
