@@ -119,6 +119,43 @@ object Maintenance {
     CompactionReport(before, after, rows)
   }
 
+  /** Z-order clustered rewrite: sort by the Morton code of two
+    * (rank-normalized) columns before writing, so every output file
+    * covers a tight range of BOTH — point/range predicates on either
+    * column then skip most files via parquet min/max. Rank
+    * normalization (percent_rank → 32-bit buckets) makes the
+    * interleave robust to skewed value distributions.
+    */
+  def zorderWrite(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      maxRecordsPerFile: Long = 0
+  ): Unit = {
+    graft.functions.InterleaveBits.register(df.sparkSession)
+    // min/max scaling to 32-bit keys: one tiny aggregate, no global
+    // window — fully distributed. (Skew-robust upgrade: approxQuantile
+    // bucket boundaries instead of linear scaling.)
+    val mm = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    def scale(c: String, lo: Double, hi: Double) =
+      if (hi > lo)
+        ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(Int.MaxValue.toDouble))
+          .cast("int")
+      else lit(0)
+    val keyed = df
+      .withColumn("__za", scale(colA, mm.getDouble(0), mm.getDouble(1)))
+      .withColumn("__zb", scale(colB, mm.getDouble(2), mm.getDouble(3)))
+      .withColumn("__z", graft.functions.InterleaveBits(col("__za"), col("__zb")))
+      .orderBy("__z") // range-partitioned global sort — scales
+      .drop("__za", "__zb", "__z")
+    val w = keyed.write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .parquet(path)
+  }
+
   /** Compute table + column stats for the CBO over a registered table. */
   def analyze(spark: SparkSession, table: String, columns: Seq[String] = Nil): Unit = {
     val forCols =
