@@ -33,8 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "_FUNC_(str) - 64-bit polynomial rolling hash of str's UTF-8 bytes.",
           ""
         ),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(exprs.length == 1,
+            s"rolling_hash64 expects exactly 1 argument, got ${exprs.length}")
           RollingHash64(exprs.head)
+        }
       )
     )
   }

@@ -60,7 +60,12 @@ object InterleaveBits {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => InterleaveBits(exprs.head, exprs(1)), "built-in")
+      name,
+      exprs => {
+        require(exprs.length == 2, s"$name expects exactly 2 arguments, got ${exprs.length}")
+        InterleaveBits(exprs.head, exprs(1))
+      },
+      "built-in")
 
   def apply(a: Column, b: Column): Column = call_function(name, a, b)
 }

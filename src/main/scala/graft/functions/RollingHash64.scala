@@ -66,7 +66,10 @@ object RollingHash64 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
-      exprs => RollingHash64(exprs.head),
+      exprs => {
+        require(exprs.length == 1, s"$name expects exactly 1 argument, got ${exprs.length}")
+        RollingHash64(exprs.head)
+      },
       "built-in"
     )
 

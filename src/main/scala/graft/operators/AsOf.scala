@@ -68,13 +68,21 @@ object AsOf {
       ) ++ leftCols.filterNot(on.contains).map(col): _*
     )
 
+    // payload as the final sort key: deterministic pick when several
+    // right rows share (key, time) — without it, last() grabs
+    // whichever row the partition sort happened to place later
     val w = Window
       .partitionBy(on.map(col): _*)
-      .orderBy(col(t).asc, col(side).asc)
+      .orderBy(col(t).asc, col(side).asc, col(payload).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
+    val anyKeyNull = on.map(col(_).isNull).reduce(_ || _)
     val matched = taggedRight
       .unionByName(taggedLeft)
       .withColumn("__asof_match", last(col(payload), ignoreNulls = true).over(w))
+      // SQL equi-join semantics: NULL keys never match — the window
+      // partitioner groups null keys together (GROUP BY semantics), so
+      // void any match picked up inside the null-key partition
+      .withColumn("__asof_match", when(anyKeyNull, lit(null)).otherwise(col("__asof_match")))
       .filter(col(side) === 1)
 
     val withinTol = tolerance match {

@@ -17,26 +17,35 @@ object Backup {
 
   /** Copy `tablePath` to `backupRoot/<name>/<stamp>`; returns the
     * backup path. `stamp` is caller-supplied (the reference uses
-    * `yyyyMMdd`) so backups are reproducible and testable.
+    * `yyyyMMdd`) so backups are reproducible and testable. Source and
+    * destination resolve their own FileSystems, so hdfs→s3a backups
+    * work.
     */
   def backup(spark: SparkSession, tablePath: String, backupRoot: String, stamp: String): String = {
     val src = new Path(tablePath)
-    val name = src.getName
-    val dst = new Path(s"$backupRoot/$name/$stamp")
-    val f = fs(spark, backupRoot)
-    if (f.exists(dst)) f.delete(dst, true)
-    f.mkdirs(dst.getParent)
-    FileUtil.copy(f, src, f, dst, false, spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(s"$backupRoot/${src.getName}/$stamp")
+    val srcFs = fs(spark, tablePath)
+    val dstFs = fs(spark, backupRoot)
+    if (dstFs.exists(dst)) dstFs.delete(dst, true)
+    dstFs.mkdirs(dst.getParent)
+    FileUtil.copy(srcFs, src, dstFs, dst, false, spark.sparkContext.hadoopConfiguration)
     dst.toString
   }
 
-  /** Restore a stamped backup over the live table path. */
+  /** Restore a stamped backup over the live table path. The backup is
+    * copied to a staging path FIRST and swapped in only after the copy
+    * succeeds — a failed copy must never destroy the live table.
+    */
   def restore(spark: SparkSession, backupPath: String, tablePath: String): Unit = {
-    val f = fs(spark, tablePath)
-    val dst = new Path(tablePath)
-    if (f.exists(dst)) f.delete(dst, true)
-    FileUtil.copy(f, new Path(backupPath), f, dst, false,
+    val dstFs = fs(spark, tablePath)
+    val srcFs = fs(spark, backupPath)
+    val staged = new Path(tablePath + ".restore")
+    if (dstFs.exists(staged)) dstFs.delete(staged, true)
+    FileUtil.copy(srcFs, new Path(backupPath), dstFs, staged, false,
       spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(tablePath)
+    if (dstFs.exists(dst)) dstFs.delete(dst, true)
+    dstFs.rename(staged, dst)
   }
 
   /** List stamps for a table's backups, newest first. */

@@ -120,11 +120,14 @@ object Maintenance {
   }
 
   /** Z-order clustered rewrite: sort by the Morton code of two
-    * (rank-normalized) columns before writing, so every output file
+    * min/max-scaled columns before writing, so every output file
     * covers a tight range of BOTH — point/range predicates on either
-    * column then skip most files via parquet min/max. Rank
-    * normalization (percent_rank → 32-bit buckets) makes the
-    * interleave robust to skewed value distributions.
+    * column then skip most files via parquet min/max. Linear scaling
+    * is distribution-sensitive; for heavy-tailed columns, upgrade the
+    * key derivation to approxQuantile bucket boundaries.
+    *
+    * In-place rewrites (`path` also being the input) are supported via
+    * the same tmp-path + rename swap the sibling maintenance ops use.
     */
   def zorderWrite(
       df: DataFrame,
@@ -135,25 +138,34 @@ object Maintenance {
   ): Unit = {
     graft.functions.InterleaveBits.register(df.sparkSession)
     // min/max scaling to 32-bit keys: one tiny aggregate, no global
-    // window — fully distributed. (Skew-robust upgrade: approxQuantile
-    // bucket boundaries instead of linear scaling.)
+    // window — fully distributed
     val mm = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    def bound(i: Int, dflt: Double) = if (mm.isNullAt(i)) dflt else mm.getDouble(i)
     def scale(c: String, lo: Double, hi: Double) =
       if (hi > lo)
         ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(Int.MaxValue.toDouble))
           .cast("int")
       else lit(0)
+    // empty input / all-null column → no usable bounds; sort key
+    // degenerates to a constant and the (possibly empty) data still
+    // writes instead of NPE-ing a maintenance job
     val keyed = df
-      .withColumn("__za", scale(colA, mm.getDouble(0), mm.getDouble(1)))
-      .withColumn("__zb", scale(colB, mm.getDouble(2), mm.getDouble(3)))
-      .withColumn("__z", graft.functions.InterleaveBits(col("__za"), col("__zb")))
+      .withColumn("__za", scale(colA, bound(0, 0.0), bound(1, 0.0)))
+      .withColumn("__zb", scale(colB, bound(2, 0.0), bound(3, 0.0)))
+      .withColumn("__z", graft.functions.InterleaveBits(
+        coalesce(col("__za"), lit(0)), coalesce(col("__zb"), lit(0))))
       .orderBy("__z") // range-partitioned global sort — scales
       .drop("__za", "__zb", "__z")
+    val tmp = path + ".zorder"
     val w = keyed.write.mode(SaveMode.Overwrite)
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
-      .parquet(path)
+      .parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
   }
 
   /** Compute table + column stats for the CBO over a registered table. */

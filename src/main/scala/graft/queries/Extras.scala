@@ -167,8 +167,12 @@ object Extras {
     */
   val x06AsOf = Query(
     "x06_asof_join",
+    // clicks are pre-deduped per (user, ts): both engines make an
+    // arbitrary pick among exact-duplicate timestamps, so the oracle's
+    // exact compare needs the tie removed at the source
     Some("""WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
-            |c AS (SELECT user_id, ts AS click_ts, value AS click_value FROM events WHERE event_type = 'click')
+            |c AS (SELECT user_id, ts AS click_ts, MAX(value) AS click_value
+            |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
             |SELECT p.user_id, p.ts, p.event_id, p.value,
             |  c.click_ts AS asof_click_ts, c.click_value
             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts
@@ -179,11 +183,11 @@ object Extras {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("user_id", "ts", "event_id", "value")
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max("value").as("click_value"))
       graft.operators.AsOf
         .joinBackward(purchases, clicks, Seq("user_id"), "ts", "click_ts",
           rightCols = Seq("click_value"))
-        .withColumnRenamed("asof_click_ts", "asof_click_ts")
         .orderBy("user_id", "ts", "event_id")
     }
   )

@@ -78,8 +78,16 @@ object PipelineDemo {
       rec.start()
       try {
         spark.read.parquet(p).filter(col("a").between(10, 30) && col("b").between(10, 30)).count()
-        val deadline = System.currentTimeMillis() + 10000
-        while (rec.totalBytesRead == 0 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        // wait for a stable (not merely nonzero) counter: delivery is
+        // async and incremental
+        val deadline = System.currentTimeMillis() + 15000
+        var last = -1L; var stable = 0
+        while (stable < 3 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(150)
+          val cur = rec.totalBytesRead
+          if (cur > 0 && cur == last) stable += 1 else stable = 0
+          last = cur
+        }
       } finally rec.stop()
       rec.totalBytesRead
     }

@@ -80,9 +80,18 @@ class ReportOpsSpec extends SparkSpec {
       try {
         spark.read.parquet(path)
           .filter(col("a").between(10, 30) && col("b").between(10, 30)).count()
-        val deadline = System.currentTimeMillis() + 10000
-        while (rec.totalBytesRead == 0 && System.currentTimeMillis() < deadline)
-          Thread.sleep(100)
+        // listener delivery is async AND incremental: wait until the
+        // counter is nonzero and stable, not just first-nonzero —
+        // stopping early undercounts whichever scan we poll less
+        val deadline = System.currentTimeMillis() + 15000
+        var last = -1L
+        var stable = 0
+        while (stable < 3 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(150)
+          val cur = rec.totalBytesRead
+          if (cur > 0 && cur == last) stable += 1 else stable = 0
+          last = cur
+        }
       } finally rec.stop()
       rec.totalBytesRead
     }
