@@ -19,16 +19,58 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** @param edges two columns (src, dst); direction ignored.
+    * @param smallGraphEdges below this edge count the closure runs as
+    *        a driver-side union–find (near-dup candidate graphs are
+    *        control-plane sized after LSH/thresholding — a distributed
+    *        loop there is all fixed overhead); above it, the
+    *        distributed propagation loop runs.
     * @return (id, component) — component = min node id reachable.
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    // materialize the symmetric edge list once — every propagation
-    // round joins against it, and without the checkpoint each round
-    // would recompute the (possibly expensive) upstream pair pipeline
+  def connectedComponents(
+      edges: DataFrame,
+      maxIters: Int = 20,
+      smallGraphEdges: Long = 1000000L
+  ): DataFrame = {
+    // materialize the (possibly expensive) upstream pair pipeline ONCE
+    // — the size probe and whichever path runs both read the result
+    val mat = edges.select(col("src"), col("dst")).localCheckpoint()
+    val edgeCount = mat.count()
+    if (edgeCount <= smallGraphEdges) unionFindLocal(mat)
+    else distributedCC(mat, maxIters)
+  }
+
+  /** Driver-side union–find with path compression over a collected
+    * edge list; component label = min member id (same contract as the
+    * distributed path).
+    */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    spark.createDataset(rows).toDF("id", "component")
+  }
+
+  private def distributedCC(edges: DataFrame, maxIters: Int): DataFrame = {
+    // edges arrive pre-materialized from connectedComponents; the
+    // symmetric doubling is cheap to recompute per round
     val sym = edges
       .select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
-      .localCheckpoint()
     val nodes = sym.select(col("a").as("id")).distinct()
     var labels = nodes.withColumn("component", col("id")).localCheckpoint()
     var changed = 1L
