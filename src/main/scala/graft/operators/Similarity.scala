@@ -196,19 +196,31 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: bit j = sign(dot(v, r_j)) where r_j
-    * is a deterministic pseudo-random ±1 hyperplane derived from
-    * xxhash64(seed, j, i). Per-row compute only.
+    * is a deterministic pseudo-random ±1 hyperplane. The hyperplanes
+    * depend only on (seed, bit, dim) — they are precomputed
+    * driver-side into literal ±1 arrays, so the per-row work is
+    * `bits` fused multiply-fold passes with no hashing.
+    *
+    * `dim` bounds the hyperplane length; vectors longer than `dim`
+    * ignore the tail (pass the true dimension).
     */
-  def hyperplaneSignature(vec: Column, bits: Int, seed: Int = 0): Column = {
+  def hyperplaneSignature(vec: Column, bits: Int, seed: Int = 0, dim: Int = 64): Column = {
     val v = asDouble(vec)
-    val dims = size(v)
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
     val bitCols = (0 until bits).map { j =>
+      val signs = array((0 until dim).map { i =>
+        lit(if (mix(seed.toLong << 40 | j.toLong << 20 | i.toLong) % 2 == 0) 1.0 else -1.0)
+      }: _*)
+      // coalesce: zip_with null-pads when vector length != dim; the
+      // unmatched tail contributes 0 to the dot product
       val s = aggregate(
-        zip_with(v, sequence(lit(0), dims - 1),
-          (x, i) => when(pmod(xxhash64(lit(seed), lit(j), i), lit(2)) === 0, x).otherwise(-x)),
-        lit(0.0d),
-        (acc, x) => acc + x
-      )
+        zip_with(v, signs, (x, sg) => coalesce(x * sg, lit(0.0d))),
+        lit(0.0d), (acc, x) => acc + x)
       when(s >= 0, call_function("shiftleft", lit(1L), lit(j))).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
