@@ -198,6 +198,29 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  // ── winnowing ─────────────────────────────────────────────────────
+  /** Winnowing fingerprints (the MOSS document-fingerprint scheme):
+    * the minimum k-gram hash in every window of `w` consecutive
+    * k-grams, deduplicated. Guarantees any shared substring of length
+    * ≥ w+k-1 words produces at least one shared fingerprint, at ~1/w
+    * the storage of full shingling — the partial-overlap detector
+    * exact Jaccard and MinHash (whole-document measures) don't give.
+    *
+    * Window minima come from w shifted copies zipped with `least` —
+    * the same linear-work pattern as [[shinglesFromWords]], NOT
+    * slice-inside-lambda.
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val hashes = transform(wordShingles(text, k), s => xxhash64(s))
+    val n = size(hashes)
+    val shifted = (1 until w).map(i => slice(hashes, lit(i + 1), n))
+    val mins = shifted.foldLeft(hashes)((acc, s) => zip_with(acc, s, (a, b) => least(a, b)))
+    array_distinct(
+      when(n >= w, slice(mins, lit(1), n - w + 1))
+        .otherwise(when(n > 0, array(array_min(hashes))).otherwise(array().cast("array<bigint>")))
+    )
+  }
+
   // ── SimHash ───────────────────────────────────────────────────────
   /** 64-bit SimHash over whitespace tokens: per-bit vote sum of token
     * hashes, sign → bit. One HOF fold per row, zero shuffle. Near-dups

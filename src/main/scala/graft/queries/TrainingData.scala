@@ -177,6 +177,22 @@ object TrainingData {
     }
   )
 
+  /** Winnowing fingerprints (MOSS scheme) — rows-only: the window-min
+    * selection has no DuckDB builtin; the shared-substring guarantee
+    * and selectivity are asserted in OperatorsSpec.
+    */
+  val dd06Winnow = Query(
+    "dd06_winnow_fingerprints",
+    None,
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("doc_id"),
+          explode(Dedup.winnowFingerprints(col("text"), k = 3, w = 4)).as("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    }
+  )
+
   // ── similarity search ────────────────────────────────────────────
   val ss01CosineKnn = Query(
     "ss01_cosine_knn",
@@ -473,7 +489,8 @@ object TrainingData {
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
-    dd04CosineDup, ss01CosineKnn, ss02LshAnn, ss03IvfAnn, mm01BinaryMeta, mm02MediaFeatures,
+    dd04CosineDup, dd06Winnow, ss01CosineKnn, ss02LshAnn, ss03IvfAnn,
+    mm01BinaryMeta, mm02MediaFeatures,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
     st01Sessionize, td08NormalizedFp, td09Repetition
   )

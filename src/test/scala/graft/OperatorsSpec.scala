@@ -84,6 +84,27 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(m(1L), m(3L)) > 12, s"unrelated hamming ${ham(m(1L), m(3L))}")
   }
 
+  test("winnowing: shared long substring guarantees a shared fingerprint; storage shrinks") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"unique lead-in words here $shared and a different tail entirely"),
+      (2L, s"totally other beginning text $shared with another distinct ending"),
+      (3L, "no overlap with the others at all in any words whatsoever")
+    ).toDF("id", "t")
+    val fps = df
+      .select(col("id"), Dedup.winnowFingerprints(col("t"), k = 3, w = 4).as("fp"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .toMap
+    // guarantee: overlap of >= w+k-1 = 6 words shares >= 1 fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // selective: fewer fingerprints than full shingles
+    val shingleCount = df.filter(col("id") === 1)
+      .select(size(Dedup.wordShingles(col("t"), 3))).head().getInt(0)
+    assert(fps(1L).size < shingleCount)
+  }
+
   // ── similarity ────────────────────────────────────────────────────
   test("brute-force knn is symmetric-sane and deterministic") {
     val knn = Similarity
