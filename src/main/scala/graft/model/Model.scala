@@ -218,3 +218,49 @@ final case class ReportConfig(
     isActive: Boolean
 )
 final case class AttachmentQuery(name: String, query: String)
+
+object ReportConfig {
+
+  /** Parse the reference's JSONB column shapes (Q30;
+    * create_treportmanager.sql:31-33):
+    *   - emailbodyqueries: `{"placeholder": "SELECT ..."}`
+    *   - attachmentqueries: `[{"name": "f.csv", "query": "SELECT ..."}]`
+    * json4s ships with Spark, so config rows stored as JSON strings
+    * parse without extra dependencies.
+    */
+  def parseBodyQueries(json: String): Either[String, Map[String, String]] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(json) match {
+        case JObject(fields) =>
+          val pairs = fields.collect { case (k, JString(v)) => k -> v }
+          if (pairs.length == fields.length) Right(pairs.toMap)
+          else Left("emailbodyqueries values must all be strings")
+        case _ => Left("emailbodyqueries must be a JSON object")
+      }
+    } catch { case e: Exception => Left(s"invalid JSON: ${e.getMessage}") }
+
+  def parseAttachmentQueries(json: String): Either[String, Seq[AttachmentQuery]] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(json) match {
+        case JArray(items) =>
+          val parsed = items.map {
+            case JObject(fs) =>
+              val m = fs.collect { case (k, JString(v)) => k -> v }.toMap
+              for {
+                n <- m.get("name").toRight("attachment entry missing 'name'")
+                q <- m.get("query").toRight("attachment entry missing 'query'")
+              } yield AttachmentQuery(n, q)
+            case _ => Left("attachment entries must be objects")
+          }
+          parsed.collectFirst { case Left(e) => e } match {
+            case Some(e) => Left(e)
+            case None    => Right(parsed.collect { case Right(a) => a })
+          }
+        case _ => Left("attachmentqueries must be a JSON array")
+      }
+    } catch { case e: Exception => Left(s"invalid JSON: ${e.getMessage}") }
+}

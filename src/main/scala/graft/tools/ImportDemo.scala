@@ -26,7 +26,7 @@ object ImportDemo {
         |119179,https://x/event_119179,1,False,1,https://x/119179.xls,200,Conf A
         |119180,https://x/event_119180,1,False,0,,200,Conf B
         |""".stripMargin
-    val cfg = ImportConfig(
+    val seed = ImportConfig(
       configId = 1, configName = "MeetMaxURLCheckImport",
       datasource = "MeetMax", datasettype = "MeetMaxURL",
       sourceDirectory = src.toString, archiveDirectory = arch.toString,
@@ -38,6 +38,11 @@ object ImportDemo {
       targetTable = "public.tmeetmaxurlcheck",
       strategy = ImportStrategy.Evolve, isActive = true
     )
+    // config rows ARE the API: seed the config table, then run from it
+    val store = new graft.ingest.ConfigStore(spark, s"$root/configs")
+    store.upsert(Seq(seed))
+    val cfg = store.get(1).get
+    println(s"[demo] loaded config '${cfg.configName}' from the config table")
 
     Files.write(src.resolve("20250401T120000_MeetMaxURLCheck.csv"), csv.getBytes)
     val r1 = imp.run(cfg, typeId = 2, sourceId = 1)

@@ -32,6 +32,19 @@ class ReportOpsSpec extends SparkSpec {
     assert(mailer.sent.size == 1 && mailer.sent.head.recipients == Seq("ops@example.com"))
   }
 
+  test("ReportConfig parses the reference's JSONB column shapes") {
+    import graft.model.ReportConfig
+    val body = ReportConfig.parseBodyQueries("""{"grid1": "SELECT 1", "grid2": "SELECT 2"}""")
+    assert(body == Right(Map("grid1" -> "SELECT 1", "grid2" -> "SELECT 2")))
+    val atts = ReportConfig.parseAttachmentQueries(
+      """[{"name": "f.csv", "query": "SELECT 1"}, {"name": "g.csv", "query": "SELECT 2"}]""")
+    assert(atts.map(_.map(_.name)) == Right(Seq("f.csv", "g.csv")))
+    // malformed shapes are Lefts, not exceptions
+    assert(ReportConfig.parseBodyQueries("""["not","an","object"]""").isLeft)
+    assert(ReportConfig.parseAttachmentQueries("""[{"name": "no-query"}]""").isLeft)
+    assert(ReportConfig.parseBodyQueries("""{broken json""").isLeft)
+  }
+
   test("run logger buffers and flushes as one columnar append") {
     val path = Files.createTempDirectory("graft-log").toString + "/logs"
     val logger = new RunLogger(spark, path, runUuid = "test-uuid")
