@@ -74,6 +74,65 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在")
   )
 
+  // ── PII / boilerplate detection ───────────────────────────────────
+  /** Conservative PII patterns, chosen for identical semantics in
+    * Java regex and RE2 (no lookarounds, no \b on non-ASCII).
+    */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+  val phonePattern = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    regexp_count(text, lit(emailPattern)).cast("int"),
+    regexp_count(text, lit(urlPattern)).cast("int"),
+    regexp_count(text, lit(phonePattern)).cast("int")
+  )
+
+  /** Redact emails/URLs/phones with typed placeholder tokens —
+    * the standard pre-training scrub, reversible-auditable via the
+    * count columns.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        urlPattern, "<URL>"),
+      phonePattern, "<PHONE>")
+
+  /** Composable quality gate: keep rows passing every threshold;
+    * rejected rows get a `reject_reason` (first failed rule) so the
+    * drop profile is auditable. Returns (kept, rejected).
+    */
+  final case class QualityThresholds(
+      minTokens: Int = 5,
+      maxTokens: Int = 1000000,
+      maxRepetitionRatio: Double = 0.95,
+      maxPunctRatio: Double = 0.3
+  )
+
+  def qualityFilter(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      t: QualityThresholds = QualityThresholds()
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val toks = tokenCount(text)
+    val rep = when(toks > 0,
+      lit(1.0) - size(array_distinct(split(trim(text), "\\s+"))).cast("double") / toks)
+      .otherwise(lit(0.0))
+    val punct = when(length(text) > 0,
+      regexp_count(text, lit("[\\.,;:!\\?]")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+    val reason = when(toks < t.minTokens, "too_short")
+      .when(toks > t.maxTokens, "too_long")
+      .when(rep > t.maxRepetitionRatio, "repetitive")
+      .when(punct > t.maxPunctRatio, "punctuation")
+    val flagged = df.withColumn("reject_reason", reason)
+    (
+      flagged.filter(col("reject_reason").isNull).drop("reject_reason"),
+      flagged.filter(col("reject_reason").isNotNull)
+    )
+  }
+
   /** Dedup-canonical text: lowercase, strip punctuation/symbols,
     * collapse runs of whitespace, trim — the standard normalization
     * applied before exact/near-dup hashing in pre-training pipelines,

@@ -446,6 +446,32 @@ object TrainingData {
     }
   )
 
+  /** PII detection + redaction (pre-training scrub). The synthetic
+    * corpus contains no PII, so counts are zero and redaction is
+    * identity — which the exact oracle verifies; OperatorsSpec proves
+    * the positive cases on constructed text.
+    */
+  val td10Pii = Query(
+    "td10_pii",
+    Some(s"""SELECT doc_id,
+             |  CAST(LEN(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS INT) AS n_emails,
+             |  CAST(LEN(regexp_extract_all(text, '${TextAnalysis.urlPattern}')) AS INT) AS n_urls,
+             |  CAST(LEN(regexp_extract_all(text, '${TextAnalysis.phonePattern}')) AS INT) AS n_phones,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+             |    '${TextAnalysis.urlPattern}', '<URL>', 'g'),
+             |    '${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS redacted
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val (e, u, p) = TextAnalysis.piiCounts(col("text"))
+      t.documents
+        .select(col("doc_id"), e.as("n_emails"), u.as("n_urls"), p.as("n_phones"),
+          TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }
+  )
+
   /** Batch sessionization — lag + cumulative-sum windows (the
     * window-function form of the stateful streaming operator in
     * `streaming.Sessionize`; SessionizeSpec asserts agreement).
@@ -492,6 +518,6 @@ object TrainingData {
     dd04CosineDup, dd06Winnow, ss01CosineKnn, ss02LshAnn, ss03IvfAnn,
     mm01BinaryMeta, mm02MediaFeatures,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
-    st01Sessionize, td08NormalizedFp, td09Repetition
+    st01Sessionize, td08NormalizedFp, td09Repetition, td10Pii
   )
 }

@@ -247,6 +247,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PII detection counts and redacts emails/urls/phones; quality filter routes rejects") {
+    val df = Seq(
+      (1L, "contact me at jane.doe@example.com or visit https://example.com/x?q=1 today"),
+      (2L, "call +1 (555) 123-4567 now"),
+      (3L, "clean text with no identifiers at all in it")
+    ).toDF("id", "t")
+    val (e, u, p) = TextAnalysis.piiCounts(col("t"))
+    val got = df.select(col("id"), e, u, p, TextAnalysis.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1 && got(1L)._4.contains("<EMAIL>") && got(1L)._4.contains("<URL>"))
+    assert(got(2L)._3 == 1 && got(2L)._4.contains("<PHONE>"))
+    assert(got(3L) == ((0, 0, 0, "clean text with no identifiers at all in it")))
+
+    val corpus = Seq(
+      (1L, "a solid document with plenty of distinct and varied words inside"),
+      (2L, "tiny"),
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam")
+    ).toDF("id", "t")
+    val (kept, rejected) = TextAnalysis.qualityFilter(corpus, col("t"),
+      TextAnalysis.QualityThresholds(minTokens = 3, maxRepetitionRatio = 0.5))
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(1L))
+    val reasons = rejected.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(reasons == Map(2L -> "too_short", 3L -> "repetitive"))
+  }
+
   // ── multimodal ────────────────────────────────────────────────────
   test("media decode plumbing: deterministic features, frame sampling covers all bytes") {
     val media = Multimodal.asMediaBatch(docs, "doc_id", "text")
