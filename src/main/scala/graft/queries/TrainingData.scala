@@ -487,8 +487,8 @@ object TrainingData {
             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             |sess AS (
             |  SELECT user_id, ts,
-            |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            |                     ROWS UNBOUNDED PRECEDING) AS session_num
+            |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
             |  FROM lagged)
             |SELECT user_id, session_num, COUNT(*) AS n_events,
             |  MIN(ts) AS start_ts, MAX(ts) AS end_ts
