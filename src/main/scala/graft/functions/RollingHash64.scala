@@ -63,15 +63,19 @@ object RollingHash64 {
     * longer wraps Expression directly, so custom expressions are
     * exposed through the registry + `call_function`). Idempotent.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      exprs => {
-        require(exprs.length == 1, s"$name expects exactly 1 argument, got ${exprs.length}")
-        RollingHash64(exprs.head)
-      },
-      "built-in"
-    )
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!registry.functionExists(ident))
+      registry.createOrReplaceTempFunction(
+        name,
+        exprs => {
+          require(exprs.length == 1, s"$name expects exactly 1 argument, got ${exprs.length}")
+          RollingHash64(exprs.head)
+        },
+        "built-in"
+      )
+  }
 
   /** Column-level entry point (requires [[register]] on the session). */
   def apply(c: Column): Column = call_function(name, c)

@@ -21,12 +21,41 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** 64-bit token hash used by every sketch in this file: the
+    * polynomial rolling hash (graft.functions.RollingHash64, a codegen
+    * Catalyst expression). Chosen over xxhash64 deliberately — its
+    * fold is reproducible in plain SQL (HUGEINT mod-2^64 arithmetic),
+    * so MinHash/SimHash/winnowing get EXACT DuckDB oracles instead of
+    * rows-only checks. Quality is sufficient for sketching (measured:
+    * MinHash |est − exact| ≤ 0.16, SimHash near/far hamming 4/29 on
+    * the spec fixtures).
+    */
+  def tokenHash64(c: Column): Column = {
+    graft.functions.RollingHash64.register(org.apache.spark.sql.SparkSession.active)
+    graft.functions.RollingHash64(c)
+  }
+
   // ── shingling ─────────────────────────────────────────────────────
   /** Distinct word k-grams of `text` as an array column. Pure per-row
     * HOF compute (split → slice windows → concat), no shuffle.
     */
   def wordShingles(text: Column, k: Int): Column =
     shinglesFromWords(split(trim(text), "\\s+"), k)
+
+  /** Positional (non-distinct) word k-grams — the winnowing input:
+    * window selection is over the document's gram SEQUENCE, so
+    * duplicates must keep their positions.
+    */
+  def wordShinglesAll(text: Column, k: Int): Column =
+    slidingGrams(split(trim(text), "\\s+"), k)
+
+  private def slidingGrams(words: Column, k: Int): Column = {
+    val n = size(words)
+    val shifted = (1 until k).map(i => slice(words, lit(i + 1), n))
+    val zipped =
+      shifted.foldLeft(words)((acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
+    when(n >= k, slice(zipped, lit(1), n - k + 1)).otherwise(array().cast("array<string>"))
+  }
 
   /** Shingles via k-1 shifted copies zipped together — NOT via
     * `transform(sequence(...), i => slice(words, ...))`: referencing
@@ -35,17 +64,10 @@ object Dedup {
     * shingling into O(n²)-with-regex. The shifted-zip form evaluates
     * each slice once per row.
     */
-  def shinglesFromWords(words: Column, k: Int): Column = {
-    val n = size(words)
-    val shifted = (1 until k).map(i => slice(words, lit(i + 1), n))
-    val zipped =
-      shifted.foldLeft(words)((acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
-    // zip_with null-pads to the longer side → drop the k-1 partial
-    // windows at the tail
-    array_distinct(
-      when(n >= k, slice(zipped, lit(1), n - k + 1)).otherwise(array().cast("array<string>"))
-    )
-  }
+  def shinglesFromWords(words: Column, k: Int): Column =
+    // zip_with null-pads to the longer side; slidingGrams drops the
+    // k-1 partial windows at the tail
+    array_distinct(slidingGrams(words, k))
 
   // ── exact dedup ───────────────────────────────────────────────────
   /** Exact duplicate groups: rows agreeing on `key` columns. Returns
@@ -70,8 +92,12 @@ object Dedup {
     * 2^62 — Spark 4 runs ANSI mode, where a 64-bit overflow is an
     * error, not a wrap.
     */
-  private val MersennePrime = (1L << 31) - 1
-  private def hashParams(n: Int): Seq[(Long, Long)] =
+  val MersennePrime: Long = (1L << 31) - 1
+
+  /** Deterministic (a, b) universal-hash parameters — public so the
+    * DuckDB oracle SQL can embed the identical constants.
+    */
+  def hashParams(n: Int): Seq[(Long, Long)] =
     (0 until n).map { i =>
       // splitmix64-style mixing of the permutation index → (a, b)
       def mix(z0: Long): Long = {
@@ -100,7 +126,7 @@ object Dedup {
     val ab = array(params.map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
-    val hashes = transform(wordShingles(text, k), s => pmod(xxhash64(s), lit(MersennePrime)))
+    val hashes = transform(wordShingles(text, k), s => pmod(tokenHash64(s), lit(MersennePrime)))
     val init = array_repeat(lit(MersennePrime), numHashes)
     when(size(hashes) > 0,
       aggregate(hashes, init, (acc, h) =>
@@ -110,14 +136,17 @@ object Dedup {
   }
 
   /** LSH banding: split the signature into `bands` bands of `r` rows;
-    * a pair is a candidate iff some band hashes equal. Emits
-    * (band_idx, band_hash) rows; the ONLY shuffle in the pipeline is
-    * the groupBy/self-join on these 16-byte keys.
+    * a pair is a candidate iff some band matches exactly. Emits
+    * (band_idx, band_key) rows where band_key is the band's r
+    * signature values verbatim — joining on the exact values (8r
+    * bytes) instead of a 64-bit re-hash keeps candidate semantics
+    * bit-reproducible in the SQL oracle; swap in a hash of the slice
+    * if the shuffle-key width ever dominates at scale.
     */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band_idx"), xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)).cast("string")).as("band_hash"))
+      b => struct(b.as("band_idx"), slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)).as("band_key"))
     )
 
   /** Candidate near-duplicate pairs via MinHash LSH, with the MinHash
@@ -140,7 +169,7 @@ object Dedup {
       .where(size(col("sig")) > 0)
     val banded = sigs
       .select(col("id"), col("sig"), explode(lshBands(col("sig"), bands, r)).as("band"))
-      .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
+      .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_key"))
       // both sides of the self-join read this frame — materialize the
       // signatures once instead of recomputing them per side
       .cache()
@@ -148,7 +177,7 @@ object Dedup {
     val b = banded.alias("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
+          col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       // compute the estimate BEFORE dedup so the distinct shuffles
       // (id,id,double) rows, not two 64-long signature arrays per pair
@@ -211,7 +240,7 @@ object Dedup {
     * slice-inside-lambda.
     */
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val hashes = transform(wordShingles(text, k), s => xxhash64(s))
+    val hashes = transform(wordShinglesAll(text, k), s => tokenHash64(s))
     val n = size(hashes)
     val shifted = (1 until w).map(i => slice(hashes, lit(i + 1), n))
     val mins = shifted.foldLeft(hashes)((acc, s) => zip_with(acc, s, (a, b) => least(a, b)))
@@ -230,7 +259,7 @@ object Dedup {
   def simHash64(text: Column): Column = {
     // hash once per token here — inside the fold the hash would be
     // recomputed per bit (64×)
-    val hashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
+    val hashes = transform(split(trim(text), "\\s+"), t => tokenHash64(t))
     val votes = aggregate(
       hashes,
       array_repeat(lit(0), 64),

@@ -8,11 +8,29 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal plumbing) + ingestion scalar ops, instantiated
   * against the `documents`/`embeddings` tables as verifiable queries.
-  * Exact/deterministic ops carry DuckDB oracles; approximate ops
-  * (MinHash LSH, SimHash, hyperplane ANN) are rows-only here and are
-  * verified against exact ground truth in their ScalaTest specs.
+  * Every deterministic op carries a DuckDB oracle — including the
+  * MinHash/SimHash/winnowing sketches, whose rolling-hash base is
+  * reproduced in SQL via HUGEINT mod-2^64 arithmetic; the few
+  * data-dependent ops (k-means IVF, HLL) are rows-only and verified
+  * against exact ground truth in their ScalaTest specs.
   */
 object TrainingData {
+
+  /** DuckDB fragment: graft's rolling_hash64 fold over `col`'s chars
+    * (ASCII corpus ⇒ ord(char) = UTF-8 byte), as unsigned HUGEINT.
+    */
+  private def foldSql(col: String): String =
+    s"""list_reduce(
+       |    list_prepend(1469598103934665603::HUGEINT,
+       |      list_transform(regexp_split_to_array($col, ''), x -> ord(x)::HUGEINT)),
+       |    (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** DuckDB fragment: reinterpret an unsigned mod-2^64 HUGEINT as the
+    * two's-complement signed BIGINT Spark's LongType holds.
+    */
+  private def toSignedSql(u: String): String =
+    s"""CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT
+       |          THEN $u - 18446744073709551616::HUGEINT ELSE $u END AS BIGINT)""".stripMargin
 
   // ── exact dedup ──────────────────────────────────────────────────
   val td01ExactDedup = Query(
@@ -137,10 +155,48 @@ object TrainingData {
     }
   )
 
-  // ── approximate dedup (rows-only; verified in DedupSpec) ─────────
+  // ── approximate dedup — every sketch below is EXACTLY reproduced
+  // in DuckDB SQL (rolling-hash fold in HUGEINT arithmetic), so the
+  // oracle verifies the full pipeline bit-for-bit, not just recall ──
+  /** MinHash + LSH banding. The oracle recomputes signatures (64
+    * universal hashes over the Mersenne-prime domain, identical (a,b)
+    * constants), bands them 16×4, joins on exact band values, and
+    * applies the same estimate threshold.
+    */
   val dd01MinHash = Query(
-    "dd01_minhash_lsh",
-    None,
+    "dd01_minhash_lsh", {
+      val ab = Dedup.hashParams(64)
+      val alist = ab.map(_._1).mkString("[", ",", "]")
+      val blist = ab.map(_._2).mkString("[", ",", "]")
+      Some(
+        s"""WITH words AS (
+           |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
+           |grams AS (
+           |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           |  FROM words, UNNEST(range(1, LEN(w) - 1)) AS t(i)),
+           |gh AS (
+           |  SELECT doc_id, ((${toSignedSql("u")} % 2147483647) + 2147483647) % 2147483647 AS h
+           |  FROM (SELECT doc_id, ${foldSql("g")} AS u FROM grams)),
+           |sig AS (
+           |  SELECT doc_id, CAST(i AS INT) AS i,
+           |    MIN(($alist[CAST(i AS INT) + 1] * h + $blist[CAST(i AS INT) + 1]) % 2147483647) AS s
+           |  FROM gh, range(64) r(i) GROUP BY doc_id, i),
+           |sigs AS (SELECT doc_id, list(s ORDER BY i) AS sg FROM sig GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id, CAST(i // 4 AS INT) AS band_idx, list(s ORDER BY i) AS key
+           |  FROM sig GROUP BY doc_id, i // 4),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM banded x JOIN banded y
+           |    ON x.band_idx = y.band_idx AND x.key = y.key AND x.doc_id < y.doc_id),
+           |est AS (
+           |  SELECT id_a, id_b,
+           |    CAST(LEN(list_filter(range(1, 65),
+           |      j -> sa.sg[CAST(j AS INT)] = sb.sg[CAST(j AS INT)])) AS DOUBLE) / 64 AS est_jaccard
+           |  FROM cand JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id)
+           |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.35
+           |ORDER BY id_a, id_b""".stripMargin)
+    },
     (spark, dir) => {
       val t = Tables(spark, dir)
       Dedup
@@ -150,9 +206,28 @@ object TrainingData {
     }
   )
 
+  /** 64-bit SimHash. Oracle: per-token rolling hash → per-bit ±1
+    * votes (arithmetic >> matches Spark's shiftright) → sign bits
+    * reassembled in HUGEINT.
+    */
   val dd02SimHash = Query(
     "dd02_simhash",
-    None,
+    Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t FROM documents),
+         |th AS (
+         |  SELECT doc_id,
+         |    CASE WHEN strlen(t) = 0 THEN 1469598103934665603::HUGEINT ELSE ${foldSql("t")} END AS u
+         |  FROM toks),
+         |ts AS (SELECT doc_id, ${toSignedSql("u")} AS s FROM th),
+         |votes AS (
+         |  SELECT doc_id, b, SUM(CASE WHEN (s >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM ts, range(64) r(b) GROUP BY doc_id, b),
+         |agg AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(b AS INT)) ELSE 0::HUGEINT END) AS u2
+         |  FROM votes GROUP BY doc_id)
+         |SELECT doc_id, ${toSignedSql("u2")} AS simhash FROM agg ORDER BY doc_id""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
       t.documents
@@ -161,13 +236,18 @@ object TrainingData {
     }
   )
 
-  /** Custom codegen'd Catalyst expression fingerprint (rows-only: the
-    * polynomial hash has no DuckDB builtin; golden values are asserted
-    * in TextAnalysisSpec).
+  /** Custom codegen'd Catalyst expression fingerprint; the oracle
+    * replays the identical mod-2^64 polynomial fold in HUGEINT.
     */
   val dd03Rolling = Query(
     "dd03_rolling_fingerprint",
-    None,
+    Some(
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN strlen(text) = 0 THEN 1469598103934665603::HUGEINT
+         |         ELSE ${foldSql("text")} END AS u
+         |  FROM documents)
+         |SELECT doc_id, ${toSignedSql("u")} AS fp_rolling FROM h ORDER BY doc_id""".stripMargin),
     (spark, dir) => {
       RollingHash64.register(spark)
       val t = Tables(spark, dir)
@@ -177,13 +257,32 @@ object TrainingData {
     }
   )
 
-  /** Winnowing fingerprints (MOSS scheme) — rows-only: the window-min
-    * selection has no DuckDB builtin; the shared-substring guarantee
-    * and selectivity are asserted in OperatorsSpec.
+  /** Winnowing fingerprints (MOSS scheme) over the positional k-gram
+    * sequence. Oracle: per-gram rolling hash, window-min via MIN OVER
+    * (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING) restricted to full
+    * windows (single global min when the doc has fewer than w grams),
+    * then DISTINCT — byte-identical to the engine's zip/least fold.
     */
   val dd06Winnow = Query(
     "dd06_winnow_fingerprints",
-    None,
+    Some(
+      s"""WITH words AS (
+         |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CAST(i AS INT) AS i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+         |  FROM words, UNNEST(range(1, LEN(w) - 1)) AS t(i)),
+         |gh AS (
+         |  SELECT doc_id, i, ${toSignedSql("u")} AS h
+         |  FROM (SELECT doc_id, i, ${foldSql("g")} AS u FROM grams)),
+         |wm AS (
+         |  SELECT doc_id, i,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS m
+         |  FROM gh)
+         |SELECT DISTINCT doc_id, fp AS fingerprint FROM wm
+         |WHERE i <= GREATEST(m - 3, 1)
+         |ORDER BY doc_id, fingerprint""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
       t.documents
