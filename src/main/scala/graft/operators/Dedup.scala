@@ -9,12 +9,12 @@ import org.apache.spark.sql.functions._
   *
   *  - exact: hash-groupBy on a 64-bit fingerprint (shuffle key is 8
   *    bytes, not the document), keeper = min id;
-  *  - MinHash + LSH: per-row signature computation entirely in
-  *    higher-order functions (zero shuffle), then ONE shuffle on
-  *    (band, bandHash) to find candidates, then exact verification
-  *    restricted to candidates;
-  *  - SimHash: per-row 64-bit sketch via HOF fold, near-dup = equal
-  *    sketch (or banded Hamming buckets);
+  *  - MinHash + LSH: per-row signature computation in one native
+  *    kernel (zero shuffle; graft.functions.Sketches), then ONE
+  *    shuffle on (band, band values) to find candidates, then exact
+  *    verification restricted to candidates;
+  *  - SimHash: per-row 64-bit sketch via the same kernel family,
+  *    near-dup = equal sketch (or banded Hamming buckets);
   *  - exact n-gram Jaccard: explode distinct shingles → self-join on
   *    shingle → per-pair intersection counts; the O(pairs) step only
   *    materializes pairs that share ≥1 shingle.
@@ -113,27 +113,12 @@ object Dedup {
 
   /** MinHash signature (array<long> of length n) over the document's
     * shingle set: sig[i] = min over shingles of (a_i*h + b_i) mod p,
-    * h = xxhash64(shingle). Entirely per-row HOF compute inside one
-    * codegen stage — signatures for 100 TB cost one scan, no shuffle.
+    * h = rolling_hash64(shingle). One native per-row kernel
+    * (Sketches.MinHashSigExpr) — signatures for 100 TB cost one scan,
+    * no shuffle.
     */
-  def minHashSignature(text: Column, k: Int = 3, numHashes: Int = 64): Column = {
-    val params = hashParams(numHashes)
-    // (a_i, b_i) as one constant struct array: the fold below updates
-    // all n mins in ONE pass over the shingle hashes. The naive form —
-    // n × array_min(transform(hashes, ...)) — duplicates the entire
-    // shingle+hash subtree n times (measured: single task pinned in
-    // regex split for minutes at sf0.1).
-    val ab = array(params.map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b"))
-    }: _*)
-    val hashes = transform(wordShingles(text, k), s => pmod(tokenHash64(s), lit(MersennePrime)))
-    val init = array_repeat(lit(MersennePrime), numHashes)
-    when(size(hashes) > 0,
-      aggregate(hashes, init, (acc, h) =>
-        zip_with(acc, ab, (m, p) =>
-          least(m, pmod(h * p.getField("a") + p.getField("b"), lit(MersennePrime))))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  def minHashSignature(text: Column, k: Int = 3, numHashes: Int = 64): Column =
+    graft.functions.Sketches.minHashSigCol(text, k, numHashes)
 
   /** LSH banding: split the signature into `bands` bands of `r` rows;
     * a pair is a candidate iff some band matches exactly. Emits
@@ -210,10 +195,14 @@ object Dedup {
   ): DataFrame = {
     // join on the 8-byte shingle hash, not the shingle string — the
     // shuffle moves fixed-width keys; xxhash64 collisions are
-    // negligible for intersection COUNTING at these cardinalities
+    // negligible for intersection COUNTING at these cardinalities.
+    // localCheckpoint: this frame feeds three consumers (sizes + both
+    // self-join sides); materializing once replaces three evaluations
+    // of the regex-split/shingle/hash pipeline with one.
     val sh = df
-      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), k)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      .select(col(idCol).as("id"),
+        explode(graft.functions.Sketches.gramXxHashesCol(col(textCol), k)).as("h"))
+      .localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n")) // shingles are distinct already
     val pairs = sh.alias("x")
       .join(sh.alias("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
@@ -239,16 +228,8 @@ object Dedup {
     * the same linear-work pattern as [[shinglesFromWords]], NOT
     * slice-inside-lambda.
     */
-  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val hashes = transform(wordShinglesAll(text, k), s => tokenHash64(s))
-    val n = size(hashes)
-    val shifted = (1 until w).map(i => slice(hashes, lit(i + 1), n))
-    val mins = shifted.foldLeft(hashes)((acc, s) => zip_with(acc, s, (a, b) => least(a, b)))
-    array_distinct(
-      when(n >= w, slice(mins, lit(1), n - w + 1))
-        .otherwise(when(n > 0, array(array_min(hashes))).otherwise(array().cast("array<bigint>")))
-    )
-  }
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    graft.functions.Sketches.winnowCol(text, k, w)
 
   // ── SimHash ───────────────────────────────────────────────────────
   /** 64-bit SimHash over whitespace tokens: per-bit vote sum of token
@@ -256,25 +237,6 @@ object Dedup {
     * have small Hamming distance; equal sketches catch the tightest
     * band, `bit_count(s1 ^ s2) <= d` generalizes.
     */
-  def simHash64(text: Column): Column = {
-    // hash once per token here — inside the fold the hash would be
-    // recomputed per bit (64×)
-    val hashes = transform(split(trim(text), "\\s+"), t => tokenHash64(t))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) =>
-        zip_with(
-          acc,
-          transform(sequence(lit(0), lit(63)),
-            b => when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1)),
-          (a, v) => a + v
-        )
-    )
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x)
-    )
-  }
+  def simHash64(text: Column): Column =
+    graft.functions.Sketches.simHash64Col(text)
 }

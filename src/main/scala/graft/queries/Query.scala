@@ -24,4 +24,15 @@ object Query {
     */
   val sumMoneySql: String => String =
     c => s"CAST(SUM(CAST($c AS DECIMAL(12,2))) AS DOUBLE)"
+
+  /** Deterministic global sort for an EXPENSIVE pipeline: materialize
+    * once (localCheckpoint), then range-sort the materialized rows.
+    * Spark's RangePartitioner executes its child twice — once to
+    * sample partition bounds, once to shuffle — so an un-checkpointed
+    * orderBy doubles the whole upstream pipeline. Result sets here are
+    * report-sized; for genuinely huge sorted outputs skip the
+    * checkpoint and eat the resample instead of pinning blocks.
+    */
+  def checkpointSort(df: DataFrame, cols: String*): DataFrame =
+    df.localCheckpoint().orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
 }

@@ -110,11 +110,10 @@ object TrainingData {
       // score expressions mirror TextAnalysis.langMarkers exactly; the
       // CASE evaluates languages in ascending code order, which is the
       // same deterministic tiebreak the Scala argmax applies.
-      def score(ws: Seq[String]) =
-        ws.map(w => s"LEN(regexp_extract_all(LOWER(text), '${TextAnalysis.markerPattern(w)}'))")
-          .mkString(" + ")
+      def score(l: String) =
+        s"LEN(regexp_extract_all(LOWER(text), '${TextAnalysis.langPattern(l)}'))"
       val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
-      val scores = langs.map(l => s"(${score(TextAnalysis.langMarkers(l))}) AS s_$l").mkString(",\n  ")
+      val scores = langs.map(l => s"(${score(l)}) AS s_$l").mkString(",\n  ")
       val greatest = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
       val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
       Some(
@@ -127,9 +126,10 @@ object TrainingData {
     },
     (spark, dir) => {
       val t = Tables(spark, dir)
-      t.documents
-        .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))
-        .orderBy("doc_id")
+      Query.checkpointSort(
+        t.documents
+          .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_guess")),
+        "doc_id")
     }
   )
 
@@ -149,9 +149,9 @@ object TrainingData {
             |ORDER BY id_a, id_b""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
-      Dedup
-        .jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.2)
-        .orderBy("id_a", "id_b")
+      Query.checkpointSort(
+        Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.2),
+        "id_a", "id_b")
     }
   )
 
@@ -199,10 +199,10 @@ object TrainingData {
     },
     (spark, dir) => {
       val t = Tables(spark, dir)
-      Dedup
-        .minHashCandidates(t.documents, "doc_id", "text",
-          k = 3, numHashes = 64, bands = 16, threshold = 0.35)
-        .orderBy("id_a", "id_b")
+      Query.checkpointSort(
+        Dedup.minHashCandidates(t.documents, "doc_id", "text",
+          k = 3, numHashes = 64, bands = 16, threshold = 0.35),
+        "id_a", "id_b")
     }
   )
 
@@ -230,9 +230,10 @@ object TrainingData {
          |SELECT doc_id, ${toSignedSql("u2")} AS simhash FROM agg ORDER BY doc_id""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
-      t.documents
-        .select(col("doc_id"), Dedup.simHash64(col("text")).as("simhash"))
-        .orderBy("doc_id")
+      Query.checkpointSort(
+        t.documents
+          .select(col("doc_id"), Dedup.simHash64(col("text")).as("simhash")),
+        "doc_id")
     }
   )
 
@@ -261,7 +262,7 @@ object TrainingData {
     * sequence. Oracle: per-gram rolling hash, window-min via MIN OVER
     * (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING) restricted to full
     * windows (single global min when the doc has fewer than w grams),
-    * then DISTINCT — byte-identical to the engine's zip/least fold.
+    * then DISTINCT — byte-identical to the engine's native kernel.
     */
   val dd06Winnow = Query(
     "dd06_winnow_fingerprints",
@@ -285,10 +286,11 @@ object TrainingData {
          |ORDER BY doc_id, fingerprint""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
-      t.documents
-        .select(col("doc_id"),
-          explode(Dedup.winnowFingerprints(col("text"), k = 3, w = 4)).as("fingerprint"))
-        .orderBy("doc_id", "fingerprint")
+      Query.checkpointSort(
+        t.documents
+          .select(col("doc_id"),
+            explode(Dedup.winnowFingerprints(col("text"), k = 3, w = 4)).as("fingerprint")),
+        "doc_id", "fingerprint")
     }
   )
 
@@ -318,9 +320,9 @@ object TrainingData {
     None,
     (spark, dir) => {
       val t = Tables(spark, dir)
-      Similarity
-        .lshKnn(t.embeddings, "vec_id", "embedding", k = 3, bits = 8, tables = 2)
-        .orderBy("query_id", "rank")
+      Query.checkpointSort(
+        Similarity.lshKnn(t.embeddings, "vec_id", "embedding", k = 3, bits = 8, tables = 2),
+        "query_id", "rank")
     }
   )
 
