@@ -192,8 +192,130 @@ object Extras {
     }
   )
 
+  /** Bucketed point-in-interval range join (operators.RangeJoin):
+    * shipments falling inside 30-day windows anchored at a sampled
+    * set of order dates. The oracle is the plain BETWEEN join; the
+    * engine runs the scalable equi-join decomposition and must match
+    * it exactly.
+    */
+  val x07RangeJoin = Query(
+    "x07_range_join",
+    Some("""WITH w AS (
+            |  SELECT o_orderkey AS window_id, CAST(o_orderdate AS DATE) AS lo,
+            |         CAST(o_orderdate AS DATE) + 30 AS hi
+            |  FROM orders WHERE o_orderkey % 997 = 0)
+            |SELECT window_id, COUNT(*) AS n_shipped,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+            |FROM w JOIN lineitem ON CAST(l_shipdate AS DATE) BETWEEN lo AND hi
+            |GROUP BY window_id ORDER BY window_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val windows = t.orders
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("window_id"),
+          to_date(col("o_orderdate")).as("lo"),
+          date_add(to_date(col("o_orderdate")), 30).as("hi"))
+      val points = t.lineitem.select(to_date(col("l_shipdate")).as("d"), col("l_quantity"))
+      graft.operators.RangeJoin
+        .pointInInterval(points, "d", windows, "lo", "hi")
+        .groupBy("window_id")
+        .agg(
+          count(lit(1)).as("n_shipped"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+        .orderBy("window_id")
+    }
+  )
+
+  /** CUBE — the full subtotal lattice (x01 covers ROLLUP). */
+  val x08Cube = Query(
+    "x08_cube",
+    Some("""SELECT l_returnflag, l_linestatus,
+            |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+            |  COUNT(*) AS n,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+            |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty")
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+        .orderBy(asc("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }
+  )
+
+  /** Ranking/distribution window suite: dense_rank, ntile, and a
+    * moving average over a ROWS frame. The moving average is built
+    * from exact parts (decimal SUM over the frame, bigint COUNT, one
+    * double division) so both engines produce identical bits.
+    */
+  val x09WindowSuite = Query(
+    "x09_window_suite",
+    Some("""SELECT o_orderkey, o_orderpriority,
+            |  CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY CAST(o_orderdate AS DATE)) AS BIGINT) AS drank,
+            |  CAST(NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            |         OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+            |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            |    / COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+            |                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_avg
+            |FROM orders ORDER BY o_orderkey""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val byDate = Window.partitionBy("o_orderpriority").orderBy(to_date(col("o_orderdate")))
+      val byRow = Window.partitionBy("o_orderpriority").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val frame = byRow.rowsBetween(-3, 0)
+      t.orders
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          dense_rank().over(byDate).cast("long").as("drank"),
+          ntile(4).over(byRow).as("quartile"),
+          (sum(col("o_totalprice").cast("decimal(12,2)")).over(frame).cast("double")
+            / count(lit(1)).over(frame)).as("mov_avg")
+        )
+        .orderBy("o_orderkey")
+    }
+  )
+
+  /** Gaps-and-islands: contiguous runs of daily activity per user via
+    * the date-minus-row_number anchor trick — consecutive dates share
+    * an anchor, so one groupBy resolves the islands.
+    */
+  val x10GapsIslands = Query(
+    "x10_gaps_islands",
+    Some("""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+            |r AS (SELECT user_id, d,
+            |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS rn
+            |      FROM d)
+            |SELECT user_id, MIN(d) AS island_start, MAX(d) AS island_end,
+            |  COUNT(*) AS n_days
+            |FROM (SELECT user_id, d, d - rn AS anchor FROM r)
+            |GROUP BY user_id, anchor
+            |ORDER BY user_id, island_start""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val days = t.events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val rn = row_number().over(Window.partitionBy("user_id").orderBy("d"))
+      days
+        .withColumn("anchor", date_sub(col("d"), rn))
+        .groupBy("user_id", "anchor")
+        .agg(min("d").as("island_start"), max("d").as("island_end"),
+          count(lit(1)).as("n_days"))
+        .select("user_id", "island_start", "island_end", "n_days")
+        .orderBy("user_id", "island_start")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
-    x06AsOf, dd05DedupGroups
+    x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
+    x10GapsIslands
   )
 }

@@ -613,12 +613,57 @@ object TrainingData {
     }
   )
 
+  /** Term salience (TF-IDF shape): top-3 terms per document by
+    * tf × (N+1)/(df+1). The idf is kept RATIONAL (no log): every part
+    * is integer-exact and the single double division is IEEE-identical
+    * in both engines, so the oracle compares bits, not tolerances.
+    */
+  val td11Tfidf = Query(
+    "td11_tfidf",
+    Some("""WITH toks AS (
+            |  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS term
+            |  FROM documents),
+            |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+            |       GROUP BY doc_id, term),
+            |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks WHERE term <> ''
+            |       GROUP BY term),
+            |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            |scored AS (
+            |  SELECT tf.doc_id, tf.term,
+            |    CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score
+            |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+            |SELECT doc_id, term, score, CAST(r AS INT) AS rank FROM (
+            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS r
+            |  FROM scored) WHERE r <= 3 ORDER BY doc_id, rank""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val toks = t.documents
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val n = t.documents.agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(df, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          ((col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1)).as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+        .orderBy("doc_id", "rank")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
     dd04CosineDup, dd06Winnow, ss01CosineKnn, ss02LshAnn, ss03IvfAnn,
     mm01BinaryMeta, mm02MediaFeatures,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
-    st01Sessionize, td08NormalizedFp, td09Repetition, td10Pii
+    st01Sessionize, td08NormalizedFp, td09Repetition, td10Pii, td11Tfidf
   )
 }

@@ -96,6 +96,27 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed range join avoids nested-loop plans and equals the naive form") {
+    val t = Tables(spark, sf)
+    val intervals = t.orders
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("window_id"),
+        to_date(col("o_orderdate")).as("lo"),
+        date_add(to_date(col("o_orderdate")), 30).as("hi"))
+    val points = t.lineitem.select(to_date(col("l_shipdate")).as("d"))
+    val bucketed = graft.operators.RangeJoin.pointInInterval(points, "d", intervals, "lo", "hi")
+    // the decomposition must plan as an equi-join: a pure range
+    // predicate would force BroadcastNestedLoopJoin / cartesian
+    val p = plan(bucketed)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    val naive = points
+      .crossJoin(intervals)
+      .where(col("d").between(col("lo"), col("hi")))
+    def grouped(df: DataFrame) =
+      df.groupBy("window_id").count().orderBy("window_id").collect().toSeq
+    assert(grouped(bucketed) == grouped(naive))
+  }
+
   test("salted join equals plain join and spreads the hot key") {
     val big = spark.range(0, 10000)
       .select(when(col("id") % 10 === 0, lit("HOT")).otherwise(concat(lit("k"), col("id"))).as("k"),
