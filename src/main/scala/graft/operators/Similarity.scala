@@ -204,18 +204,28 @@ object Similarity {
     * `dim` bounds the hyperplane length; vectors longer than `dim`
     * ignore the tail (pass the true dimension).
     */
-  def hyperplaneSignature(vec: Column, bits: Int, seed: Int = 0, dim: Int = 64): Column = {
-    val v = asDouble(vec)
+  /** The deterministic ±1 hyperplane for (seed, bit): public so the
+    * DuckDB oracle SQL embeds the identical literals.
+    */
+  def hyperplaneSigns(bits: Int, seed: Int, dim: Int): Seq[Seq[Double]] = {
     def mix(z0: Long): Long = {
       var z = z0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
+    (0 until bits).map { j =>
+      (0 until dim).map { i =>
+        if (mix(seed.toLong << 40 | j.toLong << 20 | i.toLong) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  def hyperplaneSignature(vec: Column, bits: Int, seed: Int = 0, dim: Int = 64): Column = {
+    val v = asDouble(vec)
+    val planes = hyperplaneSigns(bits, seed, dim)
     val bitCols = (0 until bits).map { j =>
-      val signs = array((0 until dim).map { i =>
-        lit(if (mix(seed.toLong << 40 | j.toLong << 20 | i.toLong) % 2 == 0) 1.0 else -1.0)
-      }: _*)
+      val signs = array(planes(j).map(lit): _*)
       // coalesce: zip_with null-pads when vector length != dim; the
       // unmatched tail contributes 0 to the dot product
       val s = aggregate(

@@ -315,9 +315,43 @@ object TrainingData {
     }
   )
 
+  /** Random-hyperplane LSH ANN. The hyperplanes are deterministic ±1
+    * literals, so the oracle replays the ENTIRE pipeline exactly:
+    * per-table bucket signatures (left-associative dot folds — IEEE
+    * addition order matters), bucket self-join, rounded cosine
+    * rescoring, top-k window.
+    */
   val ss02LshAnn = Query(
-    "ss02_lsh_ann",
-    None,
+    "ss02_lsh_ann", {
+      val (bits, tables, dim, k) = (8, 2, 64, 3)
+      // left-assoc term chains mirror dotUnrolled / the signature fold
+      def signDot(v: String, signs: Seq[Double]): String =
+        signs.zipWithIndex.map { case (s, i) =>
+          s"$v[${i + 1}] * ${if (s > 0) "1.0" else "-1.0"}"
+        }.mkString(" + ")
+      def bucketExpr(t: Int): String =
+        Similarity.hyperplaneSigns(bits, t, dim).zipWithIndex.map { case (signs, j) =>
+          s"(CASE WHEN ${signDot("v", signs)} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      val normTerms = (1 to dim).map(i => s"v[$i] * v[$i]").mkString(" + ")
+      val pairDot = (1 to dim).map(i => s"a.v[$i] * b.v[$i]").mkString(" + ")
+      val tabled = (0 until tables).map { t =>
+        s"SELECT id, v, v_norm, $t AS table_id, ${bucketExpr(t)} AS bucket FROM base"
+      }.mkString("\nUNION ALL\n")
+      Some(
+        s"""WITH b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |base AS (SELECT id, v, SQRT($normTerms) AS v_norm FROM b0),
+           |tabled AS (
+           |$tabled),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS query_id, b.id AS corpus_id,
+           |    ROUND(($pairDot) / (a.v_norm * b.v_norm), 4) AS sim
+           |  FROM tabled a JOIN tabled b
+           |    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.id <> b.id)
+           |SELECT query_id, corpus_id, sim, CAST(r AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+           |  FROM pairs) WHERE r <= $k ORDER BY query_id, rank""".stripMargin)
+    },
     (spark, dir) => {
       val t = Tables(spark, dir)
       Query.checkpointSort(
@@ -363,9 +397,31 @@ object TrainingData {
     }
   )
 
+  /** Partition-wise media decode (stub codec). The stub derives every
+    * feature from the payload's rolling-hash fold, so the oracle
+    * replays it in HUGEINT arithmetic: logical shifts become integer
+    * division (the fold value is kept unsigned), floorMod becomes
+    * plain modulus on the nonnegative form.
+    */
   val mm02MediaFeatures = Query(
     "mm02_media_features",
-    None,
+    Some(
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN strlen(text) = 0 THEN 1469598103934665603::HUGEINT
+         |         ELSE ${foldSql("text")} END AS u,
+         |    strlen(text) AS nb
+         |  FROM documents)
+         |SELECT doc_id AS media_id,
+         |  CASE WHEN nb % 3 = 0 THEN 'image/png'
+         |       WHEN nb % 3 = 1 THEN 'audio/wav'
+         |       ELSE 'video/mp4' END AS mime,
+         |  CAST(nb AS BIGINT) AS n_bytes,
+         |  CAST(16 + u % 1024 AS INT) AS width,
+         |  CAST(16 + (u // 1024) % 1024 AS INT) AS height,
+         |  CAST(1 + (u // 1048576) % 64 AS INT) AS n_frames,
+         |  ${toSignedSql("u")} AS checksum
+         |FROM h ORDER BY media_id""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
       val media = Multimodal.asMediaBatch(t.documents, "doc_id", "text")
