@@ -32,6 +32,28 @@ object TrainingData {
     s"""CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT
        |          THEN $u - 18446744073709551616::HUGEINT ELSE $u END AS BIGINT)""".stripMargin
 
+  /** DuckDB fragment: `a * c mod 2^64` via 32-bit limbs — the direct
+    * product of two ~2^64 values overflows INT128, so split:
+    * a*c ≡ al*cl + 2^32·((al*ch + ah*cl) mod 2^32)  (mod 2^64).
+    */
+  private def mulModSql(a: String, c: BigInt): String = {
+    val (ch, cl) = (c >> 32, c & 0xffffffffL)
+    s"""((($a % 4294967296) * $cl + 4294967296 *
+       |   ((($a % 4294967296) * $ch + ($a // 4294967296) * $cl) % 4294967296))
+       |  % 18446744073709551616::HUGEINT)""".stripMargin
+  }
+
+  /** DuckDB fragment: murmur3 fmix64 over an unsigned HUGEINT —
+    * mirrors functions.MixedHash64 (logical >>33 = // 2^33).
+    */
+  private def fmixSql(u: String): String = {
+    val s1 = s"xor($u, $u // 8589934592)"
+    val s2 = mulModSql(s"($s1)", BigInt("ff51afd7ed558ccd", 16))
+    val s3 = s"xor(($s2), ($s2) // 8589934592)"
+    val s4 = mulModSql(s"($s3)", BigInt("c4ceb9fe1a85ec53", 16))
+    s"xor(($s4), ($s4) // 8589934592)"
+  }
+
   // ── exact dedup ──────────────────────────────────────────────────
   val td01ExactDedup = Query(
     "td01_exact_dedup",
@@ -669,6 +691,64 @@ object TrainingData {
     }
   )
 
+  /** Deterministic HLL sketch (operators.ApproxDistinct): unlike the
+    * engine-private HLL++ in td07, every step — rolling hash, bucket
+    * split, leading-zero rank via bin()-length, clamped 2^-rho sum —
+    * is exactly reproduced in the oracle, so an APPROXIMATE operator
+    * still gets an EXACT correctness check.
+    */
+  val td12HllSketch = Query(
+    "td12_hll_sketch",
+    Some(
+      s"""WITH h0 AS (
+         |  SELECT event_type, ${foldSql("CAST(user_id AS VARCHAR)")} AS u0
+         |  FROM events),
+         |h AS (SELECT event_type, ${fmixSql("u0")} AS u FROM h0),
+         |regs AS (
+         |  SELECT event_type, u % 64 AS bucket,
+         |    MAX(LEAST(40, CASE WHEN u // 64 = 0 THEN 59
+         |                       ELSE 59 - length(bin(CAST(u // 64 AS BIGINT))) END)) AS max_rho
+         |  FROM h GROUP BY event_type, u % 64)
+         |SELECT event_type, COUNT(*) AS n_filled,
+         |  0.709 * 64 * 64 / (SUM(1.0 / (1::BIGINT << CAST(max_rho AS INT))) + (64 - COUNT(*)))
+         |    AS est_distinct
+         |FROM regs GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      graft.operators.ApproxDistinct
+        .approxDistinct(t.events, Seq("event_type"), "user_id", corrected = false)
+        .orderBy("event_type")
+    }
+  )
+
+  /** Sliding event-time windows (1h window, 30m slide) — the
+    * Structured Streaming windowed-aggregation shape run in batch
+    * (identical semantics; StreamingSpec proves stream/batch agreement
+    * for the tumbling case). Each event lands in exactly two windows;
+    * the oracle expands them via UNNEST of the two aligned starts.
+    */
+  val st02SlidingWindow = Query(
+    "st02_sliding_window",
+    Some("""WITH e AS (
+            |  SELECT UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+            |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS win_start,
+            |    event_type, value
+            |  FROM events)
+            |SELECT win_start, event_type, COUNT(*) AS n,
+            |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            |FROM e GROUP BY win_start, event_type
+            |ORDER BY win_start, event_type""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.events
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    }
+  )
+
   /** Term salience (TF-IDF shape): top-3 terms per document by
     * tf × (N+1)/(df+1). The idf is kept RATIONAL (no log): every part
     * is integer-exact and the single double division is IEEE-identical
@@ -720,6 +800,7 @@ object TrainingData {
     dd04CosineDup, dd06Winnow, ss01CosineKnn, ss02LshAnn, ss03IvfAnn,
     mm01BinaryMeta, mm02MediaFeatures,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
-    st01Sessionize, td08NormalizedFp, td09Repetition, td10Pii, td11Tfidf
+    st01Sessionize, st02SlidingWindow, td08NormalizedFp, td09Repetition,
+    td10Pii, td11Tfidf, td12HllSketch
   )
 }

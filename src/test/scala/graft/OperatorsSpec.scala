@@ -105,6 +105,32 @@ class OperatorsSpec extends SparkSpec {
     assert(fps(1L).size < shingleCount)
   }
 
+  test("deterministic HLL sketch estimates within theoretical error and is partition-invariant") {
+    import graft.operators.ApproxDistinct
+    // corrected estimator on a range of cardinalities (small ones
+    // exercise the linear-counting branch)
+    val df = spark.range(0, 30000)
+      .select((col("id") % 3).cast("string").as("g"),
+        when(col("id") % 3 === 0, col("id") % 40)      // ~40 distinct
+          .when(col("id") % 3 === 1, col("id") % 500)  // ~500
+          .otherwise(col("id")).as("v"))               // ~10k
+    val est = ApproxDistinct.approxDistinct(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = df.groupBy("g").agg(countDistinct("v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val err = math.abs(est(k) - n) / n
+      // m=64 → standard error 1.04/8 = 13%; allow 3 sigma
+      assert(err < 0.39, s"$k: est ${est(k)} vs exact $n (err $err)")
+    }
+    // order/partitioning invariance: the clamped 2^-rho terms sum exactly
+    val ev = Tables(spark, sf).events
+    def run(d: org.apache.spark.sql.DataFrame) = ApproxDistinct
+      .approxDistinct(d, Seq("event_type"), "user_id", corrected = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(run(ev) == run(ev.repartition(13)))
+  }
+
   // ── similarity ────────────────────────────────────────────────────
   test("brute-force knn is symmetric-sane and deterministic") {
     val knn = Similarity
