@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.RollingHash64
+import graft.functions.{MixedHash64, RollingHash64, Sketches}
 
 /** Session extensions — the `SparkSessionExtensions` registration
   * path, so pure-SQL users get the engine's custom expressions
@@ -40,5 +40,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       )
     )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier(MixedHash64.name),
+        new ExpressionInfo(
+          classOf[MixedHash64].getCanonicalName,
+          null,
+          MixedHash64.name,
+          "_FUNC_(str) - rolling_hash64 finished with murmur3 fmix64 avalanche.",
+          ""
+        ),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(exprs.length == 1,
+            s"mixed_hash64 expects exactly 1 argument, got ${exprs.length}")
+          MixedHash64(exprs.head)
+        }
+      )
+    )
+    // sketch kernels (minhash_sig, simhash64, winnow_fp, gram_xxhashes)
+    Seq[(String, String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)](
+      ("minhash_sig", "_FUNC_(str, k, n) - MinHash signature over word k-grams.",
+        es => Sketches.MinHashSigExpr(es(0), intLit(es(1), "k"), intLit(es(2), "numHashes"))),
+      ("simhash64", "_FUNC_(str) - 64-bit SimHash over whitespace tokens.",
+        es => Sketches.SimHash64Expr(es(0))),
+      ("winnow_fp", "_FUNC_(str, k, w) - winnowing fingerprints (MOSS).",
+        es => Sketches.WinnowExpr(es(0), intLit(es(1), "k"), intLit(es(2), "w"))),
+      ("gram_xxhashes", "_FUNC_(str, k) - distinct word k-gram xxhash64 values.",
+        es => Sketches.GramXxHashesExpr(es(0), intLit(es(1), "k")))
+    ).foreach { case (name, usage, builder) =>
+      ext.injectFunction(
+        (new FunctionIdentifier(name),
+          new ExpressionInfo(Sketches.getClass.getCanonicalName, null, name, usage, ""),
+          builder))
+    }
+  }
+
+  private def intLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 }
