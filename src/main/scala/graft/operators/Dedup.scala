@@ -149,33 +149,38 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
+    // signatures computed ONCE and materialized: three consumers (the
+    // banding explode and both estimate-side lookups)
     val sigs = df
       .select(col(idCol).as("id"), minHashSignature(col(textCol), k, numHashes).as("sig"))
       .where(size(col("sig")) > 0)
+      .localCheckpoint()
+    // candidate discovery joins NARROW rows (id, band_idx, r band
+    // values) — the 64-long signatures do NOT travel through the
+    // self-join shuffle. At corpus scale the candidate set is orders
+    // of magnitude smaller than the banded set, so signatures are
+    // re-fetched afterwards only for survivors.
     val banded = sigs
-      .select(col("id"), col("sig"), explode(lshBands(col("sig"), bands, r)).as("band"))
-      .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_key"))
-      // both sides of the self-join read this frame — materialize the
-      // signatures once instead of recomputing them per side
-      .cache()
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b,
+      .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("band"))
+      .select(col("id"), col("band.band_idx"), col("band.band_key"))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
-      // compute the estimate BEFORE dedup so the distinct shuffles
-      // (id,id,double) rows, not two 64-long signature arrays per pair
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(
-        col("a.id").as("id_a"),
-        col("b.id").as("id_b"),
+        col("id_a"), col("id_b"),
         (aggregate(
-          zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0),
           (acc, v) => acc + v
         ).cast("double") / numHashes).as("est_jaccard")
       )
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 

@@ -251,29 +251,33 @@ object Similarity {
       dim: Int = -1
   ): DataFrame = {
     val d = if (dim > 0) dim else probeDim(corpus, vecCol)
+    // vectors + norms materialized once; candidate discovery joins
+    // NARROW (id, table_id, bucket) rows — the d-dim vectors do not
+    // travel through the self-join shuffle, they are re-fetched only
+    // for the (much smaller) candidate set when rescoring.
     val base = corpus
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("v_norm", sqrt(dotUnrolled(col("v"), col("v"), d)))
-    // per-table hyperplane seeds decorrelate the tables; a vector lands
-    // in one bucket per table. Signatures computed once, then reused by
-    // both sides of the self-join.
-    val tabled = (0 until tables).map { t =>
-      base.withColumn("table_id", lit(t))
-        .withColumn("bucket", hyperplaneSignature(col("v"), bits, seed = t))
-    }.reduce(_ union _).cache()
-    val a = tabled.alias("a")
-    val b = tabled.alias("b")
-    val pairs = a
-      .join(b,
+      .localCheckpoint()
+    // per-table hyperplane seeds decorrelate the tables; a vector
+    // lands in one bucket per table
+    val buckets = (0 until tables).map { t =>
+      base.select(col("id"), lit(t).as("table_id"),
+        hyperplaneSignature(col("v"), bits, seed = t).as("bucket"))
+    }.reduce(_ union _)
+    val cand = buckets.alias("a")
+      .join(buckets.alias("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.id") =!= col("b.id"))
-      .select(
-        col("a.id").as("query_id"), col("b.id").as("corpus_id"),
-        round(
-          dotUnrolled(col("a.v"), col("b.v"), d) / (col("a.v_norm") * col("b.v_norm")),
-          roundTo).as("sim"))
+      .select(col("a.id").as("query_id"), col("b.id").as("corpus_id"))
       .distinct()
+    val pairs = cand
+      .join(base.select(col("id").as("query_id"), col("v").as("qv"), col("v_norm").as("qn")), "query_id")
+      .join(base.select(col("id").as("corpus_id"), col("v").as("cv"), col("v_norm").as("cn")), "corpus_id")
+      .select(
+        col("query_id"), col("corpus_id"),
+        round(dotUnrolled(col("qv"), col("cv"), d) / (col("qn") * col("cn")), roundTo).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("corpus_id"))
     pairs
       .withColumn("rank", row_number().over(w))
