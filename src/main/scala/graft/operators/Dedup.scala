@@ -221,6 +221,79 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Exact-Jaccard verification RESTRICTED to a candidate pair set —
+    * the post-LSH step of the dedup pipeline. The shingle explode is
+    * semi-joined down to documents that appear in some candidate pair
+    * before the pair-counting join, so the quadratic step only ever
+    * touches the (tiny) candidate neighborhood, never the corpus.
+    */
+  def verifyCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      candidates: DataFrame, // (id_a, id_b)
+      k: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val ids = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sh = df
+      .select(col(idCol).as("id"),
+        explode(graft.functions.Sketches.gramXxHashesCol(col(textCol), k)).as("h"))
+      .join(ids, Seq("id"), "left_semi")
+      .localCheckpoint()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val counts = sh.alias("x")
+      .join(sh.alias("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+    counts
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The COMPLETE near-dup pipeline a training-data team runs, as one
+    * composable operator: MinHash signatures → LSH candidate pairs →
+    * exact-Jaccard verification on candidates only → connected
+    * components → per-document keeper assignment (keeper = min id in
+    * the component; isolated documents keep themselves).
+    *
+    * Shuffle profile at 100 TB: one scan for signatures, one narrow
+    * band-key shuffle for candidates, pair verification confined to
+    * the candidate neighborhood, and a component resolution whose
+    * input is the (tiny) verified edge list.
+    *
+    * @return (doc_id, keeper_id, is_kept)
+    */
+  def dedupPipeline(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      candidateThreshold: Double = 0.35,
+      jaccardThreshold: Double = 0.5
+  ): DataFrame = {
+    val cand = minHashCandidates(df, idCol, textCol, k, numHashes, bands, candidateThreshold)
+      .select("id_a", "id_b")
+    val edges = verifyCandidates(df, idCol, textCol, cand, k, jaccardThreshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comps = Graph.connectedComponents(edges)
+    df.select(col(idCol).as("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("keeper_id"))
+      .withColumn("is_kept", col("doc_id") === col("keeper_id"))
+  }
+
   // ── winnowing ─────────────────────────────────────────────────────
   /** Winnowing fingerprints (the MOSS document-fingerprint scheme):
     * the minimum k-gram hash in every window of `w` consecutive

@@ -180,51 +180,96 @@ object TrainingData {
   // ── approximate dedup — every sketch below is EXACTLY reproduced
   // in DuckDB SQL (rolling-hash fold in HUGEINT arithmetic), so the
   // oracle verifies the full pipeline bit-for-bit, not just recall ──
-  /** MinHash + LSH banding. The oracle recomputes signatures (64
-    * universal hashes over the Mersenne-prime domain, identical (a,b)
-    * constants), bands them 16×4, joins on exact band values, and
-    * applies the same estimate threshold.
+  /** Shared CTE chain: MinHash signature replay (64 universal hashes
+    * over the Mersenne-prime domain, identical (a,b) constants),
+    * 16×4 banding on exact values, candidate pairs with estimate ≥
+    * 0.35. Ends with `cand(id_a, id_b, est_jaccard)`; `grams` stays
+    * referenceable for downstream exact verification.
     */
+  private def minhashCandCtes: String = {
+    val ab = Dedup.hashParams(64)
+    val alist = ab.map(_._1).mkString("[", ",", "]")
+    val blist = ab.map(_._2).mkString("[", ",", "]")
+    s"""words AS (
+       |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |  FROM words, UNNEST(range(1, LEN(w) - 1)) AS t(i)),
+       |gh AS (
+       |  SELECT doc_id, ((${toSignedSql("u")} % 2147483647) + 2147483647) % 2147483647 AS h
+       |  FROM (SELECT doc_id, ${foldSql("g")} AS u FROM grams)),
+       |sig AS (
+       |  SELECT doc_id, CAST(i AS INT) AS i,
+       |    MIN(($alist[CAST(i AS INT) + 1] * h + $blist[CAST(i AS INT) + 1]) % 2147483647) AS s
+       |  FROM gh, range(64) r(i) GROUP BY doc_id, i),
+       |sigs AS (SELECT doc_id, list(s ORDER BY i) AS sg FROM sig GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, CAST(i // 4 AS INT) AS band_idx, list(s ORDER BY i) AS key
+       |  FROM sig GROUP BY doc_id, i // 4),
+       |cand0 AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_idx = y.band_idx AND x.key = y.key AND x.doc_id < y.doc_id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    CAST(LEN(list_filter(range(1, 65),
+       |      j -> sa.sg[CAST(j AS INT)] = sb.sg[CAST(j AS INT)])) AS DOUBLE) / 64 AS est_jaccard
+       |  FROM cand0 JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id),
+       |cand AS (SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.35)""".stripMargin
+  }
+
   val dd01MinHash = Query(
-    "dd01_minhash_lsh", {
-      val ab = Dedup.hashParams(64)
-      val alist = ab.map(_._1).mkString("[", ",", "]")
-      val blist = ab.map(_._2).mkString("[", ",", "]")
-      Some(
-        s"""WITH words AS (
-           |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
-           |grams AS (
-           |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-           |  FROM words, UNNEST(range(1, LEN(w) - 1)) AS t(i)),
-           |gh AS (
-           |  SELECT doc_id, ((${toSignedSql("u")} % 2147483647) + 2147483647) % 2147483647 AS h
-           |  FROM (SELECT doc_id, ${foldSql("g")} AS u FROM grams)),
-           |sig AS (
-           |  SELECT doc_id, CAST(i AS INT) AS i,
-           |    MIN(($alist[CAST(i AS INT) + 1] * h + $blist[CAST(i AS INT) + 1]) % 2147483647) AS s
-           |  FROM gh, range(64) r(i) GROUP BY doc_id, i),
-           |sigs AS (SELECT doc_id, list(s ORDER BY i) AS sg FROM sig GROUP BY doc_id),
-           |banded AS (
-           |  SELECT doc_id, CAST(i // 4 AS INT) AS band_idx, list(s ORDER BY i) AS key
-           |  FROM sig GROUP BY doc_id, i // 4),
-           |cand AS (
-           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           |  FROM banded x JOIN banded y
-           |    ON x.band_idx = y.band_idx AND x.key = y.key AND x.doc_id < y.doc_id),
-           |est AS (
-           |  SELECT id_a, id_b,
-           |    CAST(LEN(list_filter(range(1, 65),
-           |      j -> sa.sg[CAST(j AS INT)] = sb.sg[CAST(j AS INT)])) AS DOUBLE) / 64 AS est_jaccard
-           |  FROM cand JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id)
-           |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.35
-           |ORDER BY id_a, id_b""".stripMargin)
-    },
+    "dd01_minhash_lsh",
+    Some(
+      s"""WITH $minhashCandCtes
+         |SELECT id_a, id_b, est_jaccard FROM cand ORDER BY id_a, id_b""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
       Query.checkpointSort(
         Dedup.minHashCandidates(t.documents, "doc_id", "text",
           k = 3, numHashes = 64, bands = 16, threshold = 0.35),
         "id_a", "id_b")
+    }
+  )
+
+  /** The complete near-dup pipeline as ONE operator
+    * (Dedup.dedupPipeline): MinHash → LSH candidates (est ≥ 0.35) →
+    * exact-Jaccard verification on candidates only (≥ 0.5) →
+    * connected components → keeper = min id per component. The oracle
+    * replays every stage: the shared MinHash CTE chain, a
+    * candidate-restricted exact-Jaccard check, a recursive-CTE
+    * closure, and the final left-join keeper assignment.
+    */
+  val dd07DedupPipeline = Query(
+    "dd07_dedup_pipeline",
+    Some(
+      s"""WITH RECURSIVE $minhashCandCtes,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |counts AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+         |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+         |  JOIN cand ON cand.id_a = x.doc_id AND cand.id_b = y.doc_id
+         |  GROUP BY 1, 2),
+         |edges0 AS (
+         |  SELECT id_a AS a, id_b AS b FROM counts
+         |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+         |edges AS (SELECT a AS src, b AS dst FROM edges0 UNION SELECT b, a FROM edges0),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS keeper_id,
+         |  d.doc_id = COALESCE(comp.component, d.doc_id) AS is_kept
+         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Dedup.dedupPipeline(t.documents, "doc_id", "text"),
+        "doc_id")
     }
   )
 
@@ -797,7 +842,7 @@ object TrainingData {
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
-    dd04CosineDup, dd06Winnow, ss01CosineKnn, ss02LshAnn, ss03IvfAnn,
+    dd04CosineDup, dd06Winnow, dd07DedupPipeline, ss01CosineKnn, ss02LshAnn, ss03IvfAnn,
     mm01BinaryMeta, mm02MediaFeatures,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
     st01Sessionize, st02SlidingWindow, td08NormalizedFp, td09Repetition,

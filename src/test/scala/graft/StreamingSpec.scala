@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("sliding-window streaming agg (1h/30m + watermark) equals the batch st02 shape") {
+    val dir = Files.createTempDirectory("graft-slide").toString
+    val batch = Tables(spark, "/root/testdata/sf0.001").events
+    batch.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("slide_counts")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slide_counts")
+      .orderBy("win_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val want = batch
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     val batch = Tables(spark, "/root/testdata/sf0.001").events.limit(200)
