@@ -42,7 +42,12 @@ object Sketches {
   val Seed = 1469598103934665603L // FNV offset basis, same as RollingHash64
   val MersennePrime: Long = (1L << 31) - 1
 
-  private[functions] def tokens(input: UTF8String): Array[String] =
+  /** Exactly `split(trim(text), "\\s+")`: UTF8String.trim strips ' '
+    * only (like Spark's trim), split keeps trailing empties
+    * (limit -1, like Spark's 2-arg split). Public: FunctionsSpec
+    * property-checks this identity against the Spark expression.
+    */
+  def tokens(input: UTF8String): Array[String] =
     Ws.split(input.trim().toString, -1)
 
   /** rolling_hash64 of words(from)..words(from+k-1) joined with ' ',

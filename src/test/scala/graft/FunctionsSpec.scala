@@ -39,6 +39,27 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("Sketches tokenizer matches Spark's split(trim(text), '\\s+') on arbitrary whitespace") {
+    // every sketch kernel depends on this identity — drift here would
+    // silently desync the native kernels from their SQL oracles
+    val wsChars = Gen.oneOf(' ', '\t', '\n', '\r', 'a', 'b', 'Z', '9', '.', ',')
+    val gen = Gen.listOfN(30, wsChars).map(_.mkString)
+    val texts = Iterator.continually(gen.sample).flatten.take(150).toSeq ++
+      Seq("", " ", "\t", "a", " a ", "\ta b\n", "a  b", "\n\n", "x\r\ny")
+    val df = texts.toDF("t")
+    val sparkSide = df
+      .select(org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.trim($"t"), "\\s+").as("w"))
+      .collect()
+      .map(_.getSeq[String](0).toList)
+    val kernelSide = texts.map(t =>
+      graft.functions.Sketches.tokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)).toList)
+    sparkSide.zip(kernelSide).zip(texts).foreach { case ((a, b), t) =>
+      assert(a == b, s"tokenizer drift on ${t.map(_.toInt).mkString("[", ",", "]")}: $a vs $b")
+    }
+  }
+
   // T4 metadata parse (generic_import.py:86-125 semantics)
   test("parseMetadata filename index splits basename on delimiter") {
     val f = "20250401T120000_MeetMax_119179.xls"

@@ -121,6 +121,27 @@ class ReportOpsSpec extends SparkSpec {
       s"expected z-order to skip: z=$zBytes natural=$naturalBytes")
   }
 
+  test("file stats report: clustered writes give disjoint per-file ranges, unclustered overlap") {
+    import graft.ops.FileStats
+    val root = Files.createTempDirectory("graft-filestats")
+    val df = spark.range(0, 50000)
+      .selectExpr("id", "cast(pmod(hash(id), 1000) as int) as k")
+    // unclustered: k is scattered → every file spans ~the full k range
+    df.repartition(5).write.parquet(s"$root/scattered")
+    // clustered: range-partition + sort on k → disjoint per-file ranges
+    df.repartitionByRange(5, col("k")).sortWithinPartitions("k")
+      .write.parquet(s"$root/clustered")
+
+    val stats = FileStats.parquetColumnStats(spark, s"$root/clustered")
+    assert(stats.filter(col("column") === "k").count() >= 5)
+
+    def overlaps(path: String): Long =
+      FileStats.pruningReport(spark, path, "k")
+        .filter(col("overlaps_prev")).count()
+    assert(overlaps(s"$root/scattered") > 0, "scattered files should overlap on k")
+    assert(overlaps(s"$root/clustered") == 0, "clustered files must be disjoint on k")
+  }
+
   test("interleave_bits matches a reference morton implementation") {
     graft.functions.InterleaveBits.register(spark)
     def ref(a: Int, b: Int): Long = {
