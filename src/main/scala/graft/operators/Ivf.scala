@@ -42,7 +42,9 @@ object Ivf {
 
   /** Lloyd's k-means. Init = the k vectors with smallest ids
     * (deterministic); each iteration is one broadcast-assign pass and
-    * one (cluster, dim)-cell aggregation.
+    * one (cluster, dim)-cell aggregation. With the decimal-exact mean
+    * reduction below, the trained centroids are bit-identical across
+    * runs and partitionings — reproducible index builds.
     */
   def train(
       df: DataFrame,
@@ -67,12 +69,17 @@ object Ivf {
           (best, v)
         }
       }
-      // per-cluster mean via (cluster, dim) cells — k×d aggregation
+      // per-cluster mean via (cluster, dim) cells — k×d aggregation.
+      // The sum goes through per-value DECIMAL(28,14) casts: each cast
+      // rounds deterministically, decimal addition is exact, so the
+      // centroid bits are independent of partitioning/reduction order
+      // — training is REPRODUCIBLE (a plain double avg() varies with
+      // partial-aggregation order).
       val means = assigned
         .flatMap { case (c, v) => v.indices.map(i => (c, i, v(i))) }
         .toDF("c", "i", "x")
         .groupBy("c", "i")
-        .agg(avg("x").as("m"), count(lit(1)).as("n"))
+        .agg((sum(col("x").cast("decimal(28,14)")).cast("double") / count(lit(1))).as("m"))
         .collect()
       val byCluster = means.groupBy(_.getInt(0))
       centroids = centroids.indices.map { c =>

@@ -8,11 +8,11 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal plumbing) + ingestion scalar ops, instantiated
   * against the `documents`/`embeddings` tables as verifiable queries.
-  * Every deterministic op carries a DuckDB oracle — including the
-  * MinHash/SimHash/winnowing sketches, whose rolling-hash base is
-  * reproduced in SQL via HUGEINT mod-2^64 arithmetic; the few
-  * data-dependent ops (k-means IVF, HLL) are rows-only and verified
-  * against exact ground truth in their ScalaTest specs.
+  * Every op carries a DuckDB oracle except td07 (Spark's
+  * engine-private HLL++, which td12's deterministic HLL covers) —
+  * including the MinHash/SimHash/winnowing sketches and the IVF
+  * k-means pipeline, whose hash/centroid arithmetic is reproduced in
+  * SQL exactly (HUGEINT mod-2^64 folds, decimal-exact means).
   */
 object TrainingData {
 
@@ -428,13 +428,64 @@ object TrainingData {
   )
 
   /** IVF ANN (k-means coarse quantizer + probe search) — the
-    * beyond-LSH scale path. Rows-only: the trained centroids depend on
-    * FP aggregation order, so exact bits vary run-to-run; recall and
-    * the nprobe=k exactness property are asserted in OperatorsSpec.
+    * beyond-LSH scale path. Training is deterministic (decimal-exact
+    * centroid means, smallest-id init), so the oracle replays the
+    * ENTIRE pipeline: three unrolled Lloyd iterations (left-assoc
+    * distance folds, row_number argmin with index tiebreak,
+    * DECIMAL(28,14) mean reduction), the index assignment, nprobe=4
+    * probe selection, and the rounded-cosine top-k.
     */
   val ss03IvfAnn = Query(
-    "ss03_ivf_ann",
-    None,
+    "ss03_ivf_ann", {
+      val (dim, k, iters, nprobe, topK) = (64, 16, 3, 4, 3)
+      def fold(term: String) =
+        s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
+           |      i -> $term)), (a, x) -> a + x)""".stripMargin
+      def dist(v: String, cv: String) =
+        fold(s"($v[CAST(i AS INT)]-$cv[CAST(i AS INT)])*($v[CAST(i AS INT)]-$cv[CAST(i AS INT)])")
+      def dot(a: String, b: String) = fold(s"$a[CAST(i AS INT)]*$b[CAST(i AS INT)]")
+      def norm(v: String) = s"SQRT(${dot(v, v)})"
+      def assignAndUpdate(prev: String, n: Int) =
+        s"""asg$n AS (
+           |  SELECT id, v, c FROM (
+           |    SELECT b0.id, b0.v, $prev.c, ROW_NUMBER() OVER (
+           |      PARTITION BY b0.id ORDER BY ${dist("b0.v", s"$prev.cv")}, $prev.c) AS rn
+           |    FROM b0 CROSS JOIN $prev) WHERE rn = 1),
+           |cm$n AS (
+           |  SELECT c, i, CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM (SELECT c, UNNEST(v) AS x, UNNEST(range(1, ${dim + 1})) AS i FROM asg$n)
+           |  GROUP BY c, i),
+           |c$n AS (
+           |  SELECT c, list(m ORDER BY i) AS cv FROM cm$n GROUP BY c
+           |  UNION ALL
+           |  SELECT c, cv FROM $prev WHERE c NOT IN (SELECT DISTINCT c FROM asg$n))""".stripMargin
+      val iterCtes = (1 to iters).map(n => assignAndUpdate(s"c${n - 1}", n)).mkString(",\n")
+      val last = s"c$iters"
+      Some(
+        s"""WITH b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS c, v AS cv
+           |       FROM (SELECT id, v FROM b0 ORDER BY id LIMIT $k)),
+           |$iterCtes,
+           |idx AS (
+           |  SELECT id, v, c FROM (
+           |    SELECT b0.id, b0.v, $last.c, ROW_NUMBER() OVER (
+           |      PARTITION BY b0.id ORDER BY ${dist("b0.v", s"$last.cv")}, $last.c) AS rn
+           |    FROM b0 CROSS JOIN $last) WHERE rn = 1),
+           |q AS (SELECT id AS qid, v AS qv FROM b0 WHERE id < 50),
+           |probe AS (
+           |  SELECT qid, qv, c FROM (
+           |    SELECT q.qid, q.qv, $last.c, ROW_NUMBER() OVER (
+           |      PARTITION BY q.qid ORDER BY ${dist("q.qv", s"$last.cv")}, $last.c) AS rn
+           |    FROM q CROSS JOIN $last) WHERE rn <= $nprobe),
+           |pairs AS (
+           |  SELECT probe.qid AS query_id, idx.id AS corpus_id,
+           |    ROUND(${dot("probe.qv", "idx.v")} /
+           |          (${norm("probe.qv")} * ${norm("idx.v")}), 4) AS sim
+           |  FROM probe JOIN idx ON probe.c = idx.c AND idx.id <> probe.qid)
+           |SELECT query_id, corpus_id, sim, CAST(r AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+           |  FROM pairs) WHERE r <= $topK ORDER BY query_id, rank""".stripMargin)
+    },
     (spark, dir) => {
       val t = Tables(spark, dir)
       val model = graft.operators.Ivf.train(t.embeddings, "vec_id", "embedding", k = 16, iters = 3)

@@ -260,6 +260,10 @@ class OperatorsSpec extends SparkSpec {
     val full = Ivf.search(indexed, emb, "vec_id", "embedding", model, k = 3, nprobe = 8)
       .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == brute)
+    // reproducible training: the decimal-exact mean reduction makes
+    // centroids bit-identical across input partitionings
+    val model2 = Ivf.train(emb.repartition(7), "vec_id", "embedding", k = 8, iters = 4)
+    assert(model.centroids.map(_.toSeq).toSeq == model2.centroids.map(_.toSeq).toSeq)
   }
 
   test("approx_count_distinct sketch stays within rsd bounds of exact") {
