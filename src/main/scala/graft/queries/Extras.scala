@@ -313,9 +313,77 @@ object Extras {
     }
   )
 
+  /** INTERSECT — the remaining set operator (EXCEPT = q09,
+    * UNION-dedup = q10): tickers^W customers active in both years.
+    */
+  val x11Intersect = Query(
+    "x11_intersect",
+    Some("""SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+            |INTERSECT
+            |SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+            |ORDER BY o_custkey""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      def yr(y: Int) = t.orders.filter(year(col("o_orderdate")) === y).select("o_custkey")
+      yr(1995).intersect(yr(1996)).orderBy("o_custkey")
+    }
+  )
+
+  /** RANGE-frame window (value-based, not row-based): trailing 7-day
+    * order count per customer — rows with equal dates share a frame,
+    * unlike the ROWS frames in x09. Both engines order by integer
+    * days-since-epoch so the frame arithmetic is identical.
+    */
+  val x12RangeFrame = Query(
+    "x12_range_frame",
+    Some("""SELECT o_orderkey, o_custkey,
+            |  COUNT(*) OVER (PARTITION BY o_custkey
+            |                 ORDER BY DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            |                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_trailing_7d
+            |FROM orders ORDER BY o_orderkey""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val days = datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+      val w = Window.partitionBy("o_custkey").orderBy(days).rangeBetween(-6, 0)
+      t.orders
+        .select(col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("n_trailing_7d"))
+        .orderBy("o_orderkey")
+    }
+  )
+
+  /** first_value / last_value / nth_value over an explicit full-frame
+    * window — per-priority price span per order date order.
+    */
+  val x13FirstLast = Query(
+    "x13_first_last",
+    Some("""SELECT o_orderkey, o_orderpriority,
+            |  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+            |  LAST_VALUE(o_orderkey) OVER w AS last_key,
+            |  NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+            |FROM orders
+            |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+            |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            |ORDER BY o_orderkey""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t.orders
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy("o_orderkey")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
-    x10GapsIslands
+    x10GapsIslands, x11Intersect, x12RangeFrame, x13FirstLast
   )
 }
