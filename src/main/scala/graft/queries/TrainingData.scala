@@ -817,6 +817,78 @@ object TrainingData {
     }
   )
 
+  /** Benchmark-contamination check (decontamination shape): fraction
+    * of each training document's word 5-grams that appear anywhere in
+    * a "benchmark" document set (stand-in: every 50th doc). One gram
+    * explode + one semi-join on the 8-byte gram hash — the standard
+    * scalable containment test.
+    */
+  val td13Contamination = Query(
+    "td13_contamination",
+    Some("""WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w FROM documents),
+            |g AS (SELECT DISTINCT doc_id,
+            |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+            |      FROM words, UNNEST(range(1, LEN(w) - 3)) AS t(i)),
+            |bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 50 = 0),
+            |train AS (SELECT doc_id, s FROM g WHERE doc_id % 50 <> 0),
+            |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id),
+            |hit AS (SELECT doc_id, COUNT(*) AS n_hits FROM train
+            |        WHERE s IN (SELECT s FROM bench) GROUP BY doc_id)
+            |SELECT tot.doc_id AS doc_id, n_grams, COALESCE(n_hits, 0) AS n_hits,
+            |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_grams AS contamination
+            |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+            |ORDER BY tot.doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val grams = t.documents
+        .select(col("doc_id"),
+          explode(graft.functions.Sketches.gramXxHashesCol(col("text"), 5)).as("h"))
+      val bench = grams.filter(col("doc_id") % 50 === 0).select("h").distinct()
+      val train = grams.filter(col("doc_id") % 50 =!= 0)
+      val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hit = train.join(bench, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      tot.join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_grams")).as("contamination"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** Deterministic stratified sampling (data-mixing shape): per-source
+    * sampling rates applied via a hash threshold on the document id —
+    * reproducible across runs/partitions (unlike rand()-based
+    * sample()), and the SQL oracle replays the identical hash.
+    */
+  val td14StratifiedSample = Query(
+    "td14_stratified_sample", {
+      val fold = foldSql("CAST(doc_id AS VARCHAR)")
+      // pmod over the SIGNED value (2^64 % 1000 != 0, so unsigned-mod
+      // and signed-pmod disagree — convert before bucketing)
+      val signed = toSignedSql(s"(${fmixSql(s"($fold)")})")
+      Some(
+        s"""WITH h AS (
+           |  SELECT doc_id, source, (($signed % 1000) + 1000) % 1000 AS b
+           |  FROM documents)
+           |SELECT doc_id, source FROM h
+           |WHERE b < CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 500 ELSE 100 END
+           |ORDER BY doc_id""".stripMargin)
+    },
+    (spark, dir) => {
+      graft.functions.MixedHash64.register(spark)
+      val t = Tables(spark, dir)
+      val bucket = pmod(graft.functions.MixedHash64(col("doc_id").cast("string")), lit(1000L))
+      val rate = when(col("source") === "src0", 900)
+        .when(col("source") === "src1", 500)
+        .otherwise(100)
+      t.documents
+        .filter(bucket < rate)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }
+  )
+
   /** Sliding event-time windows (1h window, 30m slide) — the
     * Structured Streaming windowed-aggregation shape run in batch
     * (identical semantics; StreamingSpec proves stream/batch agreement
@@ -897,6 +969,6 @@ object TrainingData {
     mm01BinaryMeta, mm02MediaFeatures,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
     st01Sessionize, st02SlidingWindow, td08NormalizedFp, td09Repetition,
-    td10Pii, td11Tfidf, td12HllSketch
+    td10Pii, td11Tfidf, td12HllSketch, td13Contamination, td14StratifiedSample
   )
 }
