@@ -96,6 +96,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("datasetid-partitioned fact + filtered registry join prunes partitions dynamically") {
+    // the §1.1 design claim: "latest active version" resolution must
+    // become file-level pruning, not a full fact scan
+    val root = java.nio.file.Files.createTempDirectory("graft-dpp")
+    val fact = spark.range(0, 20000)
+      .selectExpr("id", "cast(id % 20 as bigint) as datasetid", "cast(id % 7 as int) as v")
+    fact.write.partitionBy("datasetid").parquet(s"$root/fact")
+    val registry = spark.range(0, 20)
+      .selectExpr("id as datasetid", "id % 10 = 0 as isactive")
+    val joined = spark.read.parquet(s"$root/fact")
+      .join(registry.filter(col("isactive")), Seq("datasetid"))
+      .groupBy("datasetid").count()
+    val p = plan(joined)
+    // the scan's PartitionFilters must carry the runtime pruning
+    // subquery (dynamicpruning expression) fed by the registry filter
+    assert(p.contains("dynamicpruning"), s"expected dynamic partition pruning:\n$p")
+    // correctness: only the 2 active datasets' partitions contribute
+    // (partition-dir values read back as int — compare numerically)
+    val rows = joined.collect()
+    assert(rows.map(_.getAs[Number](0).longValue).toSet == Set(0L, 10L))
+  }
+
   test("bucketed range join avoids nested-loop plans and equals the naive form") {
     val t = Tables(spark, sf)
     val intervals = t.orders
