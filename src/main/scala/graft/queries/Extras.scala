@@ -381,9 +381,42 @@ object Extras {
     }
   )
 
+  /** Cohort retention — the classic product-analytics matrix: users
+    * grouped by first-activity week, retention = distinct active
+    * users per (cohort week, activity week) over cohort size.
+    */
+  val x14CohortRetention = Query(
+    "x14_cohort_retention",
+    Some("""WITH f AS (SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+            |          FROM events GROUP BY user_id),
+            |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS activity_week
+            |      FROM events),
+            |j AS (SELECT f.cohort_week AS cohort_week, a.activity_week, COUNT(*) AS n_active
+            |      FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2),
+            |c AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM f GROUP BY 1)
+            |SELECT j.cohort_week AS cohort_week, activity_week, n_active, cohort_size,
+            |  CAST(n_active AS DOUBLE) / cohort_size AS retention
+            |FROM j JOIN c ON j.cohort_week = c.cohort_week
+            |ORDER BY cohort_week, activity_week""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val wk = to_date(date_trunc("week", col("ts")))
+      val first = t.events.groupBy("user_id").agg(min(wk).as("cohort_week"))
+      val active = t.events.select(col("user_id"), wk.as("activity_week")).distinct()
+      val j = active.join(first, "user_id")
+        .groupBy("cohort_week", "activity_week").agg(count(lit(1)).as("n_active"))
+      val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+      j.join(sizes, "cohort_week")
+        .select(col("cohort_week"), col("activity_week"), col("n_active"), col("cohort_size"),
+          (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+        .orderBy("cohort_week", "activity_week")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
-    x10GapsIslands, x11Intersect, x12RangeFrame, x13FirstLast
+    x10GapsIslands, x11Intersect, x12RangeFrame, x13FirstLast,
+    x14CohortRetention
   )
 }

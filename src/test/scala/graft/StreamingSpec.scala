@@ -92,6 +92,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == 200)
   }
 
+  test("watermark drops late data in append-mode windowed aggregation") {
+    val dir = Files.createTempDirectory("graft-late").toString
+    import java.sql.Timestamp
+    import spark.implicits._
+    def write(name: String, rows: Seq[(Timestamp, String)]): Unit =
+      rows.toDF("ts", "k").repartition(1).write.parquet(s"$dir/in/$name")
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: events up to 12:00 → watermark moves to 12:00 - 10m = 11:50
+    write("b1", Seq(
+      (t("2024-01-01 10:05:00"), "a"),
+      (t("2024-01-01 10:20:00"), "a"),
+      (t("2024-01-01 12:00:00"), "b")))
+
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in/*")
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win"), col("n"))
+    val q = agg.writeStream
+      .outputMode("append") // append emits a window only once it's final
+      .format("memory")
+      .queryName("late_drop")
+      .start()
+    q.processAllAvailable() // batch 1 commits; watermark = 11:50
+    // batch 2: a LATE event at 10:07 — its 10:00 window closed at 11:50
+    write("b2", Seq((t("2024-01-01 10:07:00"), "late")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_drop").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // the finalized 10:00 window counts ONLY the two on-time events;
+    // the late arrival was discarded, not double-emitted
+    assert(out.get(t("2024-01-01 10:00:00")).contains(2L),
+      s"late row must be dropped from the closed window: $out")
+  }
+
   test("file-source ingestion with Trigger.AvailableNow lands batches through foreachBatch") {
     val root = Files.createTempDirectory("graft-stream2")
     val in = Files.createDirectories(root.resolve("landing"))
