@@ -130,6 +130,40 @@ class StreamingSpec extends SparkSpec {
       s"late row must be dropped from the closed window: $out")
   }
 
+  test("stream-stream interval join (clicks before purchase, both watermarked) equals batch") {
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    purchases.write.parquet(s"$dir/p")
+    clicks.write.parquet(s"$dir/c")
+
+    def src(path: String) = {
+      val schema = spark.read.parquet(path).schema
+      spark.readStream.schema(schema).parquet(path)
+    }
+    val joinCond = expr(
+      "user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts")
+    val joined = src(s"$dir/p").withWatermark("p_ts", "1 hour")
+      .join(src(s"$dir/c").withWatermark("c_ts", "1 hour"), joinCond, "inner")
+      .select("p_id", "c_id")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ssj_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = purchases.join(clicks, joinCond, "inner")
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("file-source ingestion with Trigger.AvailableNow lands batches through foreachBatch") {
     val root = Files.createTempDirectory("graft-stream2")
     val in = Files.createDirectories(root.resolve("landing"))
