@@ -21,33 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 64-bit token hash used by every sketch in this file: the
-    * polynomial rolling hash (graft.functions.RollingHash64, a codegen
-    * Catalyst expression). Chosen over xxhash64 deliberately — its
-    * fold is reproducible in plain SQL (HUGEINT mod-2^64 arithmetic),
-    * so MinHash/SimHash/winnowing get EXACT DuckDB oracles instead of
-    * rows-only checks. Quality is sufficient for sketching (measured:
-    * MinHash |est − exact| ≤ 0.16, SimHash near/far hamming 4/29 on
-    * the spec fixtures).
-    */
-  def tokenHash64(c: Column): Column = {
-    graft.functions.RollingHash64.register(org.apache.spark.sql.SparkSession.active)
-    graft.functions.RollingHash64(c)
-  }
+  // Hash note: every sketch in this file hashes tokens/grams with the
+  // polynomial rolling hash (functions.RollingHash64 family), chosen
+  // over xxhash64 deliberately — its fold is reproducible in plain SQL
+  // (HUGEINT mod-2^64 arithmetic), so MinHash/SimHash/winnowing get
+  // EXACT DuckDB oracles instead of rows-only checks. Quality is
+  // sufficient for sketching (measured: MinHash |est − exact| ≤ 0.16,
+  // SimHash near/far hamming 4/29 on the spec fixtures).
 
   // ── shingling ─────────────────────────────────────────────────────
   /** Distinct word k-grams of `text` as an array column. Pure per-row
     * HOF compute (split → slice windows → concat), no shuffle.
+    * The hot paths use the native kernels in functions.Sketches; this
+    * declarative form remains the readable reference (specs compare
+    * against it).
     */
   def wordShingles(text: Column, k: Int): Column =
     shinglesFromWords(split(trim(text), "\\s+"), k)
-
-  /** Positional (non-distinct) word k-grams — the winnowing input:
-    * window selection is over the document's gram SEQUENCE, so
-    * duplicates must keep their positions.
-    */
-  def wordShinglesAll(text: Column, k: Int): Column =
-    slidingGrams(split(trim(text), "\\s+"), k)
 
   private def slidingGrams(words: Column, k: Int): Column = {
     val n = size(words)
