@@ -89,4 +89,69 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         onUser(gapSeconds))
   }
+
+  /** Timeout-closing transition: like [[onUser]], but the open tail
+    * session is ALSO emitted once the event-time watermark passes
+    * `last event + gap` — an idle user's final session surfaces
+    * without waiting for their next visit, and its state is dropped
+    * (the carried tombstone keeps only the next session number, so
+    * numbering stays continuous at O(1) state per idle user).
+    */
+  def onUserTimeout(
+      gapSeconds: Long
+  )(userId: Long, events: Iterator[Event], state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      // keep a tombstone carrying the next session number; startMicros
+      // = -1 flags "no open session"
+      state.update(SessionState(s.sessionNum + 1, -1L, s.lastMicros, 0L))
+      return Iterator.single(
+        SessionOut(userId, s.sessionNum, s.nEvents, toTs(s.startMicros), toTs(s.lastMicros)))
+    }
+    val gapMicros = gapSeconds * 1000000L
+    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    var st = state.getOption.orNull
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val m = micros(e.ts)
+      st match {
+        case null =>
+          st = SessionState(1L, m, m, 1L)
+        case s if s.startMicros < 0 => // tombstone: open a new session
+          st = SessionState(s.sessionNum, m, m, 1L)
+        case s if m - s.lastMicros > gapMicros =>
+          out += SessionOut(userId, s.sessionNum, s.nEvents,
+            toTs(s.startMicros), toTs(s.lastMicros))
+          st = SessionState(s.sessionNum + 1, m, m, 1L)
+        case s =>
+          st = s.copy(lastMicros = math.max(s.lastMicros, m), nEvents = s.nEvents + 1)
+      }
+    }
+    if (st != null) {
+      state.update(st)
+      if (st.startMicros >= 0)
+        state.setTimeoutTimestamp(st.lastMicros / 1000 + gapSeconds * 1000)
+    }
+    out.result().iterator
+  }
+
+  /** Streaming sessionization with event-time timeout: requires a
+    * watermark on `ts` (the timeout fires when the watermark passes
+    * last-event + gap).
+    */
+  def sessionsWithTimeout(
+      events: DataFrame,
+      gapSeconds: Long,
+      watermarkDelay: String = "10 minutes"
+  ): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts", "event_id")
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        onUserTimeout(gapSeconds))
+  }
 }

@@ -31,4 +31,43 @@ class SessionizeSpec extends SparkSpec {
       s"streamed=${streamed.size} expectedClosed=${expectedClosed.size}")
     assert(streamed.nonEmpty, "fixture should close at least one session")
   }
+
+  test("event-time timeout closes the idle tail session and keeps numbering continuous") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sess-timeout").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    def write(name: String, rows: Seq[(Long, Timestamp, Long)]): Unit =
+      rows.toDF("user_id", "ts", "event_id").repartition(1).write.parquet(s"$dir/in/$name")
+    // user 1: two events 10:00/10:05 (one session), then goes idle
+    write("b1", Seq((1L, t("2024-01-01 10:00:00"), 1L), (1L, t("2024-01-01 10:05:00"), 2L)))
+
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in/*")
+    val q = Sessionize
+      .sessionsWithTimeout(stream.toDF(), gapSeconds = 1800, watermarkDelay = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("sess_to").start()
+    q.processAllAvailable()
+    assert(spark.table("sess_to").isEmpty, "session must stay open before the watermark passes")
+
+    // user 2's late-morning event pushes the watermark past 10:05+30m
+    write("b2", Seq((2L, t("2024-01-01 12:00:00"), 3L)))
+    q.processAllAvailable()
+    val afterTimeout = spark.table("sess_to").as[Sessionize.SessionOut].collect()
+    assert(afterTimeout.map(s => (s.user_id, s.session_num, s.n_events)).toSet ==
+      Set((1L, 1L, 2L)), s"idle session must close via timeout: ${afterTimeout.toSeq}")
+
+    // user 1 returns: the next session continues the numbering (2)
+    write("b3", Seq((1L, t("2024-01-01 13:00:00"), 4L), (1L, t("2024-01-01 13:01:00"), 5L),
+      (2L, t("2024-01-01 15:00:00"), 6L)))
+    q.processAllAvailable()
+    write("b4", Seq((2L, t("2024-01-01 16:00:00"), 7L))) // advance watermark past 13:01+30m
+    q.processAllAvailable()
+    q.stop()
+    val finalOut = spark.table("sess_to").as[Sessionize.SessionOut].collect()
+      .filter(_.user_id == 1L).map(s => (s.session_num, s.n_events)).toSet
+    assert(finalOut == Set((1L, 2L), (2L, 2L)), s"numbering must continue: $finalOut")
+  }
 }
