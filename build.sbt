@@ -14,6 +14,10 @@ run / fork := true
 // Forked run output must hit stdout directly (no "[info] " logger
 // prefix) so the driver can parse Bench's single JSON line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and nothing may print AFTER that line: sbt's trailing
+// "[success] Total time: …" banner breaks a last-line JSON parse
+// (BENCH_r01/r02 came back parsed:null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

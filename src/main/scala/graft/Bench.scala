@@ -64,8 +64,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     pool.shutdownNow()
+    // stop (and silence) Spark BEFORE printing: the JSON must be the
+    // LAST line of output — a driver that parses the tail line must
+    // not see executor-shutdown chatter (or sbt's [success] banner,
+    // suppressed via showSuccess := false) after it
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

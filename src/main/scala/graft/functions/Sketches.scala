@@ -239,10 +239,17 @@ object Sketches {
       registry.createOrReplaceTempFunction(name, builder, "built-in")
   }
 
-  private def intArg(e: Expression, what: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
-  }
+  // accept any foldable int-ish expression (2+1, BIGINT literals, …),
+  // not just Literal(Int) — SQL callers fold constants lazily
+  private def intArg(e: Expression, what: String): Int =
+    if (e.foldable) e.eval() match {
+      case v: Int => v
+      case v: Long if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+      case v: Short => v.toInt
+      case v: Byte => v.toInt
+      case other =>
+        throw new IllegalArgumentException(s"$what must be an integer constant, got $other")
+    } else throw new IllegalArgumentException(s"$what must be a constant expression, got $e")
 
   def register(spark: SparkSession): Unit = {
     registerIfAbsent(spark, "minhash_sig",

@@ -41,7 +41,11 @@ object ApproxDistinct {
     MixedHash64.register(df.sparkSession)
     val bitLen = when(col(s"${valueCol}__w") === 0, lit(0))
       .otherwise(length(bin(col(s"${valueCol}__w"))))
-    df.withColumn(s"${valueCol}__h", MixedHash64(col(valueCol).cast("string")))
+    // nulls contribute no distinct value (approx_count_distinct
+    // semantics); unfiltered they'd hash to null → a phantom
+    // null-bucket register inflating n_filled per group
+    df.filter(col(valueCol).isNotNull)
+      .withColumn(s"${valueCol}__h", MixedHash64(col(valueCol).cast("string")))
       .withColumn(s"${valueCol}__w", expr(s"shiftrightunsigned(${valueCol}__h, $P)"))
       .withColumn("bucket", pmod(col(s"${valueCol}__h"), lit(M.toLong)))
       .withColumn("rho", least(lit(RhoClamp), lit(64 - P + 1) - bitLen))

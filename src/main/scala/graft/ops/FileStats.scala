@@ -64,8 +64,9 @@ object FileStats {
   }
 
   /** Pruning-effectiveness summary for one column: per-file [min,max]
-    * ranges plus whether any two files overlap — disjoint ranges mean
-    * an equality/range predicate touches at most one file.
+    * ranges plus whether each file overlaps ANY preceding file (by
+    * min) — all-false means the ranges are pairwise disjoint, so an
+    * equality/range predicate touches at most one file.
     */
   def pruningReport(
       spark: SparkSession,
@@ -83,9 +84,13 @@ object FileStats {
       .groupBy("file")
       .agg(min(v("min_value")).as("file_min"), max(v("max_value")).as("file_max"),
         sum("n_rows").as("n_rows"))
+    // running max of ALL preceding files' maxima, not lag(1): a wide
+    // range followed by two narrow nested ranges must flag the second
+    // narrow file too (it overlaps the wide one, not its neighbor)
     val w = Window.orderBy("file_min")
+      .rowsBetween(Window.unboundedPreceding, -1)
     stats
-      .withColumn("prev_max", lag("file_max", 1).over(w))
+      .withColumn("prev_max", max("file_max").over(w))
       .withColumn("overlaps_prev",
         coalesce(col("prev_max") >= col("file_min"), lit(false)))
       .select("file", "file_min", "file_max", "n_rows", "overlaps_prev")

@@ -798,7 +798,7 @@ object TrainingData {
     Some(
       s"""WITH h0 AS (
          |  SELECT event_type, ${foldSql("CAST(user_id AS VARCHAR)")} AS u0
-         |  FROM events),
+         |  FROM events WHERE user_id IS NOT NULL),
          |h AS (SELECT event_type, ${fmixSql("u0")} AS u FROM h0),
          |regs AS (
          |  SELECT event_type, u % 64 AS bucket,

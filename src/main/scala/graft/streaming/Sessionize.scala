@@ -93,18 +93,30 @@ object Sessionize {
   /** Timeout-closing transition: like [[onUser]], but the open tail
     * session is ALSO emitted once the event-time watermark passes
     * `last event + gap` — an idle user's final session surfaces
-    * without waiting for their next visit, and its state is dropped
-    * (the carried tombstone keeps only the next session number, so
-    * numbering stays continuous at O(1) state per idle user).
+    * without waiting for their next visit.
+    *
+    * State-size tradeoff, chosen by `dropIdleState`:
+    *  - `false` (default): the timeout keeps a tombstone carrying the
+    *    next session number, so numbering stays continuous when the
+    *    user returns. O(1) per idle user, but the AGGREGATE state
+    *    store grows with lifetime-distinct users, not active users —
+    *    unbounded on a high-churn key space.
+    *  - `true`: `state.remove()` on timeout — the store holds only
+    *    users active within the gap+watermark horizon (bounded), at
+    *    the cost that a returning user's numbering restarts at 1.
     */
   def onUserTimeout(
-      gapSeconds: Long
+      gapSeconds: Long,
+      dropIdleState: Boolean = false
   )(userId: Long, events: Iterator[Event], state: GroupState[SessionState]): Iterator[SessionOut] = {
     if (state.hasTimedOut) {
       val s = state.get
-      // keep a tombstone carrying the next session number; startMicros
-      // = -1 flags "no open session"
-      state.update(SessionState(s.sessionNum + 1, -1L, s.lastMicros, 0L))
+      if (dropIdleState) state.remove()
+      else {
+        // tombstone carrying the next session number; startMicros = -1
+        // flags "no open session"
+        state.update(SessionState(s.sessionNum + 1, -1L, s.lastMicros, 0L))
+      }
       return Iterator.single(
         SessionOut(userId, s.sessionNum, s.nEvents, toTs(s.startMicros), toTs(s.lastMicros)))
     }
@@ -137,12 +149,14 @@ object Sessionize {
 
   /** Streaming sessionization with event-time timeout: requires a
     * watermark on `ts` (the timeout fires when the watermark passes
-    * last-event + gap).
+    * last-event + gap). See [[onUserTimeout]] for the `dropIdleState`
+    * state-size/numbering tradeoff.
     */
   def sessionsWithTimeout(
       events: DataFrame,
       gapSeconds: Long,
-      watermarkDelay: String = "10 minutes"
+      watermarkDelay: String = "10 minutes",
+      dropIdleState: Boolean = false
   ): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -152,6 +166,6 @@ object Sessionize {
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        onUserTimeout(gapSeconds))
+        onUserTimeout(gapSeconds, dropIdleState))
   }
 }
