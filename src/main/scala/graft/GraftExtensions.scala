@@ -66,7 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("winnow_fp", "_FUNC_(str, k, w) - winnowing fingerprints (MOSS).",
         es => Sketches.WinnowExpr(es(0), intLit(es(1), "k"), intLit(es(2), "w"))),
       ("gram_xxhashes", "_FUNC_(str, k) - distinct word k-gram xxhash64 values.",
-        es => Sketches.GramXxHashesExpr(es(0), intLit(es(1), "k")))
+        es => Sketches.GramXxHashesExpr(es(0), intLit(es(1), "k"))),
+      ("bloom_positions", "_FUNC_(str, k, n, m) - Bloom bit positions of word k-grams.",
+        es => Sketches.BloomPositionsExpr(es(0), intLit(es(1), "k"),
+          intLit(es(2), "numHashes"), intLit(es(3), "mBits"))),
+      ("bloom_probe", "_FUNC_(str, filter, k, n, m) - (n_grams, n_maybe) against a packed filter.",
+        es => Sketches.BloomProbeExpr(es(0), es(1), intLit(es(2), "k"),
+          intLit(es(3), "numHashes"), intLit(es(4), "mBits")))
     ).foreach { case (name, usage, builder) =>
       ext.injectFunction(
         (new FunctionIdentifier(name),

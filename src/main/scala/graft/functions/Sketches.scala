@@ -160,6 +160,82 @@ object Sketches {
     arr
   }
 
+  /** Second Bloom hash derivation constant (golden-ratio odd word):
+    * h2 = fmix64(rawGramHash ^ BloomTweak) — one xor instead of a
+    * second byte pass, still SQL-reproducible (HUGEINT xor).
+    */
+  val BloomTweak = 0x9e3779b97f4a7c15L
+
+  /** Distinct Bloom bit positions over a document's distinct word
+    * k-grams: per gram, `numHashes` double-hashed positions
+    * pos_i = (h1 + i·h2) & (mBits-1)  (Kirsch–Mitzenmacher scheme).
+    * `mBits` must be a power of two so Java's wrapping add/multiply
+    * agrees with exact mod-2^64 arithmetic on the low bits (the
+    * DuckDB oracle replays this in HUGEINT).
+    */
+  def bloomPositions(words: Array[String], k: Int, numHashes: Int, mBits: Int): Array[Long] = {
+    require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
+    val m = words.length - k + 1
+    if (m <= 0) return Array.emptyLongArray
+    val wb = toBytes(words)
+    val seen = new java.util.HashSet[Long]()
+    val out = new java.util.LinkedHashSet[Long]()
+    val mask = (mBits - 1).toLong
+    var g = 0
+    while (g < m) {
+      val raw = gramRollingHash(wb, g, k)
+      if (seen.add(raw)) {
+        val h1 = MixedHash64.fmix64(raw)
+        val h2 = MixedHash64.fmix64(raw ^ BloomTweak)
+        var i = 0
+        while (i < numHashes) {
+          out.add((h1 + i * h2) & mask)
+          i += 1
+        }
+      }
+      g += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator(); var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    arr
+  }
+
+  /** Probe a packed Bloom filter (little-endian 64-bit words) with a
+    * document's distinct k-grams: returns (nGrams, nMaybe) where
+    * nMaybe counts grams whose `numHashes` bits are ALL set —
+    * includes the filter's deterministic false positives, which the
+    * oracle replays exactly.
+    */
+  def bloomProbe(
+      words: Array[String], k: Int, numHashes: Int, mBits: Int,
+      filter: Array[Long]): (Long, Long) = {
+    val m = words.length - k + 1
+    if (m <= 0) return (0L, 0L)
+    val wb = toBytes(words)
+    val seen = new java.util.HashSet[Long]()
+    val mask = (mBits - 1).toLong
+    var nMaybe = 0L
+    var g = 0
+    while (g < m) {
+      val raw = gramRollingHash(wb, g, k)
+      if (seen.add(raw)) {
+        val h1 = MixedHash64.fmix64(raw)
+        val h2 = MixedHash64.fmix64(raw ^ BloomTweak)
+        var all = true
+        var i = 0
+        while (all && i < numHashes) {
+          val pos = (h1 + i * h2) & mask
+          all = (filter((pos >>> 6).toInt) & (1L << (pos & 63).toInt)) != 0
+          i += 1
+        }
+        if (all) nMaybe += 1
+      }
+      g += 1
+    }
+    (seen.size.toLong, nMaybe)
+  }
+
   /** Distinct k-gram xxhash64 values (Spark's seed-42 xxhash64 of the
     * gram string — identical to `xxhash64(explode(wordShingles(...)))`
     * so join keys match the declarative jaccard form).
@@ -230,6 +306,48 @@ object Sketches {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  case class BloomPositionsExpr(child: Expression, k: Int, numHashes: Int, mBits: Int)
+      extends SketchExpr {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(
+        bloomPositions(tokens(input.asInstanceOf[UTF8String]), k, numHashes, mBits))
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Probe expression: the filter argument must be FOLDABLE (a literal
+    * array built by `operators.Bloom.buildFilter`) — it is unpacked to
+    * a primitive long[] once, not per row, so the probe loop stays a
+    * bit-test against a flat array.
+    */
+  case class BloomProbeExpr(
+      text: Expression, filterExpr: Expression, k: Int, numHashes: Int, mBits: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def left: Expression = text
+    override def right: Expression = filterExpr
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("n_grams", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_maybe", LongType, nullable = false)))
+    override def checkInputDataTypes() =
+      if (text.dataType == StringType && filterExpr.foldable &&
+          filterExpr.dataType.isInstanceOf[ArrayType])
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "bloom_probe needs (string, foldable array<long> filter)")
+    private lazy val filterWords: Array[Long] =
+      filterExpr.eval().asInstanceOf[ArrayData].toLongArray()
+    override def nullSafeEval(t: Any, f: Any): Any = {
+      val (nGrams, nMaybe) =
+        bloomProbe(tokens(t.asInstanceOf[UTF8String]), k, numHashes, mBits, filterWords)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nGrams, nMaybe))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(text = l, filterExpr = r)
+  }
+
   // ── registry plumbing (Spark 4: custom expressions reach Column
   // land through the function registry + call_function) ─────────────
   private def registerIfAbsent(
@@ -259,6 +377,12 @@ object Sketches {
       es => WinnowExpr(es(0), intArg(es(1), "k"), intArg(es(2), "w")))
     registerIfAbsent(spark, "gram_xxhashes",
       es => GramXxHashesExpr(es(0), intArg(es(1), "k")))
+    registerIfAbsent(spark, "bloom_positions",
+      es => BloomPositionsExpr(es(0), intArg(es(1), "k"), intArg(es(2), "numHashes"),
+        intArg(es(3), "mBits")))
+    registerIfAbsent(spark, "bloom_probe",
+      es => BloomProbeExpr(es(0), es(1), intArg(es(2), "k"), intArg(es(3), "numHashes"),
+        intArg(es(4), "mBits")))
   }
 
   private def active: SparkSession = SparkSession.active
@@ -280,5 +404,15 @@ object Sketches {
   def gramXxHashesCol(text: Column, k: Int): Column = {
     register(active)
     call_function("gram_xxhashes", text, org.apache.spark.sql.functions.lit(k))
+  }
+  def bloomPositionsCol(text: Column, k: Int, numHashes: Int, mBits: Int): Column = {
+    register(active)
+    call_function("bloom_positions", text, org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(numHashes), org.apache.spark.sql.functions.lit(mBits))
+  }
+  def bloomProbeCol(text: Column, filter: Column, k: Int, numHashes: Int, mBits: Int): Column = {
+    register(active)
+    call_function("bloom_probe", text, filter, org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(numHashes), org.apache.spark.sql.functions.lit(mBits))
   }
 }

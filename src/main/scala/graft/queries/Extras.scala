@@ -413,10 +413,93 @@ object Extras {
     }
   )
 
+  /** Multi-step funnel (view → click → purchase, strictly ordered in
+    * event time) resolved per user with staged conditional minima —
+    * three small aggregations and broadcast-friendly joins on
+    * user_id, no window over the full event stream.
+    */
+  val x15Funnel = Query(
+    "x15_funnel",
+    Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+            |           WHERE event_type = 'view' GROUP BY user_id),
+            |s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+            |       JOIN s1 ON e.user_id = s1.user_id
+            |       WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY e.user_id),
+            |s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+            |       JOIN s2 ON e.user_id = s2.user_id
+            |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY e.user_id),
+            |u AS (SELECT DISTINCT user_id FROM events)
+            |SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+            |  CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+            |       WHEN s2.t_click IS NOT NULL THEN 2
+            |       WHEN s1.t_view IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
+            |FROM u
+            |LEFT JOIN s1 ON u.user_id = s1.user_id
+            |LEFT JOIN s2 ON u.user_id = s2.user_id
+            |LEFT JOIN s3 ON u.user_id = s3.user_id
+            |ORDER BY u.user_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val e = t.events
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      e.select("user_id").distinct()
+        .join(s1, Seq("user_id"), "left")
+        .join(s2.select("user_id", "t_click"), Seq("user_id"), "left")
+        .join(s3.select("user_id", "t_purchase"), Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0).as("funnel_depth"))
+        .orderBy("user_id")
+    }
+  )
+
+  /** Event-type transition matrix (first-order behavior model):
+    * lead() per user stream, then a count + a per-source total. The
+    * totals side is 5 rows — broadcast — so the probability join adds
+    * no shuffle beyond the one windowing pass.
+    */
+  val x16Transitions = Query(
+    "x16_transitions",
+    Some("""WITH o AS (
+            |  SELECT event_type,
+            |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+            |  FROM events),
+            |c AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+            |      FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+            |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY from_type)
+            |SELECT c.from_type, c.to_type, c.n, CAST(c.n AS DOUBLE) / t.tot AS p
+            |FROM c JOIN t ON c.from_type = t.from_type
+            |ORDER BY c.from_type, c.to_type""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val c = t.events
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = c.groupBy("from_type").agg(sum("n").as("tot"))
+      c.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("tot")).as("p"))
+        .orderBy("from_type", "to_type")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
     x10GapsIslands, x11Intersect, x12RangeFrame, x13FirstLast,
-    x14CohortRetention
+    x14CohortRetention, x15Funnel, x16Transitions
   )
 }

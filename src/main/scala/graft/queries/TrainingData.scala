@@ -962,6 +962,126 @@ object TrainingData {
     }
   )
 
+  /** Count-Min sketch heavy hitters: top-20 terms by exact count,
+    * with the sketch estimate alongside (min over d=4 row counters,
+    * always ≥ exact; the gap is deterministic collision error at
+    * w=128). The oracle replays every counter: same prefixed
+    * mixed-hash positions in HUGEINT, integer sums throughout.
+    */
+  val td15HeavyHitters = Query(
+    "td15_heavy_hitters", {
+      val (d, w) = (4, 128)
+      val fold = foldSql("('cm' || CAST(r AS VARCHAR) || ':' || term)")
+      Some(
+        s"""WITH toks AS (
+           |  SELECT UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS term FROM documents),
+           |tf AS (SELECT term, COUNT(*) AS n FROM toks WHERE term <> '' GROUP BY term),
+           |ph0 AS (SELECT term, n, r, $fold AS u0 FROM tf, range($d) t(r)),
+           |ph1 AS (SELECT term, n, r, ${fmixSql("u0")} AS u FROM ph0),
+           |ph AS (SELECT term, n, r, ((${toSignedSql("u")} % $w) + $w) % $w AS pos FROM ph1),
+           |counters AS (SELECT r, pos, CAST(SUM(n) AS BIGINT) AS c FROM ph GROUP BY r, pos),
+           |est AS (
+           |  SELECT ph.term, MAX(ph.n) AS n, MIN(counters.c) AS cm_estimate
+           |  FROM ph JOIN counters ON ph.r = counters.r AND ph.pos = counters.pos
+           |  GROUP BY ph.term)
+           |SELECT term, CAST(n AS BIGINT) AS exact_count, cm_estimate
+           |FROM est ORDER BY exact_count DESC, term LIMIT 20""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      graft.operators.Frequency.heavyHitters(t.documents, "text", d = 4, w = 128, topK = 20)
+    }
+  )
+
+  /** Bloom-filter decontamination (constant-memory variant of td13):
+    * benchmark 5-grams compressed into a 65,536-bit filter that ships
+    * as a broadcast literal; training docs probe it map-only — no
+    * join against the benchmark set. The oracle rebuilds the filter
+    * as a position set and replays the double-hash probes, so even
+    * the false positives match bit-for-bit.
+    */
+  val td16BloomContamination = Query(
+    "td16_bloom_contamination", {
+      val (mBits, nk) = (65536, 5)
+      val tweakU = BigInt("9e3779b97f4a7c15", 16)
+      Some(
+        s"""WITH words AS (
+           |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w FROM documents),
+           |g AS (
+           |  SELECT DISTINCT doc_id,
+           |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+           |  FROM words, UNNEST(range(1, LEN(w) - 3)) AS t(i)),
+           |gh0 AS (SELECT doc_id, s, ${foldSql("s")} AS u0 FROM g),
+           |gh AS (SELECT doc_id, s, ${fmixSql("u0")} AS h1,
+           |  ${fmixSql(s"xor(u0, $tweakU::HUGEINT)")} AS h2 FROM gh0),
+           |pos AS (
+           |  SELECT doc_id, s, i, (h1 + i * h2) % $mBits AS pos
+           |  FROM gh, range($nk) t(i)),
+           |benchpos AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 50 = 0),
+           |hitg AS (
+           |  SELECT doc_id, s FROM pos WHERE doc_id % 50 <> 0 GROUP BY doc_id, s
+           |  HAVING COUNT(CASE WHEN pos IN (SELECT pos FROM benchpos) THEN 1 END) = $nk),
+           |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g WHERE doc_id % 50 <> 0
+           |        GROUP BY doc_id),
+           |hits AS (SELECT doc_id, COUNT(*) AS n_maybe FROM hitg GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(tot.n_grams, 0) AS n_grams,
+           |  COALESCE(hits.n_maybe, 0) AS n_maybe,
+           |  CASE WHEN COALESCE(tot.n_grams, 0) > 0
+           |    THEN CAST(COALESCE(hits.n_maybe, 0) AS DOUBLE) / tot.n_grams
+           |    ELSE 0.0 END AS hit_ratio
+           |FROM documents d
+           |LEFT JOIN tot ON d.doc_id = tot.doc_id
+           |LEFT JOIN hits ON d.doc_id = hits.doc_id
+           |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val bench = t.documents.filter(col("doc_id") % 50 === 0)
+      val filter = graft.operators.Bloom.buildFilter(
+        bench, "text", k = 5, numHashes = 5, mBits = 65536)
+      t.documents
+        .filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          graft.operators.Bloom.probe(col("text"), filter, 5, 5, 65536).as("b"))
+        .select(col("doc_id"), col("b.n_grams").as("n_grams"), col("b.n_maybe").as("n_maybe"))
+        .withColumn("hit_ratio",
+          when(col("n_grams") > 0, col("n_maybe").cast("double") / col("n_grams"))
+            .otherwise(lit(0.0)))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** Vocabulary OOV ratio (deterministic sibling of LM-perplexity
+    * quality filtering): share of a document's tokens outside the
+    * corpus vocabulary (terms seen ≥ 20 times).
+    */
+  val td17OovRatio = Query(
+    "td17_oov_ratio",
+    Some("""WITH toks AS (
+            |  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS term
+            |  FROM documents),
+            |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+            |vocab AS (SELECT term FROM t2 GROUP BY term HAVING COUNT(*) >= 20),
+            |tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM t2 GROUP BY doc_id),
+            |oov AS (SELECT doc_id, COUNT(*) AS n_oov FROM t2
+            |        WHERE term NOT IN (SELECT term FROM vocab) GROUP BY doc_id)
+            |SELECT d.doc_id, COALESCE(tot.n_tokens, 0) AS n_tokens,
+            |  COALESCE(oov.n_oov, 0) AS n_oov,
+            |  CASE WHEN COALESCE(tot.n_tokens, 0) > 0
+            |    THEN CAST(COALESCE(oov.n_oov, 0) AS DOUBLE) / tot.n_tokens
+            |    ELSE 0.0 END AS oov_ratio
+            |FROM documents d
+            |LEFT JOIN tot ON d.doc_id = tot.doc_id
+            |LEFT JOIN oov ON d.doc_id = oov.doc_id
+            |ORDER BY d.doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      graft.operators.Frequency
+        .oovRatio(t.documents, "doc_id", "text", minCount = 20L)
+        .orderBy("doc_id")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -969,6 +1089,7 @@ object TrainingData {
     mm01BinaryMeta, mm02MediaFeatures,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
     st01Sessionize, st02SlidingWindow, td08NormalizedFp, td09Repetition,
-    td10Pii, td11Tfidf, td12HllSketch, td13Contamination, td14StratifiedSample
+    td10Pii, td11Tfidf, td12HllSketch, td13Contamination, td14StratifiedSample,
+    td15HeavyHitters, td16BloomContamination, td17OovRatio
   )
 }

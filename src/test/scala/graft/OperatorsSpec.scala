@@ -321,4 +321,53 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("n") =!= ceil(col("n_bytes") / 64.0).cast("long") || col("bytes") =!= col("n_bytes"))
     assert(check.isEmpty)
   }
+
+  // ── frequency sketches ────────────────────────────────────────────
+  test("count-min estimate dominates the exact count and is tight at large width") {
+    val hh = graft.operators.Frequency.heavyHitters(docs, "text", d = 4, w = 128, topK = 50)
+      .collect()
+    assert(hh.nonEmpty)
+    assert(hh.forall(r => r.getLong(2) >= r.getLong(1)),
+      "CM estimate must upper-bound the exact count")
+    // a sketch wider than the vocabulary has no collisions → exact
+    val tf = graft.operators.Frequency.termCounts(docs, "text")
+    val vocabSize = tf.count().toInt
+    val wide = Integer.highestOneBit(vocabSize) * 8
+    val hhWide = graft.operators.Frequency.heavyHitters(docs, "text", d = 4, w = wide, topK = 50)
+      .collect()
+    assert(hhWide.forall(r => r.getLong(2) == r.getLong(1)),
+      s"width $wide > vocab $vocabSize should make estimates exact")
+  }
+
+  test("oovRatio: empty docs get 0.0; all-common docs get 0; gibberish gets 1") {
+    val corpus = Seq(
+      (1L, "the the the the the"),
+      (2L, ""),
+      (3L, "zzqx9 vvkpl2")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Frequency.oovRatio(corpus, "doc_id", "text", minCount = 2L)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) == 0.0 && r(2L) == 0.0 && r(3L) == 1.0)
+  }
+
+  // ── bloom filter ──────────────────────────────────────────────────
+  test("bloom probe has no false negatives and bounded false positives") {
+    import graft.operators.Bloom
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val (k, nh, m) = (5, 5, 1 << 16)
+    val filter = Bloom.buildFilter(bench, "text", k, nh, m)
+    // probing the bench docs themselves: every gram must be found
+    val self = bench
+      .select(Bloom.probe(col("text"), filter, k, nh, m).as("b"))
+      .select(col("b.n_grams"), col("b.n_maybe"))
+      .collect()
+    assert(self.forall(r => r.getLong(0) == r.getLong(1)), "bloom must have no false negatives")
+    // set bits bounded by grams * hashes; filter is sketch-sized
+    assert(filter.length == m / 64)
+    val setBits = filter.map(java.lang.Long.bitCount).sum
+    val nGrams = self.map(_.getLong(0)).sum
+    assert(setBits <= nGrams * nh)
+    // deterministic rebuild
+    assert(java.util.Arrays.equals(filter, Bloom.buildFilter(bench, "text", k, nh, m)))
+  }
 }
