@@ -92,4 +92,21 @@ object ApproxDistinct {
       corrected: Boolean = true
   ): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, valueCol), groupCols, corrected)
+
+  /** Union of register tables (same group/value definition over
+    * disjoint or overlapping row sets): max per (group, bucket).
+    * This is the pre-aggregation scale path — persist per-partition /
+    * per-day register tables (m rows per group each), merge and
+    * estimate at query time without rescanning history. Exactly
+    * equivalent to sketching the concatenated input: max is
+    * associative/commutative and register state is insertion-order
+    * free (OperatorsSpec proves merge(A,B) == sketch(A ∪ B)).
+    */
+  def mergeRegisters(groupCols: Seq[String], registerTables: DataFrame*): DataFrame = {
+    require(registerTables.nonEmpty, "need at least one register table")
+    registerTables
+      .reduce(_ unionByName _)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max("max_rho").as("max_rho"))
+  }
 }

@@ -307,4 +307,46 @@ object Dedup {
     */
   def simHash64(text: Column): Column =
     graft.functions.Sketches.simHash64Col(text)
+
+  /** SimHash near-duplicate pairs via banded blocking (Manku et al.'s
+    * web-dedup scheme): split the 64-bit sketch into 4 16-bit bands —
+    * any pair within Hamming distance ≤ 3 must agree on at least one
+    * band (pigeonhole), so candidate discovery is a plain EQUI-join on
+    * (band_idx, band_key), then the cheap exact popcount verifies
+    * `maxHamming`. Same shuffle shape as MinHash LSH but the "sketch"
+    * is ONE long per document — the lightest near-dup join there is.
+    * The guarantee is exhaustive only for maxHamming ≤ 3 with 4
+    * bands; larger thresholds keep high recall but are not exhaustive
+    * (standard tradeoff).
+    */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val sk = df
+      .select(col(idCol).as("id"), simHash64(col(textCol)).as("s"))
+      .localCheckpoint() // consumed by the band explode AND both verify lookups
+    val banded = sk.select(
+      col("id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_idx"),
+          (shiftright(col("s"), 16 * b).bitwiseAND(lit(0xffffL))).as("band_key"))
+      }: _*)).as("band"))
+      .select(col("id"), col("band.band_idx"), col("band.band_key"))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sk.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(sk.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("s_a").bitwiseXOR(col("s_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -273,27 +273,30 @@ object TrainingData {
     }
   )
 
-  /** 64-bit SimHash. Oracle: per-token rolling hash → per-bit ±1
-    * votes (arithmetic >> matches Spark's shiftright) → sign bits
-    * reassembled in HUGEINT.
+  /** Shared CTE chain for the SimHash oracles: per-token rolling hash
+    * → per-bit ±1 votes (arithmetic >> matches Spark's shiftright) →
+    * sign bits reassembled in HUGEINT. Ends with `agg(doc_id, u2)`.
     */
+  private def simhashCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    CASE WHEN strlen(t) = 0 THEN 1469598103934665603::HUGEINT ELSE ${foldSql("t")} END AS u
+       |  FROM toks),
+       |ts AS (SELECT doc_id, ${toSignedSql("u")} AS s FROM th),
+       |votes AS (
+       |  SELECT doc_id, b, SUM(CASE WHEN (s >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM ts, range(64) r(b) GROUP BY doc_id, b),
+       |agg AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(b AS INT)) ELSE 0::HUGEINT END) AS u2
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
   val dd02SimHash = Query(
     "dd02_simhash",
     Some(
-      s"""WITH toks AS (
-         |  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t FROM documents),
-         |th AS (
-         |  SELECT doc_id,
-         |    CASE WHEN strlen(t) = 0 THEN 1469598103934665603::HUGEINT ELSE ${foldSql("t")} END AS u
-         |  FROM toks),
-         |ts AS (SELECT doc_id, ${toSignedSql("u")} AS s FROM th),
-         |votes AS (
-         |  SELECT doc_id, b, SUM(CASE WHEN (s >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM ts, range(64) r(b) GROUP BY doc_id, b),
-         |agg AS (
-         |  SELECT doc_id,
-         |    SUM(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(b AS INT)) ELSE 0::HUGEINT END) AS u2
-         |  FROM votes GROUP BY doc_id)
+      s"""WITH $simhashCtes
          |SELECT doc_id, ${toSignedSql("u2")} AS simhash FROM agg ORDER BY doc_id""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
@@ -1051,6 +1054,68 @@ object TrainingData {
     }
   )
 
+  /** SimHash banded near-dup join (Manku et al.): 4×16-bit bands →
+    * equi-join candidates → popcount verify at Hamming ≤ 3. The
+    * oracle replays the sketch AND the banding/verify chain.
+    */
+  val dd08SimHashPairs = Query(
+    "dd08_simhash_pairs",
+    Some(
+      s"""WITH $simhashCtes,
+         |sk AS (SELECT doc_id, ${toSignedSql("u2")} AS s FROM agg),
+         |banded AS (
+         |  SELECT doc_id, b, (s >> CAST(16 * b AS INT)) & 65535 AS key
+         |  FROM sk, range(4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM banded a JOIN banded b2
+         |    ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa.s, sb.s)) AS INT) AS hamming
+         |FROM cand JOIN sk sa ON id_a = sa.doc_id JOIN sk sb ON id_b = sb.doc_id
+         |WHERE bit_count(xor(sa.s, sb.s)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Dedup.simHashPairs(t.documents, "doc_id", "text", maxHamming = 3),
+        "id_a", "id_b")
+    }
+  )
+
+  /** Approximate quantiles via deterministic hash sampling: a 10%
+    * sample keyed on mixed_hash64(o_orderkey) — reproducible across
+    * runs AND replayable in the oracle (unlike rand()-based
+    * approx_percentile), then exact percentiles on the sample. The
+    * scale path for "good-enough quantiles without a full sort".
+    */
+  val td18SampledQuantiles = Query(
+    "td18_sampled_quantiles", {
+      val fold = foldSql("CAST(o_orderkey AS VARCHAR)")
+      val signed = toSignedSql(s"(${fmixSql(s"($fold)")})")
+      Some(
+        s"""WITH s AS (
+           |  SELECT o_orderpriority, o_totalprice FROM orders
+           |  WHERE (($signed % 100) + 100) % 100 < 10)
+           |SELECT o_orderpriority, COUNT(*) AS n_sample,
+           |  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50_est,
+           |  PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_est
+           |FROM s GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+    (spark, dir) => {
+      graft.functions.MixedHash64.register(spark)
+      val t = Tables(spark, dir)
+      t.orders
+        .filter(pmod(graft.functions.MixedHash64(col("o_orderkey").cast("string")),
+          lit(100L)) < 10)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_sample"),
+          expr("percentile(o_totalprice, 0.5)").as("p50_est"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_est"))
+        .orderBy("o_orderpriority")
+    }
+  )
+
   /** Vocabulary OOV ratio (deterministic sibling of LM-perplexity
     * quality filtering): share of a document's tokens outside the
     * corpus vocabulary (terms seen ≥ 20 times).
@@ -1090,6 +1155,7 @@ object TrainingData {
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
     st01Sessionize, st02SlidingWindow, td08NormalizedFp, td09Repetition,
     td10Pii, td11Tfidf, td12HllSketch, td13Contamination, td14StratifiedSample,
-    td15HeavyHitters, td16BloomContamination, td17OovRatio
+    td15HeavyHitters, td16BloomContamination, td17OovRatio,
+    dd08SimHashPairs, td18SampledQuantiles
   )
 }

@@ -370,4 +370,34 @@ class OperatorsSpec extends SparkSpec {
     // deterministic rebuild
     assert(java.util.Arrays.equals(filter, Bloom.buildFilter(bench, "text", k, nh, m)))
   }
+
+  test("HLL register merge equals sketching the union (pre-aggregation path)") {
+    import graft.operators.ApproxDistinct
+    val ev = Tables(spark, sf).events
+    val first = ev.filter(col("event_id") % 2 === 0)
+    val second = ev.filter(col("event_id") % 2 =!= 0) // overlapping users, split rows
+    val merged = ApproxDistinct.mergeRegisters(Seq("event_type"),
+      ApproxDistinct.hllRegisters(first, Seq("event_type"), "user_id"),
+      ApproxDistinct.hllRegisters(second, Seq("event_type"), "user_id"))
+    val direct = ApproxDistinct.hllRegisters(ev, Seq("event_type"), "user_id")
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+    // estimates therefore agree exactly too
+    val em = ApproxDistinct.hllEstimate(merged, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ed = ApproxDistinct.hllEstimate(direct, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(em == ed)
+  }
+
+  test("simHashPairs finds banded near-dups and verifies hamming exactly") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely unrelated text about databases and distributed query engines")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
