@@ -36,22 +36,30 @@ object ApproxDistinct {
   val RhoClamp = 40
   val Alpha = 0.709 // alpha_64
 
-  /** (groupCols..., bucket, max_rho) — the mergeable sketch state. */
-  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+  /** Per-row sketch inputs: appends `bucket` and `rho` for `valueCol`
+    * (null values dropped — they contribute no distinct value, per
+    * approx_count_distinct semantics). Shared by the batch register
+    * aggregation and the streaming windowed variant
+    * (`streaming.StreamingIngest.approxDistinctStream`), which need
+    * different grouping keys over the same per-row derivation.
+    */
+  def registerInputs(df: DataFrame, valueCol: String): DataFrame = {
     MixedHash64.register(df.sparkSession)
     val bitLen = when(col(s"${valueCol}__w") === 0, lit(0))
       .otherwise(length(bin(col(s"${valueCol}__w"))))
-    // nulls contribute no distinct value (approx_count_distinct
-    // semantics); unfiltered they'd hash to null → a phantom
-    // null-bucket register inflating n_filled per group
     df.filter(col(valueCol).isNotNull)
       .withColumn(s"${valueCol}__h", MixedHash64(col(valueCol).cast("string")))
       .withColumn(s"${valueCol}__w", expr(s"shiftrightunsigned(${valueCol}__h, $P)"))
       .withColumn("bucket", pmod(col(s"${valueCol}__h"), lit(M.toLong)))
       .withColumn("rho", least(lit(RhoClamp), lit(64 - P + 1) - bitLen))
+      .drop(s"${valueCol}__h", s"${valueCol}__w")
+  }
+
+  /** (groupCols..., bucket, max_rho) — the mergeable sketch state. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    registerInputs(df, valueCol)
       .groupBy((groupCols.map(col) :+ col("bucket")): _*)
       .agg(max("rho").as("max_rho"))
-  }
 
   /** HLL estimate per group from the register table.
     *

@@ -98,4 +98,30 @@ object StreamingIngest {
         col("n"),
         col("sum_value")
       )
+
+  /** Streaming approximate-distinct: per-window HLL register sketch
+    * (`operators.ApproxDistinct` derivation, windowed grouping). The
+    * register max-merge is associative and commutative, so Spark's
+    * incremental state store IS the sketch — per-window state is the
+    * CONSTANT m registers per group no matter how many events land,
+    * which is what makes distinct-users-per-hour runnable over an
+    * unbounded stream (exact distinct would hold every user id in
+    * state). Estimates come from `ApproxDistinct.hllEstimate` over
+    * the emitted registers; StreamingSpec proves register equality
+    * with the batch sketch per window.
+    */
+  def approxDistinctStream(
+      events: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      watermark: String,
+      groupCols: Seq[String],
+      valueCol: String
+  ): DataFrame =
+    graft.operators.ApproxDistinct
+      .registerInputs(events.withWatermark(tsCol, watermark), valueCol)
+      .groupBy((window(col(tsCol), windowLen) +: groupCols.map(col)) :+ col("bucket"): _*)
+      .agg(max("rho").as("max_rho"))
+      .select((col("window.start").as("win_start") +: groupCols.map(col)) :+
+        col("bucket") :+ col("max_rho"): _*)
 }

@@ -96,6 +96,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bloom decontamination probe is map-only (no join, no shuffle before the probe)") {
+    import graft.operators.Bloom
+    val t = Tables(spark, sf)
+    val bench = t.documents.filter(col("doc_id") % 50 === 0)
+    val filter = Bloom.buildFilter(bench, "text", 5, 5, 1 << 16)
+    val probed = t.documents
+      .select(col("doc_id"), Bloom.probe(col("text"), filter, 5, 5, 1 << 16).as("b"))
+    val p = plan(probed)
+    // the filter rides along as a literal: scan -> project, nothing else
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"probe must be a map-only scan+project:\n$p")
+  }
+
+  test("count-min estimate joins the sketch broadcast (counters never shuffle the terms)") {
+    val t = Tables(spark, sf)
+    val hh = graft.operators.Frequency.heavyHitters(t.documents, "text", 4, 128, 20)
+    val p = plan(hh)
+    assert(p.contains("BroadcastHashJoin"), s"counter lookup should broadcast:\n$p")
+  }
+
   test("datasetid-partitioned fact + filtered registry join prunes partitions dynamically") {
     // the §1.1 design claim: "latest active version" resolution must
     // become file-level pruning, not a full fact scan

@@ -140,6 +140,21 @@ class ReportOpsSpec extends SparkSpec {
         .filter(col("overlaps_prev")).count()
     assert(overlaps(s"$root/scattered") > 0, "scattered files should overlap on k")
     assert(overlaps(s"$root/clustered") == 0, "clustered files must be disjoint on k")
+
+    // nested intervals: a wide file followed by two narrow files both
+    // inside it — a lag(1) comparison would miss the second narrow
+    // file (it doesn't overlap its NEIGHBOR, only the wide file);
+    // the running-max comparison must flag both
+    Seq((0, 100), (10, 20), (30, 40)).zipWithIndex.foreach { case ((lo, hi), i) =>
+      spark.range(lo, hi + 1).selectExpr("cast(id as int) as k")
+        .coalesce(1).write.mode("append").parquet(s"$root/nested")
+    }
+    val nested = FileStats.pruningReport(spark, s"$root/nested", "k")
+      .orderBy("file_min").collect()
+    assert(nested.length == 3)
+    assert(!nested(0).getBoolean(4), "first file has nothing before it")
+    assert(nested(1).getBoolean(4) && nested(2).getBoolean(4),
+      "both nested files overlap the wide first file")
   }
 
   test("interleave_bits matches a reference morton implementation") {

@@ -72,6 +72,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming HLL registers per window equal the batch sketch (constant state per group)") {
+    import graft.operators.ApproxDistinct
+    val dir = Files.createTempDirectory("graft-hllstream").toString
+    val batch = Tables(spark, "/root/testdata/sf0.001").events
+    batch.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val regs = StreamingIngest.approxDistinctStream(
+      stream, "ts", "1 hour", "1 hour", Seq("event_type"), "user_id")
+    val q = regs.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("hll_regs")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hll_regs")
+    val want = ApproxDistinct
+      .hllRegisters(
+        batch.withColumn("win_start", window(col("ts"), "1 hour")("start")),
+        Seq("win_start", "event_type"), "user_id")
+    assert(got.count() > 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // and the estimates computed from the streamed registers agree
+    val em = ApproxDistinct.hllEstimate(got, Seq("win_start", "event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val ed = ApproxDistinct.hllEstimate(want, Seq("win_start", "event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(em == ed)
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     val batch = Tables(spark, "/root/testdata/sf0.001").events.limit(200)
