@@ -496,10 +496,103 @@ object Extras {
     }
   )
 
+  /** Distributed second-moment statistics (stddev / covariance /
+    * correlation) done the DETERMINISTIC way: raw doubles are lifted
+    * to exact integers (quantity is integral; price via DECIMAL(12,2)
+    * cents), the five moment sums aggregate exactly (BIGINT, with
+    * DECIMAL(38,0) for the one that can exceed 2^63), and the
+    * textbook formulas run ONCE on the exact sums. Naive stddev_samp
+    * over a double column is aggregation-order-dependent and cannot
+    * hash-match across engines or even across partitionings — this
+    * shape is how second moments stay reproducible at 100 TB.
+    */
+  val x17StatsMoments = Query(
+    "x17_stats_moments",
+    Some("""WITH m AS (
+            |  SELECT l_returnflag,
+            |    COUNT(*) AS n,
+            |    SUM(CAST(l_quantity AS BIGINT)) AS sx,
+            |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            |         AS BIGINT) AS sy,
+            |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+            |    SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            |             * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            |             AS DECIMAL(38,0))) AS syy,
+            |    SUM(CAST(l_quantity AS BIGINT)
+            |        * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxy
+            |  FROM lineitem GROUP BY l_returnflag),
+            |d AS (
+            |  SELECT l_returnflag, CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS dn,
+            |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+            |    CAST(sxx AS DOUBLE) AS dsxx, CAST(syy AS DOUBLE) AS dsyy,
+            |    CAST(sxy AS DOUBLE) AS dsxy
+            |  FROM m)
+            |SELECT l_returnflag, n,
+            |  dsx / dn AS mean_qty,
+            |  dsy / dn / 100 AS mean_price,
+            |  SQRT((dn * dsxx - dsx * dsx) / (dn * (dn - 1))) AS stddev_qty,
+            |  SQRT((dn * dsyy - dsy * dsy) / (dn * (dn - 1))) / 100 AS stddev_price,
+            |  (dn * dsxy - dsx * dsy) /
+            |    SQRT((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)) AS corr_qty_price
+            |FROM d ORDER BY l_returnflag""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val cents = (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+      val q = col("l_quantity").cast("long")
+      val m = t.lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).as("sx"),
+          sum(cents).cast("long").as("sy"),
+          sum(q * q).as("sxx"),
+          sum((cents * cents).cast("decimal(38,0)")).as("syy"),
+          sum(q * cents).as("sxy"))
+      val dn = col("n").cast("double")
+      val (dsx, dsy) = (col("sx").cast("double"), col("sy").cast("double"))
+      val (dsxx, dsyy, dsxy) =
+        (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+      m.select(
+          col("l_returnflag"), col("n"),
+          (dsx / dn).as("mean_qty"),
+          (dsy / dn / 100).as("mean_price"),
+          sqrt((dn * dsxx - dsx * dsx) / (dn * (dn - 1))).as("stddev_qty"),
+          (sqrt((dn * dsyy - dsy * dsy) / (dn * (dn - 1))) / 100).as("stddev_price"),
+          ((dn * dsxy - dsx * dsy) /
+            sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }
+  )
+
+  /** Fixed-width histogram: 20 bins over o_totalprice via plain
+    * floor-division arithmetic (identical expression both engines —
+    * no reliance on width_bucket edge conventions).
+    */
+  val x18Histogram = Query(
+    "x18_histogram",
+    Some("""WITH b AS (
+            |  SELECT CAST(LEAST(FLOOR(o_totalprice / 25000), 19) AS INT) AS bucket
+            |  FROM orders)
+            |SELECT bucket, CAST(bucket * 25000 AS DOUBLE) AS lo,
+            |  CAST((bucket + 1) * 25000 AS DOUBLE) AS hi, COUNT(*) AS n
+            |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders
+        .select(least(floor(col("o_totalprice") / 25000), lit(19L)).cast("int").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .select(col("bucket"), (col("bucket") * 25000).cast("double").as("lo"),
+          ((col("bucket") + 1) * 25000).cast("double").as("hi"), col("n"))
+        .orderBy("bucket")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
     x10GapsIslands, x11Intersect, x12RangeFrame, x13FirstLast,
-    x14CohortRetention, x15Funnel, x16Transitions
+    x14CohortRetention, x15Funnel, x16Transitions, x17StatsMoments,
+    x18Histogram
   )
 }

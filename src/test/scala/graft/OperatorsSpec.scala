@@ -389,6 +389,21 @@ class OperatorsSpec extends SparkSpec {
     assert(em == ed)
   }
 
+  test("exact-moment stats agree with Spark's corr/stddev_samp builtins") {
+    val got = graft.queries.Extras.x17StatsMoments
+      .build(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(6))).toMap
+    val ref = Tables(spark, sf).lineitem
+      .groupBy("l_returnflag")
+      .agg(stddev_samp(col("l_quantity")).as("sd"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    got.foreach { case (k, (sd, c)) =>
+      assert(math.abs(sd - ref(k)._1) < 1e-9, s"stddev mismatch for $k")
+      assert(math.abs(c - ref(k)._2) < 1e-6, s"corr mismatch for $k")
+    }
+  }
+
   test("simHashPairs finds banded near-dups and verifies hamming exactly") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
