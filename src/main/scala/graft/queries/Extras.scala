@@ -588,11 +588,35 @@ object Extras {
     }
   )
 
+  /** Top-k per group via a typed `Aggregator` UDAF — the map-side-
+    * combining alternative to `row_number().over(window)`: each task
+    * keeps ≤ k pairs per group, so the exchange carries k×groups×
+    * partitions pairs instead of every row. Oracle = the window form.
+    */
+  val x19TopKAgg = Query(
+    "x19_topk_agg",
+    Some("""SELECT o_orderpriority, CAST(r AS INT) AS rank, o_orderkey, o_totalprice FROM (
+            |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+            |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            |                       ORDER BY o_totalprice DESC, o_orderkey) AS r
+            |  FROM orders) WHERE r <= 3 ORDER BY o_orderpriority, rank""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.TopK.topK(col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+        .select(col("o_orderpriority"), posexplode(col("tk")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rank"),
+          col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+        .orderBy("o_orderpriority", "rank")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
     x10GapsIslands, x11Intersect, x12RangeFrame, x13FirstLast,
     x14CohortRetention, x15Funnel, x16Transitions, x17StatsMoments,
-    x18Histogram
+    x18Histogram, x19TopKAgg
   )
 }

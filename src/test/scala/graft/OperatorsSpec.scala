@@ -404,6 +404,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("topK aggregator equals the window form and pre-aggregates map-side") {
+    val ev = Tables(spark, sf).events
+    val got = ev.groupBy("event_type")
+      .agg(graft.functions.TopK.topK(col("value"), col("event_id"), 5).as("tk"))
+      .select(col("event_type"), posexplode(col("tk")))
+      .select(col("event_type"), col("pos"), col("col._1").as("value"),
+        col("col._2").as("event_id"))
+      .orderBy("event_type", "pos")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+    val want = ev
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .select(col("event_type"), (col("r") - 1).as("pos"), col("value"), col("event_id"))
+      .orderBy("event_type", "pos")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+    // partial (map-side) aggregation: two aggregate stages, no Window
+    val plan = ev.groupBy("event_type")
+      .agg(graft.functions.TopK.topK(col("value"), col("event_id"), 5).as("tk"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkagg"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("simHashPairs finds banded near-dups and verifies hamming exactly") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
