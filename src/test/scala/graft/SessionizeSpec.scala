@@ -70,4 +70,38 @@ class SessionizeSpec extends SparkSpec {
       .filter(_.user_id == 1L).map(s => (s.session_num, s.n_events)).toSet
     assert(finalOut == Set((1L, 2L), (2L, 2L)), s"numbering must continue: $finalOut")
   }
+
+  test("dropIdleState=true removes timed-out state: bounded store, numbering restarts") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sess-drop").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    def write(name: String, rows: Seq[(Long, Timestamp, Long)]): Unit =
+      rows.toDF("user_id", "ts", "event_id").repartition(1).write.parquet(s"$dir/in/$name")
+    write("b1", Seq((1L, t("2024-01-01 10:00:00"), 1L)))
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in/*")
+    val q = Sessionize
+      .sessionsWithTimeout(stream.toDF(), gapSeconds = 1800,
+        watermarkDelay = "1 minute", dropIdleState = true)
+      .writeStream.outputMode("append").format("memory").queryName("sess_drop").start()
+    q.processAllAvailable()
+    // advance watermark past 10:00+30m → user 1 times out, state removed
+    write("b2", Seq((2L, t("2024-01-01 12:00:00"), 2L)))
+    q.processAllAvailable()
+    // user 1 returns; close their new session via a later watermark push
+    write("b3", Seq((1L, t("2024-01-01 13:00:00"), 3L)))
+    q.processAllAvailable()
+    write("b4", Seq((2L, t("2024-01-01 16:00:00"), 4L)))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sess_drop").as[Sessionize.SessionOut].collect()
+      .filter(_.user_id == 1L).map(s => (s.session_num, s.n_events)).toSet
+    // with the tombstone dropped, the returning user's numbering
+    // restarts at 1 — the bounded-state tradeoff documented on
+    // onUserTimeout
+    assert(u1 == Set((1L, 1L), (1L, 1L)) || u1 == Set((1L, 1L)),
+      s"both sessions must be numbered 1 after state removal: $u1")
+  }
 }
