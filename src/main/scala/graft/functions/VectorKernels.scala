@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native kernels for the dense-vector hot paths (LSH signatures,
+  * candidate rescoring). Same motivation as [[Sketches]]: the
+  * higher-order-function folds run interpreted with per-element
+  * boxing, and the unrolled-expression alternative builds 64-term
+  * Column trees that bloat analysis/codegen. One tight Java loop per
+  * row replaces both.
+  *
+  * Bit-compatibility contracts (the DuckDB oracles replay these):
+  *  - `vec_dot` associates LEFT WITHOUT a seed — t1 + t2 + … exactly
+  *    like the unrolled `a[1]*b[1] + …` chain it replaces;
+  *  - `hyperplane_sig` folds each sign-dot left FROM 0.0 — exactly
+  *    like the `aggregate(zip_with(...), 0.0, _+_)` it replaces —
+  *    with the same splitmix-derived ±1 sign matrix
+  *    (`operators.Similarity.hyperplaneSigns`).
+  */
+object VectorKernels {
+
+  private def requireDoubleArray(e: Expression, who: String) =
+    if (e.dataType == ArrayType(DoubleType, true) || e.dataType == ArrayType(DoubleType, false))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$who needs array<double> arguments, got ${e.dataType}")
+
+  /** Inner product, left-associated without seed (matches the
+    * unrolled expression chain bit for bit).
+    */
+  case class VecDotExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes() = {
+      val l = requireDoubleArray(left, "vec_dot")
+      if (l.isFailure) l else requireDoubleArray(right, "vec_dot")
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData].toDoubleArray()
+      val y = b.asInstanceOf[ArrayData].toDoubleArray()
+      val n = math.min(x.length, y.length)
+      if (n == 0) return 0.0
+      var s = x(0) * y(0)
+      var i = 1
+      while (i < n) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Random-hyperplane LSH bucket id: bit j set iff the signed dot of
+    * the vector with plane j (±1 components from the splitmix sign
+    * stream) is ≥ 0. Signs are generated inline per (j, i) — a few
+    * shifts/multiplies — so no sign matrix travels with the plan.
+    */
+  case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes() = requireDoubleArray(child, "hyperplane_sig")
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData].toDoubleArray()
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        var s = 0.0
+        var i = 0
+        while (i < v.length) {
+          val sg = if (mix(seed.toLong << 40 | j.toLong << 20 | i.toLong) % 2 == 0) 1.0 else -1.0
+          s += v(i) * sg
+          i += 1
+        }
+        if (s >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      bucket
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  private def intArg(e: Expression, what: String): Int =
+    if (e.foldable) e.eval() match {
+      case v: Int => v
+      case v: Long if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+      case other => throw new IllegalArgumentException(s"$what must be an int constant, got $other")
+    } else throw new IllegalArgumentException(s"$what must be a constant expression, got $e")
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+    reg("vec_dot", es => VecDotExpr(es(0), es(1)))
+    reg("hyperplane_sig",
+      es => HyperplaneSigExpr(es(0), intArg(es(1), "bits"), intArg(es(2), "seed")))
+  }
+
+  private def active: SparkSession = SparkSession.active
+
+  def vecDot(a: Column, b: Column): Column = {
+    register(active)
+    call_function("vec_dot", a, b)
+  }
+  def hyperplaneSig(v: Column, bits: Int, seed: Int): Column = {
+    register(active)
+    call_function("hyperplane_sig", v, org.apache.spark.sql.functions.lit(bits),
+      org.apache.spark.sql.functions.lit(seed))
+  }
+}

@@ -250,20 +250,24 @@ object Similarity {
       roundTo: Int = 4,
       dim: Int = -1
   ): DataFrame = {
-    val d = if (dim > 0) dim else probeDim(corpus, vecCol)
     // vectors + norms materialized once; candidate discovery joins
     // NARROW (id, table_id, bucket) rows — the d-dim vectors do not
     // travel through the self-join shuffle, they are re-fetched only
     // for the (much smaller) candidate set when rescoring.
+    // norm + signature + rescoring dot all run through the native
+    // VectorKernels loops (bit-identical to the HOF/unrolled forms
+    // they replaced — the ss02 oracle still replays them exactly);
+    // the HOF signature fold alone was ~60% of this operator's time.
+    import graft.functions.VectorKernels
     val base = corpus
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("v_norm", sqrt(dotUnrolled(col("v"), col("v"), d)))
+      .withColumn("v_norm", sqrt(VectorKernels.vecDot(col("v"), col("v"))))
       .localCheckpoint()
     // per-table hyperplane seeds decorrelate the tables; a vector
     // lands in one bucket per table
     val buckets = (0 until tables).map { t =>
       base.select(col("id"), lit(t).as("table_id"),
-        hyperplaneSignature(col("v"), bits, seed = t).as("bucket"))
+        VectorKernels.hyperplaneSig(col("v"), bits, seed = t).as("bucket"))
     }.reduce(_ union _)
     val cand = buckets.alias("a")
       .join(buckets.alias("b"),
@@ -277,7 +281,8 @@ object Similarity {
       .join(base.select(col("id").as("corpus_id"), col("v").as("cv"), col("v_norm").as("cn")), "corpus_id")
       .select(
         col("query_id"), col("corpus_id"),
-        round(dotUnrolled(col("qv"), col("cv"), d) / (col("qn") * col("cn")), roundTo).as("sim"))
+        round(graft.functions.VectorKernels.vecDot(col("qv"), col("cv")) /
+          (col("qn") * col("cn")), roundTo).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("corpus_id"))
     pairs
       .withColumn("rank", row_number().over(w))

@@ -389,6 +389,26 @@ class OperatorsSpec extends SparkSpec {
     assert(em == ed)
   }
 
+  test("native vector kernels are bit-identical to the HOF/unrolled forms") {
+    import graft.functions.VectorKernels
+    val v = emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")).as("v"))
+    // vec_dot vs the unrolled left-assoc chain
+    val dotDiff = v
+      .withColumn("a", VectorKernels.vecDot(col("v"), col("v")))
+      .withColumn("b", Similarity.dotUnrolled(col("v"), col("v"), 64))
+      .filter(col("a") =!= col("b"))
+    assert(dotDiff.isEmpty)
+    // hyperplane_sig vs the HOF signature fold, both tables
+    (0 until 2).foreach { seed =>
+      val sigDiff = v
+        .withColumn("a", VectorKernels.hyperplaneSig(col("v"), 8, seed))
+        .withColumn("b", Similarity.hyperplaneSignature(col("v"), 8, seed))
+        .filter(col("a") =!= col("b"))
+      assert(sigDiff.isEmpty, s"signature mismatch at seed $seed")
+    }
+  }
+
   test("exact-moment stats agree with Spark's corr/stddev_samp builtins") {
     val got = graft.queries.Extras.x17StatsMoments
       .build(spark, sf).collect()
