@@ -14,10 +14,11 @@ import graft.functions.Sketches
   * few-MB broadcast — the standard production shape for "does this
   * training document contain any benchmark n-gram".
   *
-  * Determinism: positions are Kirsch–Mitzenmacher double hashes of
-  * the gram's rolling hash (`Sketches.bloomPositions`), `mBits` a
-  * power of two, so the DuckDB oracle replays the filter — including
-  * its false positives — bit-for-bit.
+  * Determinism: positions are Kirsch–Mitzenmacher double hashes
+  * ("Less Hashing, Same Performance", ESA 2006) of the gram's rolling
+  * hash (`Sketches.bloomPositions`), `mBits` a power of two, so the
+  * DuckDB oracle replays the filter — including its false positives —
+  * bit-for-bit. (Bloom, CACM 1970.)
   */
 object Bloom {
 

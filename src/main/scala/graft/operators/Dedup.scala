@@ -308,8 +308,9 @@ object Dedup {
   def simHash64(text: Column): Column =
     graft.functions.Sketches.simHash64Col(text)
 
-  /** SimHash near-duplicate pairs via banded blocking (Manku et al.'s
-    * web-dedup scheme): split the 64-bit sketch into 4 16-bit bands —
+  /** SimHash near-duplicate pairs via banded blocking (Manku,
+    * Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW 2007): split the 64-bit sketch into 4 16-bit bands —
     * any pair within Hamming distance ≤ 3 must agree on at least one
     * band (pigeonhole), so candidate discovery is a plain EQUI-join on
     * (band_idx, band_key), then the cheap exact popcount verifies

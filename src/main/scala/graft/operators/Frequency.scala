@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.MixedHash64
 
 /** Frequency estimation over token streams: Count-Min sketch heavy
-  * hitters and vocabulary-based OOV scoring.
+  * hitters (Cormode & Muthukrishnan, J. Algorithms 2005) and
+  * vocabulary-based OOV scoring.
   *
   * Scale design: the exact term-frequency table is the one real
   * shuffle (unavoidable — it IS the aggregation); the CM sketch is

@@ -162,7 +162,16 @@ object TextAnalysis {
   def langScore(text: Column, lang: String): Column =
     regexp_count(lower(text), lit(langPattern(lang))).cast("int")
 
-  def langId(text: Column): Column = {
+  /** Language guess — single-pass native kernel (one scan over the
+    * lowered text instead of one regex pass per language; see
+    * `functions.LangIdKernel` for the exactness argument).
+    * [[langIdDeclarative]] is the regex form it is spec-checked
+    * against; the td05 oracle replays the regex form in DuckDB, so
+    * the kernel stays pinned by both.
+    */
+  def langId(text: Column): Column = graft.functions.LangIdKernel(text)
+
+  def langIdDeclarative(text: Column): Column = {
     val langs = langMarkers.keys.toSeq.sorted
     val scored = langs.map(l => struct(langScore(text, l).as("score"), lit(l).as("lang")))
     // argmax: sort (score desc, lang asc) == sort struct desc on score,

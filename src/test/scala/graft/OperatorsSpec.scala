@@ -174,6 +174,24 @@ class OperatorsSpec extends SparkSpec {
   }
 
   // ── text analysis ─────────────────────────────────────────────────
+  test("langId kernel equals the declarative regex form on the corpus and edge cases") {
+    val onCorpus = docs
+      .withColumn("a", TextAnalysis.langId(col("text")))
+      .withColumn("b", TextAnalysis.langIdDeclarative(col("text")))
+      .filter(col("a") =!= col("b"))
+    assert(onCorpus.isEmpty)
+    val edges = Seq(
+      "The9 and_x with-this the,the.the THE",       // boundary shapes
+      "café theé une",                     // unicode letters adjacent to markers
+      "的是了在的",              // CJK substring counts
+      "", "   ", "no markers here at all zz").toDF("t")
+    val onEdges = edges
+      .withColumn("a", TextAnalysis.langId(col("t")))
+      .withColumn("b", TextAnalysis.langIdDeclarative(col("t")))
+      .filter(col("a") =!= col("b"))
+    assert(onEdges.isEmpty)
+  }
+
   test("langId identifies real sentences per language and 'und' for noise") {
     val df = Seq(
       ("en", "the cat sat on the mat and this is fine"),
