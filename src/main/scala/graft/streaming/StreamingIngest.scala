@@ -124,4 +124,28 @@ object StreamingIngest {
       .agg(max("rho").as("max_rho"))
       .select((col("window.start").as("win_start") +: groupCols.map(col)) :+
         col("bucket") :+ col("max_rho"): _*)
+
+  /** Streaming top-k per (window, group) via the `functions.TopK`
+    * typed aggregator: like the batch form, state per group is the k
+    * best pairs — not the event backlog — so "top sessions by value
+    * per hour" holds constant memory per window×group on an unbounded
+    * stream. Emits (win_start, group, rank, id, value) rows.
+    */
+  def topKStream(
+      events: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      watermark: String,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      k: Int
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(groupCol))
+      .agg(graft.functions.TopK.topK(col(valueCol), col(idCol), k).as("tk"))
+      .select(col("window.start").as("win_start"), col(groupCol), posexplode(col("tk")))
+      .select(col("win_start"), col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as(idCol), col("col._1").as(valueCol))
 }

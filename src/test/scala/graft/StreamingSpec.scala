@@ -103,6 +103,32 @@ class StreamingSpec extends SparkSpec {
     assert(em == ed)
   }
 
+  test("streaming top-k per window equals the batch window ranking") {
+    val dir = Files.createTempDirectory("graft-topk-stream").toString
+    val batch = Tables(spark, "/root/testdata/sf0.001").events
+    batch.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingIngest
+      .topKStream(stream, "ts", "1 hour", "1 hour", "event_type", "value", "event_id", k = 3)
+      .writeStream.outputMode("complete").format("memory").queryName("topk_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("topk_stream")
+      .orderBy("win_start", "event_type", "rank")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start", "event_type").orderBy(desc("value"), asc("event_id"))
+    val want = batch
+      .withColumn("win_start", window(col("ts"), "1 hour")("start"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .orderBy("win_start", "event_type", "rank")
+      .collect().map(r => (r.getTimestamp(r.fieldIndex("win_start")),
+        r.getString(r.fieldIndex("event_type")), r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("event_id"))))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     val batch = Tables(spark, "/root/testdata/sf0.001").events.limit(200)
