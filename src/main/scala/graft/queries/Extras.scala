@@ -612,11 +612,37 @@ object Extras {
     }
   )
 
+  /** Hot-key join through the salt path (`operators.Skew.saltedJoin`):
+    * the big side scatters across `salt` replicas of the dim, so one
+    * pathological key spreads over `salt` tasks instead of pinning
+    * one. Semantically identical to the plain join — the oracle IS
+    * the plain join, so the gate proves the salting is invisible.
+    */
+  val x20SaltedJoin = Query(
+    "x20_salted_join",
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+             |  ${Query.sumMoneySql("l_extendedprice")} AS sum_price
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      graft.operators.Skew
+        .saltedJoin(
+          t.lineitem.withColumnRenamed("l_orderkey", "k"),
+          t.orders.withColumnRenamed("o_orderkey", "k").select("k", "o_orderpriority"),
+          key = "k", salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
     x10GapsIslands, x11Intersect, x12RangeFrame, x13FirstLast,
     x14CohortRetention, x15Funnel, x16Transitions, x17StatsMoments,
-    x18Histogram, x19TopKAgg
+    x18Histogram, x19TopKAgg, x20SaltedJoin
   )
 }
