@@ -72,7 +72,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(es(2), "numHashes"), intLit(es(3), "mBits"))),
       ("bloom_probe", "_FUNC_(str, filter, k, n, m) - (n_grams, n_maybe) against a packed filter.",
         es => Sketches.BloomProbeExpr(es(0), es(1), intLit(es(2), "k"),
-          intLit(es(3), "numHashes"), intLit(es(4), "mBits")))
+          intLit(es(3), "numHashes"), intLit(es(4), "mBits"))),
+      ("vec_dot", "_FUNC_(a, b) - left-associated inner product of two array<double>.",
+        es => graft.functions.VectorKernels.VecDotExpr(es(0), es(1))),
+      ("hyperplane_sig", "_FUNC_(v, bits, seed) - random-hyperplane LSH bucket id.",
+        es => graft.functions.VectorKernels.HyperplaneSigExpr(es(0),
+          intLit(es(1), "bits"), intLit(es(2), "seed"))),
+      ("lang_id", "_FUNC_(str) - single-pass marker-based language guess.",
+        es => graft.functions.LangIdKernel.LangIdExpr(es(0)))
     ).foreach { case (name, usage, builder) =>
       ext.injectFunction(
         (new FunctionIdentifier(name),

@@ -240,6 +240,12 @@ class OperatorsSpec extends SparkSpec {
       var h = 1469598103934665603L
       "hello world".getBytes("UTF-8").foreach(b => h = h * 1000003L + (b & 0xffL))
       assert(got == h)
+      // round-3 kernels reach pure SQL too
+      assert(ext.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0) == 11.0)
+      assert(ext.sql("SELECT lang_id('the cat and the hat with this') AS l")
+        .head().getString(0) == "en")
+      assert(ext.sql("SELECT hyperplane_sig(array(1.0d), 4, 0) AS s").head().getLong(0) >= 0L)
     } finally {
       S.setActiveSession(prior); S.setDefaultSession(prior)
     }
