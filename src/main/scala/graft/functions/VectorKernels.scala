@@ -91,6 +91,37 @@ object VectorKernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Count of positions where two array<long> values are equal —
+    * the MinHash signature-agreement count (pure integer, so exactness
+    * is trivial; replaces an interpreted aggregate(zip_with) fold
+    * that dominated candidate-estimation time).
+    */
+  case class LongEqCountExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    private def requireLongArray(e: Expression) =
+      if (e.dataType == ArrayType(LongType, true) || e.dataType == ArrayType(LongType, false))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"long_eq_count needs array<bigint> arguments, got ${e.dataType}")
+    override def checkInputDataTypes() = {
+      val l = requireLongArray(left)
+      if (l.isFailure) l else requireLongArray(right)
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData].toLongArray()
+      val y = b.asInstanceOf[ArrayData].toLongArray()
+      val n = math.min(x.length, y.length)
+      var c = 0
+      var i = 0
+      while (i < n) { if (x(i) == y(i)) c += 1; i += 1 }
+      c
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   private def intArg(e: Expression, what: String): Int =
     if (e.foldable) e.eval() match {
       case v: Int => v
@@ -106,6 +137,7 @@ object VectorKernels {
     reg("vec_dot", es => VecDotExpr(es(0), es(1)))
     reg("hyperplane_sig",
       es => HyperplaneSigExpr(es(0), intArg(es(1), "bits"), intArg(es(2), "seed")))
+    reg("long_eq_count", es => LongEqCountExpr(es(0), es(1)))
   }
 
   private def active: SparkSession = SparkSession.active
@@ -113,6 +145,10 @@ object VectorKernels {
   def vecDot(a: Column, b: Column): Column = {
     register(active)
     call_function("vec_dot", a, b)
+  }
+  def longEqCount(a: Column, b: Column): Column = {
+    register(active)
+    call_function("long_eq_count", a, b)
   }
   def hyperplaneSig(v: Column, bits: Int, seed: Int): Column = {
     register(active)

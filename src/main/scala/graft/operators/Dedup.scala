@@ -165,11 +165,10 @@ object Dedup {
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(
         col("id_a"), col("id_b"),
-        (aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0),
-          (acc, v) => acc + v
-        ).cast("double") / numHashes).as("est_jaccard")
+        // native position-agreement count — integer-exact, replaces an
+        // interpreted aggregate(zip_with) fold per candidate pair
+        (graft.functions.VectorKernels.longEqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes).as("est_jaccard")
       )
       .filter(col("est_jaccard") >= threshold)
   }
