@@ -79,7 +79,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es => graft.functions.VectorKernels.HyperplaneSigExpr(es(0),
           intLit(es(1), "bits"), intLit(es(2), "seed"))),
       ("lang_id", "_FUNC_(str) - single-pass marker-based language guess.",
-        es => graft.functions.LangIdKernel.LangIdExpr(es(0)))
+        es => graft.functions.LangIdKernel.LangIdExpr(es(0))),
+      ("long_eq_count", "_FUNC_(a, b) - positions where two array<bigint> agree.",
+        es => graft.functions.VectorKernels.LongEqCountExpr(es(0), es(1)))
     ).foreach { case (name, usage, builder) =>
       ext.injectFunction(
         (new FunctionIdentifier(name),
