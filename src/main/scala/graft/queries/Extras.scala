@@ -638,11 +638,37 @@ object Extras {
     }
   )
 
+  /** Arbitrary GROUPING SETS (the general form rollup/cube
+    * specialize): per-(flag,status) cells, per-flag subtotals, and
+    * the grand total in ONE aggregation pass — no UNION of scans.
+    */
+  val x21GroupingSets = Query(
+    "x21_grouping_sets",
+    Some(s"""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+             |  COUNT(*) AS n, ${Query.sumMoneySql("l_extendedprice")} AS sum_price
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.createOrReplaceTempView("lineitem_gs")
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
     x10GapsIslands, x11Intersect, x12RangeFrame, x13FirstLast,
     x14CohortRetention, x15Funnel, x16Transitions, x17StatsMoments,
-    x18Histogram, x19TopKAgg, x20SaltedJoin
+    x18Histogram, x19TopKAgg, x20SaltedJoin, x21GroupingSets
   )
 }

@@ -473,6 +473,31 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("TopK buffer merge/insert equals full-sort take-k (property)") {
+    import graft.functions.TopK
+    val gen = for {
+      n <- org.scalacheck.Gen.chooseNum(0, 60)
+      k <- org.scalacheck.Gen.chooseNum(1, 8)
+      vs <- org.scalacheck.Gen.listOfN(n,
+        org.scalacheck.Gen.zip(
+          org.scalacheck.Gen.chooseNum(-5.0, 5.0).map(v => math.rint(v * 4) / 4), // force ties
+          org.scalacheck.Gen.chooseNum(0L, 1000L)))
+      split <- org.scalacheck.Gen.chooseNum(0, n)
+    } yield (k, vs, split)
+    Iterator.continually(gen.sample).flatten.take(300).foreach { case (k, vs, split) =>
+      val agg = TopK.TopKAgg(k)
+      val (l, r) = vs.splitAt(split)
+      val b1 = l.foldLeft(agg.zero)(agg.reduce)
+      val b2 = r.foldLeft(agg.zero)(agg.reduce)
+      val got = agg.finish(agg.merge(b1, b2))
+      val want = vs.distinct.sortBy { case (v, id) => (-v, id) }.take(k)
+      // duplicates of the SAME (v, id) pair may both enter the top-k;
+      // compare against the sorted multiset prefix instead
+      val wantMulti = vs.sortBy { case (v, id) => (-v, id) }.take(k)
+      assert(got == wantMulti || got == want, s"k=$k vs=$vs got=$got")
+    }
+  }
+
   test("simHashPairs finds banded near-dups and verifies hamming exactly") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
