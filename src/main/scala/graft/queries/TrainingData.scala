@@ -1147,6 +1147,47 @@ object TrainingData {
     }
   )
 
+  /** Sequence packing (pretraining batch prep): greedy fill of
+    * 512-token bins per source shard, docs in id order. Packing is
+    * sequential per shard, parallel ACROSS shards
+    * (`operators.Packing`); the oracle replays the greedy scan with a
+    * recursive CTE.
+    */
+  val td19SequencePack = Query(
+    "td19_sequence_pack",
+    Some("""WITH RECURSIVE t AS (
+            |  SELECT source, doc_id,
+            |    CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            |         ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS INT) AS n_tokens,
+            |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            |  FROM documents),
+            |packed AS (
+            |  SELECT source, doc_id, n_tokens, rn,
+            |    0 AS bin_id, 0 AS bin_offset, n_tokens AS fill
+            |  FROM t WHERE rn = 1
+            |  UNION ALL
+            |  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+            |    CASE WHEN p.fill + t.n_tokens <= 512 THEN p.bin_id ELSE p.bin_id + 1 END,
+            |    CASE WHEN p.fill + t.n_tokens <= 512 THEN p.fill ELSE 0 END,
+            |    CASE WHEN p.fill + t.n_tokens <= 512 THEN p.fill + t.n_tokens
+            |         ELSE t.n_tokens END
+            |  FROM packed p JOIN t ON t.source = p.source AND t.rn = p.rn + 1)
+            |SELECT source AS grp, doc_id, n_tokens,
+            |  CAST(bin_id AS INT) AS bin_id, CAST(bin_offset AS INT) AS bin_offset
+            |FROM packed ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val toks = t.documents.select(
+        col("source").as("group"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing.packSequences(toks, capacity = 512)
+        .toDF()
+        .select(col("group").as("grp"), col("doc_id"), col("n_tokens"),
+          col("bin_id"), col("bin_offset"))
+        .orderBy("doc_id")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -1156,6 +1197,6 @@ object TrainingData {
     st01Sessionize, st02SlidingWindow, td08NormalizedFp, td09Repetition,
     td10Pii, td11Tfidf, td12HllSketch, td13Contamination, td14StratifiedSample,
     td15HeavyHitters, td16BloomContamination, td17OovRatio,
-    dd08SimHashPairs, td18SampledQuantiles
+    dd08SimHashPairs, td18SampledQuantiles, td19SequencePack
   )
 }

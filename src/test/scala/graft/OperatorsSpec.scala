@@ -498,6 +498,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: bins respect capacity, offsets are contiguous, oversized isolated") {
+    import graft.operators.Packing
+    val rows = Seq(
+      ("a", 1L, 200), ("a", 2L, 300), ("a", 3L, 20), ("a", 4L, 600), ("a", 5L, 100),
+      ("b", 10L, 512), ("b", 11L, 1)
+    ).toDF("group", "doc_id", "n_tokens")
+    val packed = Packing.packSequences(rows, capacity = 512).collect()
+      .map(p => (p.group, p.doc_id) -> (p.bin_id, p.bin_offset)).toMap
+    // group a: 200+300 fill bin0 (20 fits too: 520 > 512? 200+300+20=520 > 512 → 20 to bin1)
+    assert(packed(("a", 1L)) == (0, 0) && packed(("a", 2L)) == (0, 200))
+    assert(packed(("a", 3L)) == (1, 0))
+    assert(packed(("a", 4L)) == (2, 0), "oversized doc gets its own bin")
+    assert(packed(("a", 5L)) == (3, 0), "bin after an oversized doc starts fresh")
+    // group b: exactly-full bin, then next starts bin 1
+    assert(packed(("b", 10L)) == (0, 0) && packed(("b", 11L)) == (1, 0))
+    // global invariant on the corpus: per (group, bin) token sums ≤ capacity
+    // unless the bin holds a single oversized doc
+    val toks = docs.select(col("source").as("group"), col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val corpusPacked = Packing.packSequences(toks, capacity = 512).toDF()
+    val bad = corpusPacked.groupBy("group", "bin_id")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("cnt"))
+      .filter(col("tot") > 512 && col("cnt") > 1)
+    assert(bad.isEmpty)
+  }
+
   test("simHashPairs finds banded near-dups and verifies hamming exactly") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
