@@ -289,4 +289,24 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "sim", "rank")
   }
+
+  /** Scalar int8 quantization of an embedding (4×–8× storage cut for
+    * ANN corpora — the standard compression lever before PQ):
+    * per-vector absmax scale, q_i = round(x_i·127/amax). Every step is
+    * plain IEEE arithmetic in a fixed association order, so the DuckDB
+    * oracle replays scale, codes, and reconstruction error exactly.
+    *
+    * @return (scale, quantized codes as array<double> of integral
+    *         values, squared reconstruction error folded left from
+    *         0.0)
+    */
+  def int8Quantize(vec: Column): (Column, Column, Column) = {
+    val v = transform(vec, _.cast("double"))
+    val amax = array_max(transform(v, x => abs(x)))
+    val q = transform(v, x => when(amax > 0, round(x * 127.0 / amax)).otherwise(lit(0.0)))
+    val dq = transform(q, c => c * amax / 127.0)
+    val err = aggregate(
+      zip_with(v, dq, (x, d) => (x - d) * (x - d)), lit(0.0d), (acc, e) => acc + e)
+    (amax.as("scale"), q, err)
+  }
 }

@@ -1188,6 +1188,40 @@ object TrainingData {
     }
   )
 
+  /** Embedding int8 quantization audit: per-vector scale, probe codes
+    * at dims 1/32/64, and the squared reconstruction error (left-fold
+    * from 0.0 — same association both engines). Bit-exact: scale,
+    * codes, and error all replay in SQL.
+    */
+  val td20Int8Quantize = Query(
+    "td20_int8_quantize",
+    Some("""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM b),
+            |q AS (SELECT vec_id, v, scale,
+            |  list_transform(v, x -> CASE WHEN scale > 0
+            |    THEN ROUND(x * 127.0 / scale) ELSE 0.0 END) AS qv
+            |  FROM s)
+            |SELECT vec_id, scale,
+            |  CAST(qv[1] AS INT) AS q1, CAST(qv[32] AS INT) AS q32, CAST(qv[64] AS INT) AS q64,
+            |  ROUND(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+            |    i -> (v[CAST(i AS INT)] - qv[CAST(i AS INT)] * scale / 127.0) *
+            |         (v[CAST(i AS INT)] - qv[CAST(i AS INT)] * scale / 127.0))),
+            |    (a, x) -> a + x), 6) AS recon_err
+            |FROM q ORDER BY vec_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val (scale, q, err) = Similarity.int8Quantize(col("embedding"))
+      t.embeddings
+        .select(col("vec_id"), scale, q.as("qv"), round(err, 6).as("recon_err"))
+        .select(col("vec_id"), col("scale"),
+          element_at(col("qv"), 1).cast("int").as("q1"),
+          element_at(col("qv"), 32).cast("int").as("q32"),
+          element_at(col("qv"), 64).cast("int").as("q64"),
+          col("recon_err"))
+        .orderBy("vec_id")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -1197,6 +1231,6 @@ object TrainingData {
     st01Sessionize, st02SlidingWindow, td08NormalizedFp, td09Repetition,
     td10Pii, td11Tfidf, td12HllSketch, td13Contamination, td14StratifiedSample,
     td15HeavyHitters, td16BloomContamination, td17OovRatio,
-    dd08SimHashPairs, td18SampledQuantiles, td19SequencePack
+    dd08SimHashPairs, td18SampledQuantiles, td19SequencePack, td20Int8Quantize
   )
 }
