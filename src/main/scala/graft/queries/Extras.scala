@@ -664,11 +664,39 @@ object Extras {
     }
   )
 
+  /** Relative-rank window functions (the remaining rank family beyond
+    * x09's dense_rank/ntile): percent_rank = (rank-1)/(n-1) and
+    * cume_dist = peers≤current/n — both a single exact-integer-ratio
+    * division, so bit-stable cross-engine.
+    */
+  val x22RelativeRanks = Query(
+    "x22_relative_ranks",
+    Some("""SELECT o_orderkey, o_orderpriority,
+            |  PERCENT_RANK() OVER w AS prank,
+            |  CUME_DIST() OVER w AS cdist,
+            |  CAST(RANK() OVER w AS BIGINT) AS rnk
+            |FROM orders
+            |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+            |ORDER BY o_orderkey""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+      t.orders
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          rank().over(w).cast("long").as("rnk"))
+        .orderBy("o_orderkey")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
     x10GapsIslands, x11Intersect, x12RangeFrame, x13FirstLast,
     x14CohortRetention, x15Funnel, x16Transitions, x17StatsMoments,
-    x18Histogram, x19TopKAgg, x20SaltedJoin, x21GroupingSets
+    x18Histogram, x19TopKAgg, x20SaltedJoin, x21GroupingSets,
+    x22RelativeRanks
   )
 }
