@@ -498,6 +498,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PQ/ADC: deterministic codes, useful euclidean recall, 16x compression shape") {
+    import graft.operators.Pq
+    val model = Pq.train(emb, "vec_id", "embedding", m = 4, k = 16, iters = 1, dim = 64)
+    assert(model.m == 4 && model.subDim == 16)
+    val enc = Pq.encode(emb, "vec_id", "embedding", model)
+    val enc2 = Pq.encode(emb, "vec_id", "embedding",
+      Pq.train(emb, "vec_id", "embedding", m = 4, k = 16, iters = 1, dim = 64))
+    assert(enc.except(enc2).isEmpty, "training + encoding must be reproducible")
+    // ADC top-3 vs exact euclidean top-3
+    val queries = emb.filter(col("vec_id") < 30)
+    val adc = Pq.adcSearch(enc, queries, "vec_id", "embedding", model, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val v = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val exact = v.as("q").filter(col("q.vec_id") < 30)
+      .crossJoin(v.as("c").withColumnRenamed("vec_id", "cid").withColumnRenamed("v", "cv"))
+      .filter(col("q.vec_id") =!= col("cid"))
+      .withColumn("d",
+        Similarity.dotUnrolled(col("v"), col("v"), 64) +
+          Similarity.dotUnrolled(col("cv"), col("cv"), 64) -
+          Similarity.dotUnrolled(col("v"), col("cv"), 64) * 2)
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("q.vec_id").orderBy(asc("d"), asc("cid"))))
+      .filter(col("r") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("cid"))))
+    val hit = adc.count(exact.toSet)
+    val recall = hit.toDouble / exact.length
+    // synthetic embeddings are near-orthogonal (no cluster structure),
+    // the worst case for PQ — so the bar is "far above chance", not an
+    // absolute recall: random top-3 hits 3/(n-1) ≈ 0.02 here
+    val chance = 3.0 / (emb.count() - 1)
+    assert(recall > 5 * chance, s"ADC recall@3 $recall not above 5x chance ($chance)")
+  }
+
   test("sequence packing: bins respect capacity, offsets are contiguous, oversized isolated") {
     import graft.operators.Packing
     val rows = Seq(
