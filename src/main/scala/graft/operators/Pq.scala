@@ -31,17 +31,53 @@ object Pq {
     s
   }
 
-  /** Per-subspace deterministic Lloyd via [[Ivf.train]] on the slice. */
+  /** Deterministic Lloyd for ALL subspaces jointly — mathematically
+    * the per-subspace training run side by side (subspaces never
+    * interact), but each iteration is ONE assign/aggregate job over
+    * (subspace, cluster, dim) cells instead of m separate jobs.
+    * Same decimal-exact means and smallest-id init as [[Ivf.train]],
+    * so the DuckDB oracle still replays each subspace chain
+    * independently.
+    */
   def train(
       df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int, dim: Int): Model = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val d = dim / m
-    val books = (0 until m).map { s =>
-      val sub = df.select(col(idCol),
-        slice(transform(col(vecCol), _.cast("double")), s * d + 1, d).as("subv"))
-      Ivf.train(sub, idCol, "subv", k, iters).centroids
-    }.toArray
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val init = data.orderBy(col(idCol)).take(k).map(_._2)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, k)((s, c) => init(c).slice(s * d, s * d + d))
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val cells = data.flatMap { case (_, v) =>
+        val bks = bc.value
+        (0 until bks.length).iterator.flatMap { s =>
+          val cb = bks(s)
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cb.length) {
+            val dd = dist2(v, cb(c), s * d); if (dd < bestD) { bestD = dd; best = c }; c += 1
+          }
+          (0 until d).map(i => (s, best, i, v(s * d + i)))
+        }
+      }.toDF("s", "c", "i", "x")
+      val means = cells
+        .groupBy("s", "c", "i")
+        .agg((sum(col("x").cast("decimal(28,14)")).cast("double") / count(lit(1))).as("mu"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .foreach { case ((s, c), rows) =>
+          val arr = new Array[Double](d)
+          rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+          next(s)(c) = arr // clusters with no members keep prior centroid
+        }
+      books = next
+    }
     Model(books)
   }
 
