@@ -81,7 +81,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("lang_id", "_FUNC_(str) - single-pass marker-based language guess.",
         es => graft.functions.LangIdKernel.LangIdExpr(es(0))),
       ("long_eq_count", "_FUNC_(a, b) - positions where two array<bigint> agree.",
-        es => graft.functions.VectorKernels.LongEqCountExpr(es(0), es(1)))
+        es => graft.functions.VectorKernels.LongEqCountExpr(es(0), es(1))),
+      ("vec_dist2", "_FUNC_(a, b) - squared euclidean distance of two array<double>.",
+        es => graft.functions.VectorKernels.VecDist2Expr(es(0), es(1)))
     ).foreach { case (name, usage, builder) =>
       ext.injectFunction(
         (new FunctionIdentifier(name),

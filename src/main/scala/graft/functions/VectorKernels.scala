@@ -91,6 +91,30 @@ object VectorKernels {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Squared euclidean distance, folded left FROM 0.0 (matches a
+    * `list_reduce(list_prepend(0.0, …))` oracle replay and the
+    * imperative `s += d*d` kernels).
+    */
+  case class VecDist2Expr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes() = {
+      val l = requireDoubleArray(left, "vec_dist2")
+      if (l.isFailure) l else requireDoubleArray(right, "vec_dist2")
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData].toDoubleArray()
+      val y = b.asInstanceOf[ArrayData].toDoubleArray()
+      val n = math.min(x.length, y.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   /** Count of positions where two array<long> values are equal —
     * the MinHash signature-agreement count (pure integer, so exactness
     * is trivial; replaces an interpreted aggregate(zip_with) fold
@@ -138,6 +162,7 @@ object VectorKernels {
     reg("hyperplane_sig",
       es => HyperplaneSigExpr(es(0), intArg(es(1), "bits"), intArg(es(2), "seed")))
     reg("long_eq_count", es => LongEqCountExpr(es(0), es(1)))
+    reg("vec_dist2", es => VecDist2Expr(es(0), es(1)))
   }
 
   private def active: SparkSession = SparkSession.active
@@ -149,6 +174,10 @@ object VectorKernels {
   def longEqCount(a: Column, b: Column): Column = {
     register(active)
     call_function("long_eq_count", a, b)
+  }
+  def vecDist2(a: Column, b: Column): Column = {
+    register(active)
+    call_function("vec_dist2", a, b)
   }
   def hyperplaneSig(v: Column, bits: Int, seed: Int): Column = {
     register(active)

@@ -157,4 +157,32 @@ object Pq {
       }
       .toDF("query_id", "corpus_id", "adc_dist", "rank")
   }
+
+  /** The standard production PQ pattern: ADC selects a `shortlist`
+    * (cheap, compressed domain), exact float distances re-rank only
+    * those candidates — recall of the exact metric at a fraction of
+    * its cost. The rescore is `vec_dist2` (left fold from 0.0), so
+    * the oracle replays shortlist AND re-ranking exactly.
+    */
+  def adcRerank(
+      encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, model: Model,
+      shortlist: Int, k: Int, roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val short = adcSearch(encoded, queries, idCol, vecCol, model, shortlist, roundTo)
+      .select("query_id", "corpus_id")
+    val qv = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("qv"))
+    val cv = corpus.select(col(idCol).as("corpus_id"),
+      transform(col(vecCol), _.cast("double")).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(asc("exact_d"), asc("corpus_id"))
+    short
+      .join(qv, "query_id")
+      .join(cv, "corpus_id")
+      .withColumn("exact_d",
+        round(graft.functions.VectorKernels.vecDist2(col("qv"), col("cv")), roundTo))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "exact_d", "rank")
+  }
 }

@@ -507,59 +507,67 @@ object TrainingData {
     * lookups only). The oracle replays all four Lloyd chains, the
     * code assignment, and the ADC ranking bit-for-bit.
     */
+  /** Shared PQ oracle chain (m=4 subspaces × 16 dims, k=16, one Lloyd
+    * iteration, queries = id < 5): WITH-body through
+    * `pairs(query_id, corpus_id, adc_dist)`. ss04 ranks it directly;
+    * ss05 shortlists then re-ranks with exact distances.
+    */
+  private def pqOracleWith: String = {
+    val (m, sub, k) = (4, 16, 16)
+    def fold(term: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}),
+         |      i -> $term)), (a, x) -> a + x)""".stripMargin
+    def subDist(v: String, off: Int, cv: String) =
+      fold(s"($v[$off + CAST(i AS INT)] - $cv[CAST(i AS INT)])" +
+        s" * ($v[$off + CAST(i AS INT)] - $cv[CAST(i AS INT)])")
+    def slicedDist(sv: String, cv: String) =
+      fold(s"($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)]) * " +
+        s"($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)])")
+    // one Lloyd iteration per subspace (init = 16 smallest ids)
+    val perSub = (0 until m).map { s =>
+      val off = s * sub
+      s"""sub$s AS (SELECT id, v[${off + 1}:${off + sub}] AS sv FROM b0),
+         |c0_$s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS c, sv AS cv
+         |          FROM (SELECT id, sv FROM sub$s ORDER BY id LIMIT $k)),
+         |asg$s AS (
+         |  SELECT id, sv, c FROM (
+         |    SELECT sub$s.id, sub$s.sv, c0_$s.c, ROW_NUMBER() OVER (
+         |      PARTITION BY sub$s.id ORDER BY ${slicedDist(s"sub$s.sv", s"c0_$s.cv")}, c0_$s.c) AS rn
+         |    FROM sub$s CROSS JOIN c0_$s) WHERE rn = 1),
+         |cm$s AS (
+         |  SELECT c, i, CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mu
+         |  FROM (SELECT c, UNNEST(sv) AS x, UNNEST(range(1, ${sub + 1})) AS i FROM asg$s)
+         |  GROUP BY c, i),
+         |cb$s AS (
+         |  SELECT c, list(mu ORDER BY i) AS cv FROM cm$s GROUP BY c
+         |  UNION ALL
+         |  SELECT c, cv FROM c0_$s WHERE c NOT IN (SELECT DISTINCT c FROM asg$s)),
+         |code$s AS (
+         |  SELECT id, c AS code FROM (
+         |    SELECT sub$s.id, cb$s.c, ROW_NUMBER() OVER (
+         |      PARTITION BY sub$s.id ORDER BY ${slicedDist(s"sub$s.sv", s"cb$s.cv")}, cb$s.c) AS rn
+         |    FROM sub$s CROSS JOIN cb$s) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until m).map(s => s"JOIN code$s ON code$s.id = co.id").mkString(" ")
+    val cbJoins = (0 until m).map(s => s"JOIN cb$s ON cb$s.c = code$s.code").mkString(" ")
+    val adcSum = (0 until m).map(s => s"(${subDist("q.v", s * sub, s"cb$s.cv")})").mkString(" + ")
+    s"""b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$perSub,
+       |q AS (SELECT id, v FROM b0 WHERE id < 5),
+       |co AS (SELECT id FROM b0),
+       |pairs AS (
+       |  SELECT q.id AS query_id, co.id AS corpus_id,
+       |    ROUND($adcSum, 4) AS adc_dist
+       |  FROM q JOIN co ON co.id <> q.id $codeJoins $cbJoins)""".stripMargin
+  }
+
   val ss04PqAdc = Query(
-    "ss04_pq_adc", {
-      val (m, sub, k, topK) = (4, 16, 16, 3)
-      def fold(term: String) =
-        s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}),
-           |      i -> $term)), (a, x) -> a + x)""".stripMargin
-      def subDist(v: String, off: Int, cv: String) =
-        fold(s"($v[$off + CAST(i AS INT)] - $cv[CAST(i AS INT)])" +
-          s" * ($v[$off + CAST(i AS INT)] - $cv[CAST(i AS INT)])")
-      def slicedDist(sv: String, cv: String) =
-        fold(s"($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)]) * " +
-          s"($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)])")
-      // one Lloyd iteration per subspace (init = 16 smallest ids)
-      val perSub = (0 until m).map { s =>
-        val off = s * sub
-        s"""sub$s AS (SELECT id, v[${off + 1}:${off + sub}] AS sv FROM b0),
-           |c0_$s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS c, sv AS cv
-           |          FROM (SELECT id, sv FROM sub$s ORDER BY id LIMIT $k)),
-           |asg$s AS (
-           |  SELECT id, sv, c FROM (
-           |    SELECT sub$s.id, sub$s.sv, c0_$s.c, ROW_NUMBER() OVER (
-           |      PARTITION BY sub$s.id ORDER BY ${slicedDist(s"sub$s.sv", s"c0_$s.cv")}, c0_$s.c) AS rn
-           |    FROM sub$s CROSS JOIN c0_$s) WHERE rn = 1),
-           |cm$s AS (
-           |  SELECT c, i, CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mu
-           |  FROM (SELECT c, UNNEST(sv) AS x, UNNEST(range(1, ${sub + 1})) AS i FROM asg$s)
-           |  GROUP BY c, i),
-           |cb$s AS (
-           |  SELECT c, list(mu ORDER BY i) AS cv FROM cm$s GROUP BY c
-           |  UNION ALL
-           |  SELECT c, cv FROM c0_$s WHERE c NOT IN (SELECT DISTINCT c FROM asg$s)),
-           |code$s AS (
-           |  SELECT id, c AS code FROM (
-           |    SELECT sub$s.id, cb$s.c, ROW_NUMBER() OVER (
-           |      PARTITION BY sub$s.id ORDER BY ${slicedDist(s"sub$s.sv", s"cb$s.cv")}, cb$s.c) AS rn
-           |    FROM sub$s CROSS JOIN cb$s) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val codeJoins = (0 until m).map(s => s"JOIN code$s ON code$s.id = co.id").mkString(" ")
-      val cbJoins = (0 until m).map(s => s"JOIN cb$s ON cb$s.c = code$s.code").mkString(" ")
-      val adcSum = (0 until m).map(s => s"(${subDist("q.v", s * sub, s"cb$s.cv")})").mkString(" + ")
-      Some(
-        s"""WITH b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |$perSub,
-           |q AS (SELECT id, v FROM b0 WHERE id < 5),
-           |co AS (SELECT id FROM b0),
-           |pairs AS (
-           |  SELECT q.id AS query_id, co.id AS corpus_id,
-           |    ROUND($adcSum, 4) AS adc_dist
-           |  FROM q JOIN co ON co.id <> q.id $codeJoins $cbJoins)
-           |SELECT query_id, corpus_id, adc_dist, CAST(r AS INT) AS rank FROM (
-           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, corpus_id) AS r
-           |  FROM pairs) WHERE r <= $topK ORDER BY query_id, rank""".stripMargin)
-    },
+    "ss04_pq_adc",
+    Some(
+      s"""WITH $pqOracleWith
+         |SELECT query_id, corpus_id, adc_dist, CAST(r AS INT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, corpus_id) AS r
+         |  FROM pairs) WHERE r <= 3 ORDER BY query_id, rank""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
       val model = graft.operators.Pq.train(
@@ -568,6 +576,46 @@ object TrainingData {
       graft.operators.Pq
         .adcSearch(encoded, t.embeddings.filter(col("vec_id") < 5), "vec_id", "embedding",
           model, k = 3)
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  /** PQ re-rank — the production composition: ADC shortlists 10
+    * candidates in the compressed domain, exact euclidean distances
+    * re-rank them to a top-3 (recall of the exact metric at a
+    * fraction of its cost). The oracle replays shortlist AND the
+    * exact-fold re-ranking.
+    */
+  val ss05PqRerank = Query(
+    "ss05_pq_rerank", {
+      def fold64(term: String) =
+        s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+           |      i -> $term)), (a, x) -> a + x)""".stripMargin
+      val exactD = fold64(
+        "(qb.v[CAST(i AS INT)] - cb2.v[CAST(i AS INT)]) * " +
+          "(qb.v[CAST(i AS INT)] - cb2.v[CAST(i AS INT)])")
+      Some(
+        s"""WITH $pqOracleWith,
+           |short AS (
+           |  SELECT query_id, corpus_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |                                 ORDER BY adc_dist, corpus_id) AS r
+           |    FROM pairs) WHERE r <= 10),
+           |resc AS (
+           |  SELECT s.query_id, s.corpus_id, ROUND($exactD, 4) AS exact_d
+           |  FROM short s JOIN b0 qb ON qb.id = s.query_id JOIN b0 cb2 ON cb2.id = s.corpus_id)
+           |SELECT query_id, corpus_id, exact_d, CAST(r AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, corpus_id) AS r
+           |  FROM resc) WHERE r <= 3 ORDER BY query_id, rank""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val model = graft.operators.Pq.train(
+        t.embeddings, "vec_id", "embedding", m = 4, k = 16, iters = 1, dim = 64)
+      val encoded = graft.operators.Pq.encode(t.embeddings, "vec_id", "embedding", model)
+      graft.operators.Pq
+        .adcRerank(encoded, t.embeddings, t.embeddings.filter(col("vec_id") < 5),
+          "vec_id", "embedding", model, shortlist = 10, k = 3)
         .orderBy("query_id", "rank")
     }
   )
@@ -1298,7 +1346,7 @@ object TrainingData {
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
     dd04CosineDup, dd06Winnow, dd07DedupPipeline, ss01CosineKnn, ss02LshAnn, ss03IvfAnn,
-    ss04PqAdc,
+    ss04PqAdc, ss05PqRerank,
     mm01BinaryMeta, mm02MediaFeatures,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
     st01Sessionize, st02SlidingWindow, td08NormalizedFp, td09Repetition,
