@@ -1342,6 +1342,90 @@ object TrainingData {
     }
   )
 
+  /** Character-class distribution (alpha/digit/space/other/upper
+    * shares) — the cheap non-linguistic quality signal (binary junk,
+    * tables, code have distinctive profiles). Integer counts, single
+    * exact divisions.
+    */
+  val td21CharClass = Query(
+    "td21_charclass",
+    Some("""WITH c AS (SELECT doc_id, LENGTH(text) AS n,
+            |  LEN(regexp_extract_all(text, '[A-Za-z]')) AS a,
+            |  LEN(regexp_extract_all(text, '[0-9]')) AS d,
+            |  LEN(regexp_extract_all(text, '\s')) AS s,
+            |  LEN(regexp_extract_all(text, '[A-Z]')) AS u
+            |FROM documents)
+            |SELECT doc_id, CAST(n AS INT) AS n_chars,
+            |  CASE WHEN n > 0 THEN CAST(a AS DOUBLE) / n ELSE 0.0 END AS alpha_ratio,
+            |  CASE WHEN n > 0 THEN CAST(d AS DOUBLE) / n ELSE 0.0 END AS digit_ratio,
+            |  CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n ELSE 0.0 END AS space_ratio,
+            |  CASE WHEN n > 0 THEN CAST(n - a - d - s AS DOUBLE) / n ELSE 0.0 END AS other_ratio,
+            |  CASE WHEN a > 0 THEN CAST(u AS DOUBLE) / a ELSE 0.0 END AS upper_share
+            |FROM c ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val n = length(col("text"))
+      val a = regexp_count(col("text"), lit("[A-Za-z]"))
+      val d = regexp_count(col("text"), lit("[0-9]"))
+      val s = regexp_count(col("text"), lit("\\s"))
+      val u = regexp_count(col("text"), lit("[A-Z]"))
+      def ratio(x: org.apache.spark.sql.Column) =
+        when(n > 0, x.cast("double") / n).otherwise(lit(0.0))
+      t.documents
+        .select(col("doc_id"), n.cast("int").as("n_chars"),
+          ratio(a).as("alpha_ratio"), ratio(d).as("digit_ratio"),
+          ratio(s).as("space_ratio"), ratio(n - a - d - s).as("other_ratio"),
+          when(a > 0, u.cast("double") / a).otherwise(lit(0.0)).as("upper_share"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** The composite quality gate as a catalog decision table: every
+    * document with its keep/reject verdict and first-failing reason
+    * (Gopher/RefinedWeb-style rule filter,
+    * `TextAnalysis.qualityFilter`). Thresholds chosen to bite on this
+    * corpus (short docs + high-repetition docs both occur).
+    */
+  val td22QualityGate = Query(
+    "td22_quality_gate",
+    Some("""WITH w AS (SELECT doc_id, text,
+            |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+            |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks
+            |FROM documents),
+            |f AS (SELECT doc_id,
+            |  LEN(toks) AS n_tokens,
+            |  CASE WHEN LEN(toks) > 0
+            |    THEN 1.0 - CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks)
+            |    ELSE 0.0 END AS rep,
+            |  CASE WHEN LENGTH(text) > 0
+            |    THEN CAST(LEN(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) / LENGTH(text)
+            |    ELSE 0.0 END AS punct
+            |FROM w)
+            |SELECT doc_id,
+            |  CASE WHEN n_tokens < 25 THEN 'too_short'
+            |       WHEN n_tokens > 1000000 THEN 'too_long'
+            |       WHEN rep > 0.65 THEN 'repetitive'
+            |       WHEN punct > 0.3 THEN 'punctuation' END AS reject_reason,
+            |  CASE WHEN n_tokens < 25 THEN 'too_short'
+            |       WHEN n_tokens > 1000000 THEN 'too_long'
+            |       WHEN rep > 0.65 THEN 'repetitive'
+            |       WHEN punct > 0.3 THEN 'punctuation' END IS NULL AS kept
+            |FROM f ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val (kept, rejected) = TextAnalysis.qualityFilter(t.documents, col("text"),
+        TextAnalysis.QualityThresholds(
+          minTokens = 25, maxTokens = 1000000,
+          maxRepetitionRatio = 0.65, maxPunctRatio = 0.3))
+      kept
+        .select(col("doc_id"), lit(null).cast("string").as("reject_reason"),
+          lit(true).as("kept"))
+        .unionByName(rejected.select(col("doc_id"), col("reject_reason"),
+          lit(false).as("kept")))
+        .orderBy("doc_id")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -1352,6 +1436,7 @@ object TrainingData {
     st01Sessionize, st02SlidingWindow, td08NormalizedFp, td09Repetition,
     td10Pii, td11Tfidf, td12HllSketch, td13Contamination, td14StratifiedSample,
     td15HeavyHitters, td16BloomContamination, td17OovRatio,
-    dd08SimHashPairs, td18SampledQuantiles, td19SequencePack, td20Int8Quantize
+    dd08SimHashPairs, td18SampledQuantiles, td19SequencePack, td20Int8Quantize,
+    td21CharClass, td22QualityGate
   )
 }
