@@ -691,12 +691,54 @@ object Extras {
     }
   )
 
+  /** Time-series gap fill: dense (group, day) spine from the data's
+    * date bounds, left-joined daily revenue, forward-filled with the
+    * last observed value (`last(..., ignoreNulls)` over an unbounded
+    * preceding frame). Days before a group's first observation stay
+    * null — both engines agree.
+    */
+  val x23GapFill = Query(
+    "x23_gap_fill",
+    Some("""WITH d AS (
+            |  SELECT o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS day,
+            |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+            |  FROM orders GROUP BY 1, 2),
+            |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+            |spine AS (
+            |  SELECT pr, lo + CAST(i AS INT) AS day
+            |  FROM (SELECT DISTINCT pr FROM d), bounds, UNNEST(range(0, hi - lo + 1)) t(i)),
+            |j AS (SELECT s.pr, s.day, d.rev FROM spine s
+            |      LEFT JOIN d ON d.pr = s.pr AND d.day = s.day)
+            |SELECT pr, day, rev,
+            |  LAST_VALUE(rev IGNORE NULLS) OVER (PARTITION BY pr ORDER BY day
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_ffill
+            |FROM j ORDER BY pr, day""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val d = t.orders
+        .groupBy(col("o_orderpriority").as("pr"), col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("rev"))
+      val bounds = d.agg(min("day").as("lo"), max("day").as("hi"))
+      val spine = d.select("pr").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("pr"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy("pr").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine
+        .join(d, Seq("pr", "day"), "left")
+        .withColumn("rev_ffill", last(col("rev"), ignoreNulls = true).over(w))
+        .orderBy("pr", "day")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
     x10GapsIslands, x11Intersect, x12RangeFrame, x13FirstLast,
     x14CohortRetention, x15Funnel, x16Transitions, x17StatsMoments,
     x18Histogram, x19TopKAgg, x20SaltedJoin, x21GroupingSets,
-    x22RelativeRanks
+    x22RelativeRanks, x23GapFill
   )
 }
