@@ -129,6 +129,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("stream-static enrichment join equals the batch join (dim broadcast per micro-batch)") {
+    val dir = Files.createTempDirectory("graft-ss-join").toString
+    val batch = Tables(spark, "/root/testdata/sf0.001").events
+    batch.write.parquet(s"$dir/in")
+    // static dim: event_type -> weight (tiny, joins broadcast)
+    import spark.implicits._
+    val dim = Seq(("view", 1), ("click", 2), ("purchase", 10), ("signup", 5), ("error", 0))
+      .toDF("event_type", "weight")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val enriched = stream.join(dim, "event_type")
+      .groupBy("event_type", "weight").agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream
+      .outputMode("complete").format("memory").queryName("ss_join").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join").orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val want = batch.join(dim, "event_type")
+      .groupBy("event_type", "weight").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     val batch = Tables(spark, "/root/testdata/sf0.001").events.limit(200)
