@@ -1426,6 +1426,82 @@ object TrainingData {
     }
   )
 
+  /** KMV (k-minimum-values / theta sketch) cross-source overlap:
+    * per source keep the k=64 smallest distinct document hashes
+    * (UNSIGNED order — Spark sorts by h XOR Long.MinValue, which is
+    * exactly HUGEINT order in the oracle); the Jaccard estimate of
+    * two sources is the share of the union's k smallest that sit in
+    * both sketches. Constant sketch per source regardless of corpus
+    * size — the standard audience-overlap / cross-shard dedup
+    * estimator. Bit-exact: integer counts, one division.
+    */
+  val td23KmvOverlap = Query(
+    "td23_kmv_overlap", {
+      val fold = foldSql("text")
+      val k = 64
+      Some(
+        s"""WITH h AS (
+           |  SELECT DISTINCT source, ${fmixSql(s"($fold)")} AS u FROM documents),
+           |sk AS (
+           |  SELECT source, u FROM (
+           |    SELECT source, u, ROW_NUMBER() OVER (PARTITION BY source ORDER BY u) AS rn
+           |    FROM h) WHERE rn <= $k),
+           |pr AS (SELECT a.source AS src_a, b.source AS src_b
+           |       FROM (SELECT DISTINCT source FROM sk) a
+           |       JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+           |uni0 AS (
+           |  SELECT DISTINCT pr.src_a, pr.src_b, s.u
+           |  FROM pr JOIN sk s ON s.source = pr.src_a OR s.source = pr.src_b),
+           |uni AS (
+           |  SELECT src_a, src_b, u FROM (
+           |    SELECT src_a, src_b, u,
+           |      ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY u) AS rn
+           |    FROM uni0) WHERE rn <= $k),
+           |common AS (
+           |  SELECT uni.src_a, uni.src_b, COUNT(*) AS n_common
+           |  FROM uni
+           |  JOIN sk sa ON sa.source = uni.src_a AND sa.u = uni.u
+           |  JOIN sk sb ON sb.source = uni.src_b AND sb.u = uni.u
+           |  GROUP BY uni.src_a, uni.src_b)
+           |SELECT pr.src_a, pr.src_b, COALESCE(n_common, 0) AS n_common,
+           |  CAST(COALESCE(n_common, 0) AS DOUBLE) / $k AS est_jaccard
+           |FROM pr LEFT JOIN common ON pr.src_a = common.src_a AND pr.src_b = common.src_b
+           |ORDER BY pr.src_a, pr.src_b""".stripMargin)
+    },
+    (spark, dir) => {
+      graft.functions.MixedHash64.register(spark)
+      val t = Tables(spark, dir)
+      val k = 64
+      // unsigned order in signed LongType: flip the sign bit
+      val uord = expr("u ^ -9223372036854775808")
+      val h = t.documents
+        .select(col("source"), graft.functions.MixedHash64(col("text")).as("u"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy(uord)
+      val sk = h.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("source", "u").localCheckpoint()
+      val srcs = sk.select("source").distinct()
+      val pr = srcs.as("a").join(srcs.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      val uni = pr
+        .join(sk.as("s"), col("s.source") === col("src_a") || col("s.source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("s.u").as("u"))
+        .distinct()
+      val wu = org.apache.spark.sql.expressions.Window
+        .partitionBy("src_a", "src_b").orderBy(uord)
+      val uniK = uni.withColumn("rn", row_number().over(wu)).filter(col("rn") <= k)
+      val common = uniK
+        .join(sk.select(col("source").as("src_a"), col("u")), Seq("src_a", "u"))
+        .join(sk.select(col("source").as("src_b"), col("u")), Seq("src_b", "u"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+      pr.join(common, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          (coalesce(col("n_common"), lit(0L)).cast("double") / k).as("est_jaccard"))
+        .orderBy("src_a", "src_b")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -1437,6 +1513,6 @@ object TrainingData {
     td10Pii, td11Tfidf, td12HllSketch, td13Contamination, td14StratifiedSample,
     td15HeavyHitters, td16BloomContamination, td17OovRatio,
     dd08SimHashPairs, td18SampledQuantiles, td19SequencePack, td20Int8Quantize,
-    td21CharClass, td22QualityGate
+    td21CharClass, td22QualityGate, td23KmvOverlap
   )
 }
