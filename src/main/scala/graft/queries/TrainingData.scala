@@ -1457,6 +1457,7 @@ object TrainingData {
            |    SELECT src_a, src_b, u,
            |      ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY u) AS rn
            |    FROM uni0) WHERE rn <= $k),
+           |usz AS (SELECT src_a, src_b, COUNT(*) AS n_union FROM uni GROUP BY src_a, src_b),
            |common AS (
            |  SELECT uni.src_a, uni.src_b, COUNT(*) AS n_common
            |  FROM uni
@@ -1464,8 +1465,10 @@ object TrainingData {
            |  JOIN sk sb ON sb.source = uni.src_b AND sb.u = uni.u
            |  GROUP BY uni.src_a, uni.src_b)
            |SELECT pr.src_a, pr.src_b, COALESCE(n_common, 0) AS n_common,
-           |  CAST(COALESCE(n_common, 0) AS DOUBLE) / $k AS est_jaccard
-           |FROM pr LEFT JOIN common ON pr.src_a = common.src_a AND pr.src_b = common.src_b
+           |  CAST(COALESCE(n_common, 0) AS DOUBLE) / usz.n_union AS est_jaccard
+           |FROM pr
+           |JOIN usz ON pr.src_a = usz.src_a AND pr.src_b = usz.src_b
+           |LEFT JOIN common ON pr.src_a = common.src_a AND pr.src_b = common.src_b
            |ORDER BY pr.src_a, pr.src_b""".stripMargin)
     },
     (spark, dir) => {
@@ -1490,14 +1493,20 @@ object TrainingData {
       val wu = org.apache.spark.sql.expressions.Window
         .partitionBy("src_a", "src_b").orderBy(uord)
       val uniK = uni.withColumn("rn", row_number().over(wu)).filter(col("rn") <= k)
+      val usz = uniK.groupBy("src_a", "src_b").agg(count(lit(1)).as("n_union"))
       val common = uniK
         .join(sk.select(col("source").as("src_a"), col("u")), Seq("src_a", "u"))
         .join(sk.select(col("source").as("src_b"), col("u")), Seq("src_b", "u"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
-      pr.join(common, Seq("src_a", "src_b"), "left")
+      // divide by the kept union size (= min(k, |union|)): identical to
+      // /k when the union saturates the sketch, and EXACT jaccard when
+      // the sketches cover the whole universe
+      pr.join(usz, Seq("src_a", "src_b"))
+        .join(common, Seq("src_a", "src_b"), "left")
         .select(col("src_a"), col("src_b"),
           coalesce(col("n_common"), lit(0L)).as("n_common"),
-          (coalesce(col("n_common"), lit(0L)).cast("double") / k).as("est_jaccard"))
+          (coalesce(col("n_common"), lit(0L)).cast("double") / col("n_union"))
+            .as("est_jaccard"))
         .orderBy("src_a", "src_b")
     }
   )

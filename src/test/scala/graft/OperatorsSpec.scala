@@ -558,6 +558,24 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("KMV overlap: with k >= universe the estimate equals exact jaccard") {
+    // sources a and b share 10 of their 30 docs -> jaccard 10/50 = 0.2
+    val docs = (0 until 30).map(i => ("a", s"shared doc $i".take(100), i)) ++
+      (0 until 30).map(i => if (i < 10) ("b", s"shared doc $i", i) else ("b", s"only b $i", i))
+    val df = docs.toDF("source", "text", "i").select(col("source"), col("text"))
+    val q = graft.queries.TrainingData.td23KmvOverlap
+    // run the catalog builder against a temp parquet dir shaped like testdata
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    df.withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = q.build(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getDouble(3) == 10.0 / 50.0, s"expected exact jaccard, got ${r.getDouble(3)}")
+  }
+
   test("simHashPairs finds banded near-dups and verifies hamming exactly") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
