@@ -210,6 +210,39 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Asymmetric near-dup: n-gram CONTAINMENT (Broder's measure).
+    * Jaccard misses a short document wholly embedded in a much longer
+    * one (the union term drowns the overlap); containment
+    * |A∩B| / |A| is direction-aware and catches exactly that quote /
+    * excerpt / page-within-crawl shape. Emits both directions and
+    * filters on the larger; same fixed-width hash-join scale shape as
+    * [[jaccardPairs]] — the shuffle key is the 8-byte shingle hash.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"),
+        explode(graft.functions.Sketches.gramXxHashesCol(col(textCol), k)).as("h"))
+      .localCheckpoint()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val pairs = sh.alias("x")
+      .join(sh.alias("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("cont_a", col("n_common").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("n_common").cast("double") / col("n_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "n_common", "cont_a", "cont_b")
+  }
+
   /** Exact-Jaccard verification RESTRICTED to a candidate pair set —
     * the post-LSH step of the dedup pipeline. The shingle explode is
     * semi-joined down to documents that appear in some candidate pair

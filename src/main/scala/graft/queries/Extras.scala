@@ -733,12 +733,96 @@ object Extras {
     }
   )
 
+  /** Robust outlier detection via the median absolute deviation:
+    * per-group median, then the median of |x − med|, then flag rows
+    * with |x − med| > 1.5·MAD. Exact interpolated percentiles in both
+    * engines (x02 proved parity), and every derived value is a single
+    * IEEE op on identical inputs — so the comparison is bit-exact, no
+    * tolerance. The deviation frame feeds two consumers (the MAD agg
+    * and the outlier count), so it is materialized once.
+    */
+  val x24MadOutliers = Query(
+    "x24_mad_outliers",
+    Some("""WITH med AS (
+            |  SELECT l_returnflag, PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med
+            |  FROM lineitem GROUP BY l_returnflag),
+            |dev AS (
+            |  SELECT l.l_returnflag, ABS(l.l_extendedprice - m.med) AS adev, m.med
+            |  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+            |mad AS (
+            |  SELECT l_returnflag, MIN(med) AS med,
+            |    PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+            |  FROM dev GROUP BY l_returnflag)
+            |SELECT d.l_returnflag, m.med, m.mad, COUNT(*) AS n,
+            |  COUNT(*) FILTER (WHERE d.adev > 1.5 * m.mad) AS n_outliers
+            |FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+            |GROUP BY d.l_returnflag, m.med, m.mad
+            |ORDER BY d.l_returnflag""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val li = t.lineitem.select("l_returnflag", "l_extendedprice")
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+        .localCheckpoint()
+      val mad = dev.groupBy("l_returnflag")
+        .agg(min("med").as("med"), expr("percentile(adev, 0.5)").as("mad"))
+      dev.drop("med")
+        .join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("adev") > lit(1.5) * col("mad"), 1)).as("n_outliers"))
+        .orderBy("l_returnflag")
+    }
+  )
+
+  /** Z-order (Morton) clustering: interleave the bits of two quantized
+    * dimensions into one sort key (`functions.InterleaveBits`, a
+    * codegen'd expression), bucket by the key's high bits, and report
+    * per-bucket min/max of BOTH dims — each bucket pins quantity
+    * exactly and price to a ≤1k-wide band, which is precisely why
+    * files written in z-order get tight parquet min/max on both
+    * columns (file skipping for predicates on either). The oracle
+    * replays the 16+16-bit interleave as a bit-arithmetic sum.
+    */
+  val x25ZOrder = Query(
+    "x25_zorder", {
+      val morton =
+        """CAST(list_sum(list_transform(range(0, 16), i ->
+          |      (CAST((a >> CAST(i AS INT)) & 1 AS BIGINT) << CAST(2*i AS INT))
+          |    + (CAST((b >> CAST(i AS INT)) & 1 AS BIGINT) << CAST(2*i+1 AS INT)))) AS BIGINT)""".stripMargin
+      Some(
+        s"""WITH d AS (
+           |  SELECT CAST(FLOOR(l_quantity * 1024.0) AS INT) AS a,
+           |         CAST(FLOOR(l_extendedprice / 2.0) AS INT) AS b
+           |  FROM lineitem),
+           |z AS (SELECT a, b, $morton AS zval FROM d)
+           |SELECT zval >> 20 AS zbucket, COUNT(*) AS n,
+           |  MIN(a) AS amin, MAX(a) AS amax, MIN(b) AS bmin, MAX(b) AS bmax
+           |FROM z GROUP BY zval >> 20 ORDER BY zbucket""".stripMargin)
+    },
+    (spark, dir) => {
+      graft.functions.InterleaveBits.register(spark)
+      val t = Tables(spark, dir)
+      val d = t.lineitem.select(
+        floor(col("l_quantity") * lit(1024.0)).cast("int").as("a"),
+        floor(col("l_extendedprice") / lit(2.0)).cast("int").as("b"))
+      d.withColumn("zval", graft.functions.InterleaveBits(col("a"), col("b")))
+        .groupBy(shiftright(col("zval"), 20).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("a").as("amin"), max("a").as("amax"),
+          min("b").as("bmin"), max("b").as("bmax"))
+        .orderBy("zbucket")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
     x10GapsIslands, x11Intersect, x12RangeFrame, x13FirstLast,
     x14CohortRetention, x15Funnel, x16Transitions, x17StatsMoments,
     x18Histogram, x19TopKAgg, x20SaltedJoin, x21GroupingSets,
-    x22RelativeRanks, x23GapFill
+    x22RelativeRanks, x23GapFill, x24MadOutliers, x25ZOrder
   )
 }

@@ -1511,6 +1511,123 @@ object TrainingData {
     }
   )
 
+  /** Temperature-based data mixing (multilingual rebalancing): the
+    * per-language sampling rate is DERIVED from corpus statistics —
+    * rate ∝ sqrt(n_lang)/sqrt(n_max) (α=0.5 temperature), so
+    * high-resource languages are downsampled relative to the rest —
+    * then applied with the same deterministic hash-threshold sampling
+    * as td14. sqrt is correctly-rounded per IEEE-754 and each derived
+    * value is one op on identical inputs, so rates are bit-identical
+    * cross-engine; the oracle replays hash, rates, and filter exactly.
+    */
+  val td24MixWeights = Query(
+    "td24_mix_weights", {
+      val fold = foldSql("CAST(doc_id AS VARCHAR)")
+      val signed = toSignedSql(s"(${fmixSql(s"($fold)")})")
+      Some(
+        s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+           |m AS (SELECT MAX(n) AS nmax FROM c),
+           |r AS (SELECT lang,
+           |        CAST(FLOOR(1000.0 * (SQRT(CAST(n AS DOUBLE)) / SQRT(CAST(nmax AS DOUBLE)))) AS BIGINT) AS rate
+           |      FROM c, m),
+           |h AS (SELECT doc_id, lang, (($signed % 1000) + 1000) % 1000 AS b FROM documents)
+           |SELECT h.doc_id, h.lang, r.rate
+           |FROM h JOIN r USING (lang) WHERE h.b < r.rate
+           |ORDER BY doc_id""".stripMargin)
+    },
+    (spark, dir) => {
+      graft.functions.MixedHash64.register(spark)
+      val t = Tables(spark, dir)
+      val docs = t.documents
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(max("n").as("nmax"))))
+        .select(col("lang"),
+          floor(lit(1000.0) * (sqrt(col("n").cast("double")) / sqrt(col("nmax").cast("double"))))
+            .cast("long").as("rate"))
+      val bucket = pmod(graft.functions.MixedHash64(col("doc_id").cast("string")), lit(1000L))
+      docs
+        .join(broadcast(rates), "lang")
+        .filter(bucket < col("rate"))
+        .select("doc_id", "lang", "rate")
+        .orderBy("doc_id")
+    }
+  )
+
+  /** Corpus-internal boilerplate detection (the CCNet/RefinedWeb
+    * shape): a bigram appearing in ≥5% of all documents is
+    * boilerplate; each document is scored by the fraction of its
+    * distinct bigrams that are boilerplate. Unlike td04's fixed
+    * stopword list, the common-phrase set is LEARNED from the corpus
+    * itself (one df aggregation). The threshold compares integers
+    * (df·20 ≥ n_docs) — no float cutoff to drift. Grams join on the
+    * 8-byte xxhash (fixed-width shuffle keys); the oracle joins on
+    * the gram strings, identical counts absent 64-bit collisions.
+    */
+  val td25Boilerplate = Query(
+    "td25_boilerplate",
+    Some("""WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w FROM documents),
+            |grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS g
+            |          FROM words, UNNEST(range(1, LEN(w))) t(i)),
+            |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            |df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+            |bpg AS (SELECT g FROM df, n WHERE df * 20 >= n_docs),
+            |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+            |hit AS (SELECT doc_id, COUNT(*) AS n_bp FROM grams JOIN bpg USING (g) GROUP BY doc_id)
+            |SELECT t.doc_id, n_grams, COALESCE(n_bp, 0) AS n_bp,
+            |  CAST(COALESCE(n_bp, 0) AS DOUBLE) / n_grams AS bp_ratio
+            |FROM tot t LEFT JOIN hit USING (doc_id)
+            |ORDER BY t.doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val docs = t.documents
+      val grams = docs
+        .select(col("doc_id"),
+          explode(graft.functions.Sketches.gramXxHashesCol(col("text"), 2)).as("h"))
+        .localCheckpoint()
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val bpg = grams.groupBy("h").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * 20 >= col("n_docs"))
+        .select("h")
+      val tot = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hit = grams.join(bpg, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bp"))
+      tot.join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_bp"), lit(0L)).as("n_bp"),
+          (coalesce(col("n_bp"), lit(0L)).cast("double") / col("n_grams")).as("bp_ratio"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** Asymmetric containment near-dup ([[Dedup.containmentPairs]]):
+    * catches a short document embedded in a longer one, which Jaccard
+    * structurally misses (td06 at the same corpus finds only the
+    * symmetric pairs). Both directions reported; filter on the max.
+    */
+  val dd09Containment = Query(
+    "dd09_containment_pairs",
+    Some("""WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            |       FROM words, UNNEST(range(1, LEN(w) - 1)) AS t(i)),
+            |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+            |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
+            |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+            |SELECT id_a, id_b, n_common,
+            |  CAST(n_common AS DOUBLE) / sa.n AS cont_a,
+            |  CAST(n_common AS DOUBLE) / sb.n AS cont_b
+            |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+            |WHERE GREATEST(CAST(n_common AS DOUBLE) / sa.n, CAST(n_common AS DOUBLE) / sb.n) >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Dedup.containmentPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.5),
+        "id_a", "id_b")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -1522,6 +1639,7 @@ object TrainingData {
     td10Pii, td11Tfidf, td12HllSketch, td13Contamination, td14StratifiedSample,
     td15HeavyHitters, td16BloomContamination, td17OovRatio,
     dd08SimHashPairs, td18SampledQuantiles, td19SequencePack, td20Int8Quantize,
-    td21CharClass, td22QualityGate, td23KmvOverlap
+    td21CharClass, td22QualityGate, td23KmvOverlap,
+    td24MixWeights, td25Boilerplate, dd09Containment
   )
 }

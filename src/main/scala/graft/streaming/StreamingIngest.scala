@@ -148,4 +148,21 @@ object StreamingIngest {
       .select(col("window.start").as("win_start"), col(groupCol), posexplode(col("tk")))
       .select(col("win_start"), col(groupCol), (col("pos") + 1).cast("int").as("rank"),
         col("col._2").as(idCol), col("col._1").as(valueCol))
+
+  /** Streaming PQ encoding: compress an unbounded embedding stream to
+    * m byte-codes per vector against a PRE-TRAINED (batch) codebook.
+    * [[graft.operators.Pq.encode]] is a stateless mapPartitions with
+    * the model broadcast, so it applies to a streaming Dataset
+    * unchanged — no state store, no shuffle; each micro-batch encodes
+    * map-only. This is the online half of the ANN pipeline: train
+    * offline (ss04), encode arrivals in-flight, ADC-search the
+    * accumulated code table.
+    */
+  def pqEncodeStream(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: graft.operators.Pq.Model
+  ): DataFrame =
+    graft.operators.Pq.encode(vectors, idCol, vecCol, model)
 }

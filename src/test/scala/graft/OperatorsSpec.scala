@@ -587,4 +587,59 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("containmentPairs catches an excerpt Jaccard misses") {
+    // doc 2 = a 6-shingle excerpt of the 40-word doc 1: containment of
+    // 2 in 1 is 1.0 while jaccard ≈ 6/38 — below any useful threshold.
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 17).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, long), (2L, excerpt),
+      (3L, "entirely disjoint vocabulary about streams windows and state stores")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text", k = 3, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == 1.0) // excerpt fully contained
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", k = 3, threshold = 0.5)
+    assert(jac.count() == 0, "jaccard at 0.5 must miss the asymmetric pair")
+  }
+
+  test("mix-weights sampling keeps every max-count language doc and downsamples the rest") {
+    val q = graft.queries.TrainingData.td24MixWeights
+    val out = q.build(spark, sf).select("lang", "rate").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rates = out.toMap
+    assert(rates.values.max == 1000L, "argmax language must keep rate 1000 (sqrt(n/nmax)=1)")
+    assert(rates.values.min < 1000L, "lower-resource languages must be downsampled")
+    // rate 1000 ⇒ the hash filter keeps every doc of that language
+    val full = Tables(spark, sf).documents
+    val maxLang = rates.maxBy(_._2)._1
+    val kept = out.count(_._1 == maxLang)
+    assert(kept == full.filter(col("lang") === maxLang).count())
+  }
+
+  test("boilerplate ratio is a valid fraction over every document") {
+    val rows = graft.queries.TrainingData.td25Boilerplate.build(spark, sf).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val (n, bp, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(bp >= 0 && bp <= n, s"doc ${r.getLong(0)}: n_bp $bp out of [0, $n]")
+      assert(ratio == bp.toDouble / n)
+    }
+    assert(rows.exists(_.getDouble(3) > 0), "corpus-common bigrams must exist")
+  }
+
+  test("MAD outliers: robust center flags the uniform tails, counts partition the groups") {
+    val rows = graft.queries.Extras.x24MadOutliers.build(spark, sf).collect()
+    assert(rows.length == 3) // returnflags A/N/R
+    val total = rows.map(_.getLong(3)).sum
+    assert(total == Tables(spark, sf).lineitem.count())
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0, "MAD must be positive on a spread distribution")
+      val out = r.getLong(4)
+      assert(out > 0 && out < r.getLong(3),
+        s"uniform prices: some but not all rows beyond 1.5*MAD, got $out")
+    }
+  }
 }

@@ -129,6 +129,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("streaming PQ encode yields the exact batch codes, map-only (no state store)") {
+    import graft.operators.Pq
+    val dir = Files.createTempDirectory("graft-pq-stream").toString
+    val batch = Tables(spark, "/root/testdata/sf0.001").embeddings
+    batch.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val model = Pq.train(batch, "vec_id", "embedding", m = 4, k = 16, iters = 1, dim = 64)
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingIngest.pqEncodeStream(stream, "vec_id", "embedding", model)
+      .writeStream.outputMode("append").format("memory").queryName("pq_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pq_stream").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val want = Pq.encode(batch, "vec_id", "embedding", model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(got.nonEmpty && got == want)
+    // append mode with no aggregation ⇒ stateless plan (no state store dirs)
+    assert(spark.table("pq_stream").count() == batch.count())
+  }
+
   test("stream-static enrichment join equals the batch join (dim broadcast per micro-batch)") {
     val dir = Files.createTempDirectory("graft-ss-join").toString
     val batch = Tables(spark, "/root/testdata/sf0.001").events
