@@ -309,4 +309,40 @@ object Similarity {
       zip_with(v, dq, (x, d) => (x - d) * (x - d)), lit(0.0d), (acc, e) => acc + e)
     (amax.as("scale"), q, err)
   }
+
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
+    * k-means-cluster the embeddings, then compare pairs ONLY within a
+    * cluster — ~1/k of the all-pairs cost, and the scale path is an
+    * equi-join on cluster_id (shuffle co-locates each cluster; no
+    * broadcast of the corpus). A row is removed when some smaller-id
+    * member of its cluster is within `threshold` cosine; the smallest
+    * such id is the keeper. Norms are computed once per row before
+    * the join, so the quadratic step pays one dot product per pair.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      threshold: Double,
+      roundTo: Int = 4
+  ): DataFrame = {
+    val model = Ivf.train(corpus, idCol, vecCol, k, iters)
+    val indexed = Ivf.index(corpus, idCol, vecCol, model)
+      .select(col("cluster_id"), col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorKernels.vecDot(col("v"), col("v"))))
+      .localCheckpoint() // Lloyd already ran; feed both join sides from the materialized index
+    val a = indexed.select(col("cluster_id"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = indexed.select(col("cluster_id"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(graft.functions.VectorKernels.vecDot(col("va"), col("vb")) /
+          (col("na") * col("nb")), roundTo))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id_b").as("removed_id"))
+      .agg(min("id_a").as("kept_id"), max("sim").as("max_sim"), count(lit(1)).as("n_dups"))
+  }
 }

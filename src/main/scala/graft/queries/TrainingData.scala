@@ -438,42 +438,61 @@ object TrainingData {
     * DECIMAL(28,14) mean reduction), the index assignment, nprobe=4
     * probe selection, and the rounded-cosine top-k.
     */
+  /** DuckDB fragments shared by the IVF-family oracles: an exact
+    * replay of [[graft.operators.Ivf.train]]'s deterministic Lloyd
+    * (init = k smallest ids, decimal-exact means, empty clusters keep
+    * their centroid) ending in `idx(id, v, c)` — every vector with its
+    * final cluster — plus the fold-based dist/dot/norm helpers. ss03
+    * appends a probe search; ss06 appends a within-cluster pair scan.
+    */
+  private def ivfFoldSql(dim: Int)(term: String) =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
+       |      i -> $term)), (a, x) -> a + x)""".stripMargin
+  private def ivfDistSql(dim: Int)(v: String, cv: String) =
+    ivfFoldSql(dim)(
+      s"($v[CAST(i AS INT)]-$cv[CAST(i AS INT)])*($v[CAST(i AS INT)]-$cv[CAST(i AS INT)])")
+  private def ivfDotSql(dim: Int)(a: String, b: String) =
+    ivfFoldSql(dim)(s"$a[CAST(i AS INT)]*$b[CAST(i AS INT)]")
+  private def ivfIdxCtes(dim: Int, k: Int, iters: Int): (String, String) = {
+    val dist = ivfDistSql(dim) _
+    def assignAndUpdate(prev: String, n: Int) =
+      s"""asg$n AS (
+         |  SELECT id, v, c FROM (
+         |    SELECT b0.id, b0.v, $prev.c, ROW_NUMBER() OVER (
+         |      PARTITION BY b0.id ORDER BY ${dist("b0.v", s"$prev.cv")}, $prev.c) AS rn
+         |    FROM b0 CROSS JOIN $prev) WHERE rn = 1),
+         |cm$n AS (
+         |  SELECT c, i, CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM (SELECT c, UNNEST(v) AS x, UNNEST(range(1, ${dim + 1})) AS i FROM asg$n)
+         |  GROUP BY c, i),
+         |c$n AS (
+         |  SELECT c, list(m ORDER BY i) AS cv FROM cm$n GROUP BY c
+         |  UNION ALL
+         |  SELECT c, cv FROM $prev WHERE c NOT IN (SELECT DISTINCT c FROM asg$n))""".stripMargin
+    val iterCtes = (1 to iters).map(n => assignAndUpdate(s"c${n - 1}", n)).mkString(",\n")
+    val last = s"c$iters"
+    val ctes =
+      s"""b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS c, v AS cv
+         |       FROM (SELECT id, v FROM b0 ORDER BY id LIMIT $k)),
+         |$iterCtes,
+         |idx AS (
+         |  SELECT id, v, c FROM (
+         |    SELECT b0.id, b0.v, $last.c, ROW_NUMBER() OVER (
+         |      PARTITION BY b0.id ORDER BY ${dist("b0.v", s"$last.cv")}, $last.c) AS rn
+         |    FROM b0 CROSS JOIN $last) WHERE rn = 1)""".stripMargin
+    (ctes, last)
+  }
+
   val ss03IvfAnn = Query(
     "ss03_ivf_ann", {
       val (dim, k, iters, nprobe, topK) = (64, 16, 3, 4, 3)
-      def fold(term: String) =
-        s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
-           |      i -> $term)), (a, x) -> a + x)""".stripMargin
-      def dist(v: String, cv: String) =
-        fold(s"($v[CAST(i AS INT)]-$cv[CAST(i AS INT)])*($v[CAST(i AS INT)]-$cv[CAST(i AS INT)])")
-      def dot(a: String, b: String) = fold(s"$a[CAST(i AS INT)]*$b[CAST(i AS INT)]")
+      val dist = ivfDistSql(dim) _
+      def dot(a: String, b: String) = ivfDotSql(dim)(a, b)
       def norm(v: String) = s"SQRT(${dot(v, v)})"
-      def assignAndUpdate(prev: String, n: Int) =
-        s"""asg$n AS (
-           |  SELECT id, v, c FROM (
-           |    SELECT b0.id, b0.v, $prev.c, ROW_NUMBER() OVER (
-           |      PARTITION BY b0.id ORDER BY ${dist("b0.v", s"$prev.cv")}, $prev.c) AS rn
-           |    FROM b0 CROSS JOIN $prev) WHERE rn = 1),
-           |cm$n AS (
-           |  SELECT c, i, CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS m
-           |  FROM (SELECT c, UNNEST(v) AS x, UNNEST(range(1, ${dim + 1})) AS i FROM asg$n)
-           |  GROUP BY c, i),
-           |c$n AS (
-           |  SELECT c, list(m ORDER BY i) AS cv FROM cm$n GROUP BY c
-           |  UNION ALL
-           |  SELECT c, cv FROM $prev WHERE c NOT IN (SELECT DISTINCT c FROM asg$n))""".stripMargin
-      val iterCtes = (1 to iters).map(n => assignAndUpdate(s"c${n - 1}", n)).mkString(",\n")
-      val last = s"c$iters"
+      val (idxCtes, last) = ivfIdxCtes(dim, k, iters)
       Some(
-        s"""WITH b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS c, v AS cv
-           |       FROM (SELECT id, v FROM b0 ORDER BY id LIMIT $k)),
-           |$iterCtes,
-           |idx AS (
-           |  SELECT id, v, c FROM (
-           |    SELECT b0.id, b0.v, $last.c, ROW_NUMBER() OVER (
-           |      PARTITION BY b0.id ORDER BY ${dist("b0.v", s"$last.cv")}, $last.c) AS rn
-           |    FROM b0 CROSS JOIN $last) WHERE rn = 1),
+        s"""WITH $idxCtes,
            |q AS (SELECT id AS qid, v AS qv FROM b0 WHERE id < 50),
            |probe AS (
            |  SELECT qid, qv, c FROM (
@@ -1601,6 +1620,97 @@ object TrainingData {
     }
   )
 
+  /** Semantic dedup, SemDeDup-style ([[Similarity.semanticDedup]]):
+    * cluster the embedding space (the ss03 deterministic Lloyd, one
+    * iteration), then drop any vector whose cluster holds a smaller-id
+    * neighbor above the cosine threshold — within-cluster pairs only,
+    * ~1/k of the dd04 all-pairs cost. The oracle replays the full
+    * Lloyd chain AND the pair scan: clustering, dots, norms, rounding,
+    * keeper choice, all bit-exact.
+    */
+  val ss06SemanticDedup = Query(
+    "ss06_semantic_dedup", {
+      val dim = 64
+      def dot(a: String, b: String) = ivfDotSql(dim)(a, b)
+      val (idxCtes, _) = ivfIdxCtes(dim, k = 16, iters = 1)
+      Some(
+        s"""WITH $idxCtes,
+           |pairs AS (
+           |  SELECT a.id AS id_a, b.id AS id_b,
+           |    ROUND(${dot("a.v", "b.v")} /
+           |          (SQRT(${dot("a.v", "a.v")}) * SQRT(${dot("b.v", "b.v")})), 4) AS sim
+           |  FROM idx a JOIN idx b ON a.c = b.c AND a.id < b.id)
+           |SELECT id_b AS removed_id, MIN(id_a) AS kept_id, MAX(sim) AS max_sim,
+           |  COUNT(*) AS n_dups
+           |FROM pairs WHERE sim >= 0.35
+           |GROUP BY id_b ORDER BY removed_id""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Similarity
+        .semanticDedup(t.embeddings, "vec_id", "embedding", k = 16, iters = 1, threshold = 0.35)
+        .orderBy("removed_id")
+    }
+  )
+
+  /** Lexical diversity (type/token + hapax ratios): low-diversity
+    * documents (template spam, keyword stuffing) score near 0. Pure
+    * integer counts; the two ratios are single exact divisions.
+    */
+  val td26LexicalDiversity = Query(
+    "td26_lexical_diversity",
+    Some("""WITH toks AS (SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+            |             FROM documents),
+            |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+            |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+            |        COUNT(*) FILTER (WHERE c = 1) AS n_hapax FROM cnt GROUP BY doc_id)
+            |SELECT doc_id, n_tokens, n_types, n_hapax,
+            |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+            |  CAST(n_hapax AS DOUBLE) / n_tokens AS hapax_ratio
+            |FROM agg ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          count(when(col("c") === 1, 1)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+          (col("n_hapax").cast("double") / col("n_tokens")).as("hapax_ratio"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** Percentile-band length filter: reject documents outside the
+    * corpus's own [p5, p95] token-length band — the data-driven form
+    * of in03's fixed length policy. Exact interpolated percentiles
+    * (x02 parity), broadcast to a single filter pass.
+    */
+  val td27LengthBand = Query(
+    "td27_length_band",
+    Some("""WITH n AS (SELECT doc_id, LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens
+            |          FROM documents),
+            |b AS (SELECT PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY n_tokens) AS lo,
+            |             PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY n_tokens) AS hi FROM n)
+            |SELECT doc_id, n_tokens, lo, hi
+            |FROM n, b WHERE n_tokens < lo OR n_tokens > hi
+            |ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val n = t.documents
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val b = n.agg(
+        expr("percentile(n_tokens, 0.05)").as("lo"),
+        expr("percentile(n_tokens, 0.95)").as("hi"))
+      n.crossJoin(broadcast(b))
+        .filter(col("n_tokens") < col("lo") || col("n_tokens") > col("hi"))
+        .orderBy("doc_id")
+    }
+  )
+
   /** Asymmetric containment near-dup ([[Dedup.containmentPairs]]):
     * catches a short document embedded in a longer one, which Jaccard
     * structurally misses (td06 at the same corpus finds only the
@@ -1640,6 +1750,7 @@ object TrainingData {
     td15HeavyHitters, td16BloomContamination, td17OovRatio,
     dd08SimHashPairs, td18SampledQuantiles, td19SequencePack, td20Int8Quantize,
     td21CharClass, td22QualityGate, td23KmvOverlap,
-    td24MixWeights, td25Boilerplate, dd09Containment
+    td24MixWeights, td25Boilerplate, dd09Containment,
+    ss06SemanticDedup, td26LexicalDiversity, td27LengthBand
   )
 }

@@ -630,6 +630,21 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(_.getDouble(3) > 0), "corpus-common bigrams must exist")
   }
 
+  test("semanticDedup removals are true near-duplicates backed by an exact high-sim pair") {
+    val removed = Similarity
+      .semanticDedup(emb, "vec_id", "embedding", k = 16, iters = 1, threshold = 0.35)
+      .collect()
+    assert(removed.nonEmpty, "fixture must contain same-cluster near-dups")
+    val exact = Similarity.cosinePairsKernel(emb, "vec_id", "embedding", threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    removed.foreach { r =>
+      val (rem, kept) = (r.getLong(0), r.getLong(1))
+      assert(kept < rem, "keeper is always the smaller id")
+      assert(exact.contains((kept, rem)),
+        s"removal ($rem, kept $kept) must correspond to a true cosine>=0.35 pair")
+    }
+  }
+
   test("MAD outliers: robust center flags the uniform tails, counts partition the groups") {
     val rows = graft.queries.Extras.x24MadOutliers.build(spark, sf).collect()
     assert(rows.length == 3) // returnflags A/N/R

@@ -32,6 +32,32 @@ class SessionizeSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture should close at least one session")
   }
 
+  test("built-in session_window agrees with the custom sessionizer on gap semantics") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables(spark, sf).events
+    // Spark's native session-window aggregation: merge while the next
+    // event starts before prev_ts + gap. The custom rule (st01) starts
+    // a new session when diff > gap, so the two differ ONLY when a
+    // diff lands exactly on the gap — assert the fixture has none,
+    // then require exact agreement on (user, session_start, n_events).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val exactGap = events
+      .withColumn("d", unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+      .filter(col("d") === 1800000000L).count()
+    assert(exactGap == 0L, "fixture must not hit the boundary case")
+    val native = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("start_ts"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val custom = TrainingData.st01Sessionize.build(spark, sf)
+      .select("user_id", "start_ts", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(native.nonEmpty && native == custom)
+  }
+
   test("event-time timeout closes the idle tail session and keeps numbering continuous") {
     import java.nio.file.Files
     import java.sql.Timestamp
