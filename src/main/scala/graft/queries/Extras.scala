@@ -817,12 +817,42 @@ object Extras {
     }
   )
 
+  /** Schema-evolution union: two snapshot generations whose schemas
+    * drifted (gen2 added a column) combine by COLUMN NAME with the
+    * missing column null-filled — `unionByName(allowMissingColumns)`,
+    * the importer's mergeSchema read expressed as an operator. The
+    * aggregate proves the null-fill: n_with_discount counts only gen2
+    * rows.
+    */
+  val x26UnionEvolve = Query(
+    "x26_union_evolve",
+    Some(s"""WITH gen1 AS (SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 1),
+             |gen2 AS (SELECT l_returnflag, l_quantity, l_discount FROM lineitem WHERE l_linenumber = 2),
+             |u AS (SELECT * FROM gen1 UNION ALL BY NAME SELECT * FROM gen2)
+             |SELECT l_returnflag, COUNT(*) AS n, COUNT(l_discount) AS n_with_discount,
+             |  ${Query.sumMoneySql("l_quantity")} AS sum_qty
+             |FROM u GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val gen1 = t.lineitem.filter(col("l_linenumber") === 1)
+        .select("l_returnflag", "l_quantity")
+      val gen2 = t.lineitem.filter(col("l_linenumber") === 2)
+        .select("l_returnflag", "l_quantity", "l_discount")
+      gen1.unionByName(gen2, allowMissingColumns = true)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), count(col("l_discount")).as("n_with_discount"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
     x10GapsIslands, x11Intersect, x12RangeFrame, x13FirstLast,
     x14CohortRetention, x15Funnel, x16Transitions, x17StatsMoments,
     x18Histogram, x19TopKAgg, x20SaltedJoin, x21GroupingSets,
-    x22RelativeRanks, x23GapFill, x24MadOutliers, x25ZOrder
+    x22RelativeRanks, x23GapFill, x24MadOutliers, x25ZOrder,
+    x26UnionEvolve
   )
 }

@@ -1711,6 +1711,33 @@ object TrainingData {
     }
   )
 
+  /** Deterministic train/val/test split (80/10/10): the split is a
+    * pure function of the document id's hash, so it is reproducible
+    * across runs, engines, and partitionings, and any two pipelines
+    * agree on membership without coordination — the property rand()
+    * splits lack. Replayed exactly by the oracle.
+    */
+  val td28SplitAssign = Query(
+    "td28_split_assign", {
+      val fold = foldSql("CAST(doc_id AS VARCHAR)")
+      val signed = toSignedSql(s"(${fmixSql(s"($fold)")})")
+      Some(
+        s"""WITH h AS (SELECT doc_id, (($signed % 100) + 100) % 100 AS b FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM h ORDER BY doc_id""".stripMargin)
+    },
+    (spark, dir) => {
+      graft.functions.MixedHash64.register(spark)
+      val t = Tables(spark, dir)
+      val b = pmod(graft.functions.MixedHash64(col("doc_id").cast("string")), lit(100L))
+      t.documents
+        .select(col("doc_id"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }
+  )
+
   /** Asymmetric containment near-dup ([[Dedup.containmentPairs]]):
     * catches a short document embedded in a longer one, which Jaccard
     * structurally misses (td06 at the same corpus finds only the
@@ -1751,6 +1778,7 @@ object TrainingData {
     dd08SimHashPairs, td18SampledQuantiles, td19SequencePack, td20Int8Quantize,
     td21CharClass, td22QualityGate, td23KmvOverlap,
     td24MixWeights, td25Boilerplate, dd09Containment,
-    ss06SemanticDedup, td26LexicalDiversity, td27LengthBand
+    ss06SemanticDedup, td26LexicalDiversity, td27LengthBand,
+    td28SplitAssign
   )
 }

@@ -165,4 +165,26 @@ object StreamingIngest {
       model: graft.operators.Pq.Model
   ): DataFrame =
     graft.operators.Pq.encode(vectors, idCol, vecCol, model)
+
+  /** Native streaming sessionization via Spark's `session_window`
+    * aggregation: state per (user, open session) is the running
+    * aggregate only, windows merge as gaps fill in, and the watermark
+    * both emits closed sessions and bounds state — the built-in
+    * counterpart to [[Sessionize.sessionsWithTimeout]] when
+    * per-session numbering isn't needed (gap-merge semantics differ
+    * only at diff == gap exactly; see SessionizeSpec).
+    */
+  def sessionWindowStream(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      gap: String,
+      watermark: String
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol), col("sw.start").as("start_ts"),
+        col("sw.end").as("end_ts"), col("n_events"))
 }

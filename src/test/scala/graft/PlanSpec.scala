@@ -181,4 +181,34 @@ class PlanSpec extends SparkSpec {
     ).orderBy("k").collect().toSeq
     assert(direct == twoPhase)
   }
+
+  test("semantic dedup pair scan is an equi-join on cluster_id, never a nested loop") {
+    val emb = Tables(spark, sf).embeddings
+    val p = plan(graft.operators.Similarity
+      .semanticDedup(emb, "vec_id", "embedding", k = 16, iters = 1, threshold = 0.35))
+    // the quadratic step must be cluster-co-located: a hash/merge join
+    // keyed on cluster_id, with id_a < id_b as a post-join condition —
+    // a BroadcastNestedLoopJoin here would be all-pairs at 100 TB
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("z-order bucketing is one aggregation over a codegen'd morton expression") {
+    val df = graft.queries.Extras.x25ZOrder.build(spark, sf)
+    df.collect() // AQE prints codegen spans only in the finalized plan
+    val p = plan(df)
+    // single hash-agg pair (partial+final), no join, no window; the
+    // interleave runs inside whole-stage codegen
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("codegen id"), p)
+  }
+
+  test("boilerplate df threshold broadcasts the corpus count (no shuffle of n_docs)") {
+    val p = plan(TrainingData.td25Boilerplate.build(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the gram->boilerplate membership probe is a semi join
+    assert(p.contains("LeftSemi") || p.contains("left_semi"), p)
+  }
 }

@@ -150,6 +150,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("pq_stream").count() == batch.count())
   }
 
+  test("native session_window stream closes the same sessions as the batch aggregation") {
+    val dir = Files.createTempDirectory("graft-sesswin-stream").toString
+    val batch = Tables(spark, "/root/testdata/sf0.001").events
+    batch.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingIngest
+      .sessionWindowStream(stream, "ts", "user_id", "30 minutes", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("sesswin").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sesswin").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val all = batch
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start"), col("sw.end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    // append mode emits only watermark-closed sessions: a subset that
+    // misses at most each user's last session
+    assert(got.nonEmpty && got.subsetOf(all))
+    val missed = all -- got
+    val lastStart = all.groupBy(_._1).map { case (u, s) => u -> s.map(_._2.getTime).max }
+    assert(missed.forall { case (u, st, _, _) => st.getTime == lastStart(u) },
+      s"only per-user tail sessions may stay open, missed: ${missed.take(3)}")
+  }
+
   test("stream-static enrichment join equals the batch join (dim broadcast per micro-batch)") {
     val dir = Files.createTempDirectory("graft-ss-join").toString
     val batch = Tables(spark, "/root/testdata/sf0.001").events
