@@ -97,4 +97,55 @@ object Graph {
     }
     labels
   }
+
+  /** Deterministic PageRank: per-destination contributions are folded
+    * in SOURCE-ID ORDER from 0.0 (sort_array + aggregate), so the
+    * rank of every node is bit-reproducible under any partitioning —
+    * a plain sum(contrib) varies in the last ulps with aggregation
+    * order and would break exact replay. Dangling mass is dropped
+    * (the simplified recurrence r' = (1-d)/n + d·Σ); feed symmetrized
+    * edges if every node must keep out-degree > 0.
+    *
+    * Scale shape: each iteration is one equi-join on src (rank +
+    * degree broadcast-or-shuffled by key) and one groupBy dst; the
+    * ordered fold costs in-degree log in-degree per node. The ordered
+    * fold runs as an interpreted HOF — at real scale, swap in an
+    * order-insensitive sum + tolerance, or a native fold kernel, per
+    * the Sketches precedent.
+    *
+    * @param edges (src, dst) directed edge list, deduplicated
+    * @param teleport passed separately from damping (not computed as
+    *   1 − damping: 1.0 − 0.85 is 0.15000000000000002 in binary64,
+    *   NOT the literal 0.15 an oracle query writes)
+    */
+  def pageRank(
+      edges: DataFrame, iters: Int,
+      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val n = nodes.agg(count(lit(1)).as("cnt"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var r = nodes.crossJoin(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("cnt")).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), col("src"), (col("r") / col("outdeg")).as("contrib"))
+      val s = contrib
+        .groupBy("dst")
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("src"), col("contrib")))),
+          lit(0.0d), (acc, x) => acc + x("contrib")).as("s"))
+      r = nodes
+        .join(s.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("id"),
+          (lit(teleport) / col("cnt") +
+            lit(damping) * coalesce(col("s"), lit(0.0d))).as("r"))
+        .localCheckpoint() // keep the iterated plan flat
+    }
+    r
+  }
 }

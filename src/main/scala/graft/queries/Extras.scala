@@ -846,6 +846,52 @@ object Extras {
     }
   )
 
+  /** Deterministic PageRank ([[Graph.pageRank]]) on the symmetrized
+    * customer–supplier co-purchase graph, two unrolled iterations,
+    * top-20 suppliers. Every rank is bit-reproducible because per-node
+    * contribution sums fold in source-id order — which is what lets a
+    * float-iterative graph algorithm pass an EXACT oracle, something a
+    * plain sum() PageRank cannot do. Node ids are disambiguated
+    * numerically (customer 2k, supplier 2k+1).
+    */
+  val x27PageRank = Query(
+    "x27_pagerank", {
+      def foldOrdered(listExpr: String) =
+        s"list_reduce(list_prepend(0.0, $listExpr), (a, x) -> a + x)"
+      def iterate(prev: String, i: Int) =
+        s"""c$i AS (SELECT e.dst, e.src, $prev.r / deg.outdeg AS contrib
+           |       FROM edges e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src),
+           |s$i AS (SELECT dst, ${foldOrdered(s"list(contrib ORDER BY src)")} AS s
+           |       FROM c$i GROUP BY dst),
+           |r$i AS (SELECT nodes.id, 0.15 / (SELECT cnt FROM n) + 0.85 * COALESCE(s$i.s, 0.0) AS r
+           |       FROM nodes LEFT JOIN s$i ON nodes.id = s$i.dst)""".stripMargin
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |n AS (SELECT COUNT(*) AS cnt FROM nodes),
+           |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT id, 1.0 / (SELECT cnt FROM n) AS r FROM nodes),
+           |${iterate("r0", 1)},
+           |${iterate("r1", 2)}
+           |SELECT id, r FROM r2 WHERE id % 2 = 1 ORDER BY r DESC, id LIMIT 20""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val e0 = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(edges, iters = 2)
+        .filter(col("id") % 2 === 1)
+        .orderBy(desc("r"), asc("id"))
+        .limit(20)
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -853,6 +899,6 @@ object Extras {
     x14CohortRetention, x15Funnel, x16Transitions, x17StatsMoments,
     x18Histogram, x19TopKAgg, x20SaltedJoin, x21GroupingSets,
     x22RelativeRanks, x23GapFill, x24MadOutliers, x25ZOrder,
-    x26UnionEvolve
+    x26UnionEvolve, x27PageRank
   )
 }

@@ -1738,6 +1738,75 @@ object TrainingData {
     }
   )
 
+  /** Sliding-window document chunking (RAG / context-window prep):
+    * 32-token chunks on a 24-token stride (8 overlap), last chunk
+    * truncated at the document end. Chunk count and spans are pure
+    * integer arithmetic; the text slice is replayed verbatim. The
+    * GREATEST(,0) guard also absorbs the engines' differing negative
+    * integer-division conventions (truncate vs floor) for short docs.
+    */
+  val td29Chunking = Query(
+    "td29_chunking",
+    Some("""WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w FROM documents),
+            |chunks AS (
+            |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+            |    CAST(CAST(i AS INT) * 24 + 1 AS INT) AS tok_start,
+            |    CAST(LEAST(CAST(i AS INT) * 24 + 32, LEN(w)) AS INT) AS tok_end,
+            |    array_to_string(w[(CAST(i AS INT)*24 + 1):LEAST(CAST(i AS INT)*24 + 32, LEN(w))], ' ') AS chunk_text
+            |  FROM words, UNNEST(range(0, GREATEST((LEN(w) - 32 + 23) // 24, 0) + 1)) t(i)
+            |  WHERE CAST(i AS INT) * 24 + 1 <= LEN(w))
+            |SELECT doc_id, chunk_idx, tok_start, tok_end, chunk_text FROM chunks
+            |ORDER BY doc_id, chunk_idx""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val (size_, stride) = (32, 24)
+      t.documents
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"), col("w"),
+          // (len-9)/24 truncates toward zero vs DuckDB's floor — the
+          // GREATEST(,0) guard makes the two agree (negatives only
+          // arise for len<9, where both normalize to 0)
+          explode(sequence(lit(0),
+            greatest(((org.apache.spark.sql.functions.size(col("w")) - size_ + stride - 1)
+              / stride).cast("int"), lit(0)))).as("chunk_idx"))
+        .filter(col("chunk_idx") * stride + 1 <= org.apache.spark.sql.functions.size(col("w")))
+        .select(col("doc_id"), col("w"), col("chunk_idx"),
+          (col("chunk_idx") * stride + 1).cast("int").as("tok_start"),
+          least(col("chunk_idx") * stride + size_,
+            org.apache.spark.sql.functions.size(col("w"))).cast("int").as("tok_end"))
+        .withColumn("chunk_text",
+          array_join(slice(col("w"), col("tok_start"),
+            col("tok_end") - col("tok_start") + 1), " "))
+        .drop("w")
+        .orderBy("doc_id", "chunk_idx")
+    }
+  )
+
+  /** Vocabulary induction: frequency-ranked token table with a
+    * min-count floor — the word-level tokenizer-training shape (id 1 =
+    * most frequent; ties broken lexically). The global ranking window
+    * is fine HERE because a vocabulary is small by construction; the
+    * corpus-wide counting underneath is the distributed part.
+    */
+  val td30VocabBuild = Query(
+    "td30_vocab_build",
+    Some("""WITH toks AS (SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+            |             FROM documents),
+            |cnt AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+            |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS INT) AS token_id, tok, n
+            |FROM cnt WHERE n >= 5 ORDER BY token_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(desc("n"), asc("tok"))
+      t.documents
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .select(row_number().over(w).cast("int").as("token_id"), col("tok"), col("n"))
+        .orderBy("token_id")
+    }
+  )
+
   /** Asymmetric containment near-dup ([[Dedup.containmentPairs]]):
     * catches a short document embedded in a longer one, which Jaccard
     * structurally misses (td06 at the same corpus finds only the
@@ -1779,6 +1848,6 @@ object TrainingData {
     td21CharClass, td22QualityGate, td23KmvOverlap,
     td24MixWeights, td25Boilerplate, dd09Containment,
     ss06SemanticDedup, td26LexicalDiversity, td27LengthBand,
-    td28SplitAssign
+    td28SplitAssign, td29Chunking, td30VocabBuild
   )
 }

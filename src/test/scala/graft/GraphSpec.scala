@@ -28,6 +28,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank is bit-identical under repartitioning and matches a local reference") {
+    import graft.operators.Graph
+    // small fixed digraph, symmetrized
+    val raw = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L))
+    val sym = (raw ++ raw.map(_.swap)).distinct
+    val edges = sym.toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gotShuffled = Graph.pageRank(edges.repartition(7), iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == gotShuffled, "ordered folds must make ranks partition-invariant, bit-exact")
+    // local reference with the same fold order
+    val nodes = sym.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val out = sym.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val s = sym.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(_._1).sorted.foldLeft(0.0)((acc, src) => acc + r(src) / out(src))
+      }
+      r = nodes.map(v => v -> (0.15 / n + 0.85 * s.getOrElse(v, 0.0))).toMap
+    }
+    assert(got == r, s"got=$got want=$r")
+  }
+
   test("as-of join agrees with a naive per-row reference on random series") {
     val genCase = for {
       keys <- Gen.chooseNum(1, 4)

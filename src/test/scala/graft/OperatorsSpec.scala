@@ -645,6 +645,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("chunking tiles every document: strided starts, full coverage, exact reassembly") {
+    val chunks = graft.queries.TrainingData.td29Chunking.build(spark, sf).collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+")).toMap
+    assert(chunks.map(_.getLong(0)).toSet == texts.keySet, "every doc must chunk")
+    chunks.groupBy(_.getLong(0)).foreach { case (id, cs) =>
+      val words = texts(id)
+      val sorted = cs.sortBy(_.getInt(1))
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getInt(1) == i, "chunk indices are dense from 0")
+        assert(c.getInt(2) == i * 24 + 1, "starts advance by the stride")
+        assert(c.getInt(3) == math.min(i * 24 + 32, words.length))
+        assert(c.getString(4) == words.slice(c.getInt(2) - 1, c.getInt(3)).mkString(" "))
+      }
+      assert(sorted.last.getInt(3) == words.length, "chunks must reach the document end")
+    }
+  }
+
   test("MAD outliers: robust center flags the uniform tails, counts partition the groups") {
     val rows = graft.queries.Extras.x24MadOutliers.build(spark, sf).collect()
     assert(rows.length == 3) // returnflags A/N/R
