@@ -306,6 +306,31 @@ object Sketches {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** 63-bit average-hash (aHash) over a media payload: sample 63
+    * evenly-spaced bytes as "pixels", set bit j when pixel j is above
+    * the sample mean (compared in integers: p·63 > Σp — no float
+    * mean). 63 bits, not 64, keeps the hash positive in both engines'
+    * signed BIGINT. On a real image the bytes would be the 8×8
+    * grayscale downscale; the sampling stands in for the stub codec.
+    */
+  case class PHash63Expr(child: Expression) extends SketchExpr {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      pHash63(input.asInstanceOf[UTF8String].getBytes)
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def pHash63(b: Array[Byte]): Long = {
+    val nb = b.length
+    if (nb == 0) return 0L
+    val px = new Array[Int](63)
+    var s = 0; var j = 0
+    while (j < 63) { px(j) = b((j * nb) / 63) & 0xff; s += px(j); j += 1 }
+    var h = 0L; j = 0
+    while (j < 63) { if (px(j) * 63 > s) h |= 1L << j; j += 1 }
+    h
+  }
+
   case class BloomPositionsExpr(child: Expression, k: Int, numHashes: Int, mBits: Int)
       extends SketchExpr {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -383,9 +408,15 @@ object Sketches {
     registerIfAbsent(spark, "bloom_probe",
       es => BloomProbeExpr(es(0), es(1), intArg(es(2), "k"), intArg(es(3), "numHashes"),
         intArg(es(4), "mBits")))
+    registerIfAbsent(spark, "phash63", es => PHash63Expr(es(0)))
   }
 
   private def active: SparkSession = SparkSession.active
+
+  def pHash63Col(payload: Column): Column = {
+    register(active)
+    call_function("phash63", payload)
+  }
 
   def minHashSigCol(text: Column, k: Int, numHashes: Int): Column = {
     register(active)

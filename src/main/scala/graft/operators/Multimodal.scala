@@ -108,4 +108,43 @@ object Multimodal {
       .filter(pmod(col("frame_idx"), lit(everyNth)) === 0)
       .withColumn("frame", expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
       .select("media_id", "frame_idx", "frame")
+
+  /** Perceptual-hash near-dup detection over media payloads: 63-bit
+    * aHash per payload (`functions.Sketches.PHash63Expr` — one pass,
+    * no float mean), then the Manku banded join: candidates collide
+    * on one of four 16-bit bands, verified by exact hamming distance.
+    * The same scale shape as the SimHash text pairs — the shuffle
+    * carries one long per payload, never the payload itself.
+    */
+  def phashPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 12
+  ): DataFrame = {
+    val sk = df
+      .select(col(idCol).as("id"),
+        graft.functions.Sketches.pHash63Col(col(payloadCol)).as("h"))
+      .localCheckpoint() // consumed by the band explode AND both verify lookups
+    val banded = sk.select(
+      col("id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_idx"),
+          (shiftright(col("h"), 16 * b).bitwiseAND(lit(0xffffL))).as("band_key"))
+      }: _*)).as("band"))
+      .select(col("id"), col("band.band_idx"), col("band.band_key"))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sk.select(col("id").as("id_a"), col("h").as("h_a")), "id_a")
+      .join(sk.select(col("id").as("id_b"), col("h").as("h_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

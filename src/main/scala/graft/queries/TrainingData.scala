@@ -692,6 +692,48 @@ object TrainingData {
     }
   )
 
+  /** Perceptual-hash near-dup over media payloads
+    * ([[Multimodal.phashPairs]]): the multimodal counterpart of the
+    * SimHash text pairs — 63-bit aHash from 63 sampled payload bytes
+    * (integer above-mean test), 4×16-bit banded candidate join, exact
+    * hamming verify. ASCII payloads make every sampled byte
+    * `ord(substr(...))` in the oracle, which replays hash, bands, and
+    * verification bit-for-bit.
+    */
+  val mm03PhashPairs = Query(
+    "mm03_phash_pairs",
+    Some("""WITH px AS (
+            |  SELECT doc_id,
+            |    list_transform(range(0, 63), j ->
+            |      ord(substr(text, CAST(1 + (j * strlen(text)) // 63 AS INT), 1))) AS p
+            |  FROM documents WHERE strlen(text) > 0),
+            |ph AS (
+            |  SELECT doc_id,
+            |    CAST(list_sum(list_transform(range(0, 63), j ->
+            |      CASE WHEN p[CAST(j AS INT) + 1] * 63 > list_sum(p)
+            |           THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END)) AS BIGINT) AS h
+            |  FROM px),
+            |banded AS (
+            |  SELECT doc_id, CAST(b AS INT) AS band_idx,
+            |    (h >> CAST(16 * b AS INT)) & 65535 AS band_key
+            |  FROM ph, UNNEST(range(0, 4)) t(b)),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            |  FROM banded a JOIN banded b
+            |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            |   AND a.doc_id < b.doc_id)
+            |SELECT id_a, id_b, CAST(bit_count(xor(pa.h, pb.h)) AS INT) AS hamming
+            |FROM cand JOIN ph pa ON id_a = pa.doc_id JOIN ph pb ON id_b = pb.doc_id
+            |WHERE bit_count(xor(pa.h, pb.h)) <= 12
+            |ORDER BY id_a, id_b""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Multimodal.phashPairs(t.documents, "doc_id", "text", maxHamming = 12),
+        "id_a", "id_b")
+    }
+  )
+
   // ── ingestion scalar ops over testdata ───────────────────────────
   val in01NormalizeStamp = Query(
     "in01_normalize_stamp",
@@ -1839,7 +1881,7 @@ object TrainingData {
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
     dd04CosineDup, dd06Winnow, dd07DedupPipeline, ss01CosineKnn, ss02LshAnn, ss03IvfAnn,
     ss04PqAdc, ss05PqRerank,
-    mm01BinaryMeta, mm02MediaFeatures,
+    mm01BinaryMeta, mm02MediaFeatures, mm03PhashPairs,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
     st01Sessionize, st02SlidingWindow, td08NormalizedFp, td09Repetition,
     td10Pii, td11Tfidf, td12HllSketch, td13Contamination, td14StratifiedSample,

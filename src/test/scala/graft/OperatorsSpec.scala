@@ -645,6 +645,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("phashPairs: identical payloads collide at hamming 0, single-byte edits stay close") {
+    val base = ("x" * 40 + "abcdefgh" + "y" * 40) * 2
+    val corpus = Seq(
+      (1L, base),
+      (2L, base),                                   // exact copy
+      (3L, base.updated(50, 'Z')),                  // one-byte edit, same length
+      (4L, "q" * 30 + "Q" * 99)                     // different content/length
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(corpus, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0, "identical payloads must hash identically")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 12,
+      "a one-byte edit moves few sampled pixels")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated payload must not pair")
+    // kernel agrees with a plain reimplementation
+    val h = graft.functions.Sketches.pHash63("hello world, this is a payload".getBytes)
+    val b = "hello world, this is a payload".getBytes
+    val px = (0 until 63).map(j => b((j * b.length) / 63) & 0xff)
+    val want = (0 until 63).foldLeft(0L)((acc, j) =>
+      if (px(j) * 63 > px.sum) acc | (1L << j) else acc)
+    assert(h == want)
+  }
+
   test("chunking tiles every document: strided starts, full coverage, exact reassembly") {
     val chunks = graft.queries.TrainingData.td29Chunking.build(spark, sf).collect()
     val texts = docs.select("doc_id", "text").collect()
