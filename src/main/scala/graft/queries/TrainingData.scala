@@ -1001,6 +1001,58 @@ object TrainingData {
     }
   )
 
+  /** Rolling 7-day distinct users from DAILY HLL REGISTERS — the
+    * sketch-algebra rollup: persist m rows per day, answer any
+    * trailing window by max-merging 7 register sets, never rescanning
+    * history (the mergeRegisters property, used in anger). Each daily
+    * register row is exploded to the 7 windows it feeds, then
+    * max-merged per (window, bucket). The estimate sum is over exact
+    * powers of two, so it is order-insensitive in binary64 and the
+    * whole pipeline replays bit-exact (td12's raw-estimator caveat
+    * applies: no ln() correction).
+    */
+  val td31RollingDistinct = Query(
+    "td31_rolling_distinct", {
+      val fold = foldSql("CAST(user_id AS VARCHAR)")
+      Some(
+        s"""WITH h0 AS (
+           |  SELECT CAST(ts AS DATE) AS day, $fold AS u0
+           |  FROM events WHERE user_id IS NOT NULL),
+           |h AS (SELECT day, ${fmixSql("u0")} AS u FROM h0),
+           |regs AS (
+           |  SELECT day, u % 64 AS bucket,
+           |    MAX(LEAST(40, CASE WHEN u // 64 = 0 THEN 59
+           |                       ELSE 59 - length(bin(CAST(u // 64 AS BIGINT))) END)) AS max_rho
+           |  FROM h GROUP BY day, u % 64),
+           |bounds AS (SELECT MAX(day) AS hi FROM regs),
+           |exp AS (SELECT day + CAST(i AS INT) AS day, bucket, max_rho
+           |        FROM regs, UNNEST(range(0, 7)) t(i)),
+           |roll AS (SELECT day, bucket, MAX(max_rho) AS max_rho FROM exp, bounds
+           |         WHERE day <= hi GROUP BY day, bucket)
+           |SELECT day, COUNT(*) AS n_filled,
+           |  0.709 * 64 * 64 / (SUM(1.0 / (1::BIGINT << CAST(max_rho AS INT))) + (64 - COUNT(*)))
+           |    AS est_distinct
+           |FROM roll GROUP BY day ORDER BY day""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val regs = graft.operators.ApproxDistinct.hllRegisters(
+        t.events.withColumn("day", col("ts").cast("date")), Seq("day"), "user_id")
+      val bounds = regs.agg(max("day").as("hi"))
+      val rolled = regs
+        .select(col("day"), col("bucket"), col("max_rho"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .select(date_add(col("day"), col("i")).as("day"), col("bucket"), col("max_rho"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") <= col("hi"))
+        .groupBy("day", "bucket")
+        .agg(max("max_rho").as("max_rho"))
+      graft.operators.ApproxDistinct
+        .hllEstimate(rolled, Seq("day"), corrected = false)
+        .orderBy("day")
+    }
+  )
+
   /** Benchmark-contamination check (decontamination shape): fraction
     * of each training document's word 5-grams that appear anywhere in
     * a "benchmark" document set (stand-in: every 50th doc). One gram
@@ -1890,6 +1942,6 @@ object TrainingData {
     td21CharClass, td22QualityGate, td23KmvOverlap,
     td24MixWeights, td25Boilerplate, dd09Containment,
     ss06SemanticDedup, td26LexicalDiversity, td27LengthBand,
-    td28SplitAssign, td29Chunking, td30VocabBuild
+    td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct
   )
 }

@@ -480,7 +480,11 @@ class OperatorsSpec extends SparkSpec {
       k <- org.scalacheck.Gen.chooseNum(1, 8)
       vs <- org.scalacheck.Gen.listOfN(n,
         org.scalacheck.Gen.zip(
-          org.scalacheck.Gen.chooseNum(-5.0, 5.0).map(v => math.rint(v * 4) / 4), // force ties
+          org.scalacheck.Gen.chooseNum(-5.0, 5.0)
+            // force ties; normalize -0.0 like Spark SQL comparisons do
+            // (the local Ordering[Double] reference would otherwise
+            // order -0.0 < 0.0 while the aggregator ties them)
+            .map { v => val r = math.rint(v * 4) / 4; if (r == 0.0) 0.0 else r },
           org.scalacheck.Gen.chooseNum(0L, 1000L)))
       split <- org.scalacheck.Gen.chooseNum(0, n)
     } yield (k, vs, split)
@@ -643,6 +647,24 @@ class OperatorsSpec extends SparkSpec {
       assert(exact.contains((kept, rem)),
         s"removal ($rem, kept $kept) must correspond to a true cosine>=0.35 pair")
     }
+  }
+
+  test("rolling 7-day HLL equals sketching the 7-day union directly") {
+    import graft.operators.ApproxDistinct
+    val events = Tables(spark, sf).events.withColumn("day", col("ts").cast("date"))
+    val rolled = graft.queries.TrainingData.td31RollingDistinct.build(spark, sf).collect()
+      .map(r => r.getDate(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rolled.nonEmpty)
+    // pick the last day: its rolling value covers exactly days hi-6..hi
+    val hi = rolled.keys.maxBy(_.getTime)
+    val window = events.filter(
+      col("day") <= lit(hi) && col("day") >= date_sub(lit(hi), 6))
+    val direct = ApproxDistinct
+      .approxDistinct(window.withColumn("g", lit(1)), Seq("g"), "user_id", corrected = false)
+      .head()
+    assert(rolled(hi) == ((direct.getLong(1), direct.getDouble(2))),
+      s"rolling(${rolled(hi)}) must equal direct 7-day sketch " +
+        s"(${(direct.getLong(1), direct.getDouble(2))})")
   }
 
   test("phashPairs: identical payloads collide at hamming 0, single-byte edits stay close") {
