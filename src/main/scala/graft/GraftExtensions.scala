@@ -83,7 +83,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("long_eq_count", "_FUNC_(a, b) - positions where two array<bigint> agree.",
         es => graft.functions.VectorKernels.LongEqCountExpr(es(0), es(1))),
       ("vec_dist2", "_FUNC_(a, b) - squared euclidean distance of two array<double>.",
-        es => graft.functions.VectorKernels.VecDist2Expr(es(0), es(1)))
+        es => graft.functions.VectorKernels.VecDist2Expr(es(0), es(1))),
+      ("phash63", "_FUNC_(payload) - 63-bit average-hash of sampled payload bytes.",
+        es => Sketches.PHash63Expr(es(0))),
+      ("interleave_bits", "_FUNC_(a, b) - 64-bit Morton (Z-order) code of two ints.",
+        es => graft.functions.InterleaveBits(es(0), es(1)))
     ).foreach { case (name, usage, builder) =>
       ext.injectFunction(
         (new FunctionIdentifier(name),

@@ -246,6 +246,9 @@ class OperatorsSpec extends SparkSpec {
       assert(ext.sql("SELECT lang_id('the cat and the hat with this') AS l")
         .head().getString(0) == "en")
       assert(ext.sql("SELECT hyperplane_sig(array(1.0d), 4, 0) AS s").head().getLong(0) >= 0L)
+      assert(ext.sql("SELECT phash63('some payload bytes here') AS p").head().getLong(0)
+        == graft.functions.Sketches.pHash63("some payload bytes here".getBytes))
+      assert(ext.sql("SELECT interleave_bits(3, 1) AS z").head().getLong(0) == 7L)
     } finally {
       S.setActiveSession(prior); S.setDefaultSession(prior)
     }
