@@ -153,6 +153,46 @@ object VectorKernels {
       case other => throw new IllegalArgumentException(s"$what must be an int constant, got $other")
     } else throw new IllegalArgumentException(s"$what must be a constant expression, got $e")
 
+  /** Key-ordered pair sum: input array<struct<key long, v double>>,
+    * output the doubles folded LEFT FROM 0.0 in ascending-key order.
+    * The deterministic-PageRank reduction ([[graft.operators.Graph
+    * .pageRank]]) — sorting and folding in one native pass replaces a
+    * sort_array + interpreted `aggregate` HOF over the same array.
+    * 0.0+x0 == x0 exactly, so the seeded fold equals the unseeded
+    * chain; ties (equal keys) keep collect_list order, which callers
+    * must make impossible (pageRank's edges are distinct per dst).
+    */
+  case class OrderedPairSumExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes() = child.dataType match {
+      case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+          if s.length == 2 && s(0).dataType == LongType && s(1).dataType == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ordered_pair_sum needs array<struct<bigint,double>>, got $other")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return 0.0
+      val keys = new Array[Long](n)
+      val vals = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val r = arr.getStruct(i, 2)
+        keys(i) = r.getLong(0); vals(i) = r.getDouble(1); i += 1
+      }
+      val order = Array.range(0, n).sortBy(keys)
+      var s = 0.0
+      i = 0
+      while (i < n) { s += vals(order(i)); i += 1 }
+      s
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     def reg(name: String, builder: Seq[Expression] => Expression): Unit =
@@ -163,6 +203,7 @@ object VectorKernels {
       es => HyperplaneSigExpr(es(0), intArg(es(1), "bits"), intArg(es(2), "seed")))
     reg("long_eq_count", es => LongEqCountExpr(es(0), es(1)))
     reg("vec_dist2", es => VecDist2Expr(es(0), es(1)))
+    reg("ordered_pair_sum", es => OrderedPairSumExpr(es(0)))
   }
 
   private def active: SparkSession = SparkSession.active
@@ -178,6 +219,10 @@ object VectorKernels {
   def vecDist2(a: Column, b: Column): Column = {
     register(active)
     call_function("vec_dist2", a, b)
+  }
+  def orderedPairSum(pairs: Column): Column = {
+    register(active)
+    call_function("ordered_pair_sum", pairs)
   }
   def hyperplaneSig(v: Column, bits: Int, seed: Int): Column = {
     register(active)

@@ -99,19 +99,20 @@ object Graph {
   }
 
   /** Deterministic PageRank: per-destination contributions are folded
-    * in SOURCE-ID ORDER from 0.0 (sort_array + aggregate), so the
-    * rank of every node is bit-reproducible under any partitioning —
-    * a plain sum(contrib) varies in the last ulps with aggregation
-    * order and would break exact replay. Dangling mass is dropped
-    * (the simplified recurrence r' = (1-d)/n + d·Σ); feed symmetrized
-    * edges if every node must keep out-degree > 0.
+    * in SOURCE-ID ORDER from 0.0
+    * ([[graft.functions.VectorKernels.OrderedPairSumExpr]] — one
+    * native sort+fold pass), so the rank of every node is
+    * bit-reproducible under any partitioning — a plain sum(contrib)
+    * varies in the last ulps with aggregation order and would break
+    * exact replay. Dangling mass is dropped (the simplified
+    * recurrence r' = (1-d)/n + d·Σ); feed symmetrized edges if every
+    * node must keep out-degree > 0.
     *
     * Scale shape: each iteration is one equi-join on src (rank +
     * degree broadcast-or-shuffled by key) and one groupBy dst; the
-    * ordered fold costs in-degree log in-degree per node. The ordered
-    * fold runs as an interpreted HOF — at real scale, swap in an
-    * order-insensitive sum + tolerance, or a native fold kernel, per
-    * the Sketches precedent.
+    * ordered fold costs in-degree log in-degree per node, in a tight
+    * Java loop (the Sketches precedent; an interpreted HOF fold here
+    * was ~2× the whole query's cost).
     *
     * @param edges (src, dst) directed edge list, deduplicated
     * @param teleport passed separately from damping (not computed as
@@ -135,9 +136,8 @@ object Graph {
         .select(col("dst"), col("src"), (col("r") / col("outdeg")).as("contrib"))
       val s = contrib
         .groupBy("dst")
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("src"), col("contrib")))),
-          lit(0.0d), (acc, x) => acc + x("contrib")).as("s"))
+        .agg(graft.functions.VectorKernels.orderedPairSum(
+          collect_list(struct(col("src").cast("long"), col("contrib")))).as("s"))
       r = nodes
         .join(s.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(n))
