@@ -892,6 +892,50 @@ object Extras {
     }
   )
 
+  /** Time-windowed conversion rate: the share of clicks followed by a
+    * purchase from the same user within one hour, per day. The
+    * conversion probe is an EQUI-join on user_id carrying the time
+    * range as a residual predicate (then a semi-join on the surviving
+    * click ids) — never a cartesian time join; x15's funnel is the
+    * unconstrained-order counterpart.
+    */
+  val x28ConversionWindow = Query(
+    "x28_conversion_window",
+    Some("""WITH c AS (SELECT event_id, user_id, ts, CAST(ts AS DATE) AS day
+            |          FROM events WHERE event_type = 'click'),
+            |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+            |conv AS (
+            |  SELECT DISTINCT c.event_id FROM c JOIN p
+            |    ON c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+            |SELECT day, COUNT(*) AS n_clicks,
+            |  COUNT(*) FILTER (WHERE event_id IN (SELECT event_id FROM conv)) AS n_converted,
+            |  CAST(COUNT(*) FILTER (WHERE event_id IN (SELECT event_id FROM conv)) AS DOUBLE)
+            |    / COUNT(*) AS conv_rate
+            |FROM c GROUP BY day ORDER BY day""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val ev = t.events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("ts").cast("date").as("day"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val converted = clicks.alias("c")
+        .join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("ts") &&
+            col("p_ts") <= col("ts") + expr("interval 1 hour"),
+          "left_semi")
+        .select(col("event_id"))
+      clicks
+        .join(converted.withColumn("is_conv", lit(1L)), Seq("event_id"), "left")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("is_conv")).as("n_converted"),
+          (count(col("is_conv")).cast("double") / count(lit(1))).as("conv_rate"))
+        .orderBy("day")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -899,6 +943,6 @@ object Extras {
     x14CohortRetention, x15Funnel, x16Transitions, x17StatsMoments,
     x18Histogram, x19TopKAgg, x20SaltedJoin, x21GroupingSets,
     x22RelativeRanks, x23GapFill, x24MadOutliers, x25ZOrder,
-    x26UnionEvolve, x27PageRank
+    x26UnionEvolve, x27PageRank, x28ConversionWindow
   )
 }
