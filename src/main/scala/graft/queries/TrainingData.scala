@@ -1053,6 +1053,71 @@ object TrainingData {
     }
   )
 
+  /** BM25-shaped retrieval scoring (k1=1.2, b=0.75) for a fixed query
+    * term set: saturated tf with document-length normalization times a
+    * RATIONAL Robertson idf ((N−df+0.5)/(df+0.5) — no ln, same policy
+    * as td11). avgdl is exact (integer sum / count, one division),
+    * every per-term score is one fixed chain of IEEE ops, and the
+    * per-document total folds in FIXED TERM ORDER through the
+    * `ordered_pair_sum` kernel — a plain SUM of the term scores would
+    * be aggregation-order-dependent and break the exact oracle.
+    */
+  val td32Bm25 = Query(
+    "td32_bm25",
+    Some("""WITH toks AS (SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+            |             FROM documents),
+            |dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+            |avgdl AS (SELECT CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+            |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+            |       WHERE tok IN ('data', 'spark', 'query') GROUP BY doc_id, tok),
+            |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+            |scored AS (
+            |  SELECT tf.doc_id,
+            |    CASE tf.tok WHEN 'data' THEN 0 WHEN 'spark' THEN 1 ELSE 2 END AS ti,
+            |    -- 2.2::DOUBLE, not the decimal literal: DuckDB would multiply
+            |    -- tf * DECIMAL(2,1) exactly and round once, while the engine
+            |    -- multiplies two doubles — off by an ulp for some tf
+            |    (((tf.tf * 2.2::DOUBLE)
+            |        / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.len / avgdl.avgdl))))
+            |      * (CAST(n.n_docs - df.df AS DOUBLE) + 0.5)) / (df.df + 0.5) AS s
+            |  FROM tf JOIN dl USING (doc_id), avgdl, n JOIN df ON tf.tok = df.tok),
+            |agg AS (
+            |  SELECT doc_id, COUNT(*) AS n_terms,
+            |    list_reduce(list_prepend(0.0, list(s ORDER BY ti)), (a, x) -> a + x) AS bm25
+            |  FROM scored GROUP BY doc_id)
+            |SELECT doc_id, n_terms, bm25 FROM agg
+            |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val toks = t.documents
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val avgdl = dl.agg((sum("len").cast("double") / count(lit(1))).as("avgdl"))
+      val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+      val tf = toks.filter(col("tok").isin("data", "spark", "query"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val ti = when(col("tok") === "data", 0L).when(col("tok") === "spark", 1L).otherwise(2L)
+      val scored = tf
+        .join(dl, "doc_id")
+        .join(broadcast(df_), "tok")
+        .crossJoin(broadcast(avgdl))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), ti.as("ti"),
+          ((((col("tf") * 2.2).cast("double")
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len") / col("avgdl")))))
+            * ((col("n_docs") - col("df")).cast("double") + 0.5)) / (col("df") + 0.5)).as("s"))
+      scored
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          graft.functions.VectorKernels.orderedPairSum(
+            collect_list(struct(col("ti"), col("s")))).as("bm25"))
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .limit(20)
+    }
+  )
+
   /** Benchmark-contamination check (decontamination shape): fraction
     * of each training document's word 5-grams that appear anywhere in
     * a "benchmark" document set (stand-in: every 50th doc). One gram
@@ -1942,6 +2007,6 @@ object TrainingData {
     td21CharClass, td22QualityGate, td23KmvOverlap,
     td24MixWeights, td25Boilerplate, dd09Containment,
     ss06SemanticDedup, td26LexicalDiversity, td27LengthBand,
-    td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct
+    td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25
   )
 }

@@ -652,6 +652,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("BM25 ranking: positive scores sorted desc, term count bounded by the query") {
+    val rows = graft.queries.TrainingData.td32Bm25.build(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sortBy(-_)), "must be ranked by score desc")
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3))
+    // every ranked doc really contains a query term
+    val ids = rows.map(_.getLong(0)).toSet
+    val withTerm = docs
+      .filter(col("text").rlike("\\b(data|spark|query)\\b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(withTerm))
+  }
+
   test("rolling 7-day HLL equals sketching the 7-day union directly") {
     import graft.operators.ApproxDistinct
     val events = Tables(spark, sf).events.withColumn("day", col("ts").cast("date"))
