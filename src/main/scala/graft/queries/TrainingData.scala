@@ -1779,6 +1779,39 @@ object TrainingData {
     }
   )
 
+  /** Per-source contribution cap: keep at most 20 documents per
+    * source, chosen by HASH RANK (row_number over (mixed_hash64(id),
+    * id)) — an unbiased, reproducible downsample that needs no
+    * randomness state, unlike rand()-based limits. The standard
+    * "no domain dominates the mix" curation step; td14/td24 scale
+    * rates, this caps absolute counts.
+    */
+  val td33SourceCap = Query(
+    "td33_source_cap", {
+      val fold = foldSql("CAST(doc_id AS VARCHAR)")
+      val signed = toSignedSql(s"(${fmixSql(s"($fold)")})")
+      Some(
+        s"""WITH h AS (SELECT doc_id, source, $signed AS hv FROM documents),
+           |r AS (SELECT doc_id, source,
+           |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS INT) AS rk
+           |      FROM h)
+           |SELECT doc_id, source, rk FROM r WHERE rk <= 20
+           |ORDER BY doc_id""".stripMargin)
+    },
+    (spark, dir) => {
+      graft.functions.MixedHash64.register(spark)
+      val t = Tables(spark, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(graft.functions.MixedHash64(col("doc_id").cast("string")), col("doc_id"))
+      t.documents
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).cast("int").as("rk"))
+        .filter(col("rk") <= 20)
+        .orderBy("doc_id")
+    }
+  )
+
   /** Prefix-filtered exact Jaccard join
     * ([[Dedup.jaccardPairsPrefix]]): candidates come from joining
     * only each document's rarest-first gram PREFIX (the PPJoin bound)
@@ -2037,6 +2070,6 @@ object TrainingData {
     td24MixWeights, td25Boilerplate, dd09Containment,
     ss06SemanticDedup, td26LexicalDiversity, td27LengthBand,
     td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
-    dd10PrefixJaccard
+    dd10PrefixJaccard, td33SourceCap
   )
 }
