@@ -1118,6 +1118,37 @@ object TrainingData {
     }
   )
 
+  /** Exact rolling 7-day distinct users — td31's ground truth. Same
+    * window expansion (each event feeds 7 trailing windows) but a true
+    * COUNT(DISTINCT): the cost difference is the point — this shuffles
+    * every (day, user) pair, the sketch ships 64 registers/day.
+    * OperatorsSpec bounds td31's estimate against this.
+    */
+  val td34RollingExact = Query(
+    "td34_rolling_exact",
+    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events
+            |          WHERE user_id IS NOT NULL),
+            |bounds AS (SELECT MAX(day) AS hi FROM d),
+            |exp AS (SELECT day + CAST(i AS INT) AS day, user_id
+            |        FROM d, UNNEST(range(0, 7)) t(i)),
+            |w AS (SELECT day, user_id FROM exp, bounds WHERE day <= hi)
+            |SELECT day, COUNT(DISTINCT user_id) AS n_users
+            |FROM w GROUP BY day ORDER BY day""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val d = t.events.filter(col("user_id").isNotNull)
+        .select(col("ts").cast("date").as("day"), col("user_id"))
+      val bounds = d.agg(max("day").as("hi"))
+      d.select(explode(sequence(lit(0), lit(6))).as("i"), col("day"), col("user_id"))
+        .select(date_add(col("day"), col("i")).as("day"), col("user_id"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") <= col("hi"))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day")
+    }
+  )
+
   /** Benchmark-contamination check (decontamination shape): fraction
     * of each training document's word 5-grams that appear anywhere in
     * a "benchmark" document set (stand-in: every 50th doc). One gram
@@ -2070,6 +2101,6 @@ object TrainingData {
     td24MixWeights, td25Boilerplate, dd09Containment,
     ss06SemanticDedup, td26LexicalDiversity, td27LengthBand,
     td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
-    dd10PrefixJaccard, td33SourceCap
+    dd10PrefixJaccard, td33SourceCap, td34RollingExact
   )
 }

@@ -682,6 +682,24 @@ class OperatorsSpec extends SparkSpec {
     assert(ids.subsetOf(withTerm))
   }
 
+  test("rolling HLL estimates stay within theoretical error of the exact rolling counts") {
+    // sf0.01: rolling counts are past the raw estimator's ~2.5m floor
+    // regime (sf0.001's ~15 users/window sit in the documented
+    // small-range bias zone — hllEstimate's corrected=true exists for
+    // those; the catalog query stays raw for oracle bit-exactness)
+    val dir = "/root/testdata/sf0.01"
+    val est = graft.queries.TrainingData.td31RollingDistinct.build(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getDouble(2)).toMap
+    val exact = graft.queries.TrainingData.td34RollingExact.build(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // 64 registers: ~1.04/sqrt(64) = 13% typical; allow 3 sigma
+    exact.foreach { case (day, n) =>
+      val rel = math.abs(est(day) - n) / n.toDouble
+      assert(rel < 0.4, s"$day: est=${est(day)} exact=$n rel=$rel")
+    }
+  }
+
   test("rolling 7-day HLL equals sketching the 7-day union directly") {
     import graft.operators.ApproxDistinct
     val events = Tables(spark, sf).events.withColumn("day", col("ts").cast("date"))
