@@ -936,6 +936,83 @@ object Extras {
     }
   )
 
+  /** Ratio-to-report: each cell's share of its group total via a
+    * partition-window sum — the remaining classic BI window pattern.
+    * The window total sums DECIMALS (exact, order-insensitive), so
+    * the single share division is bit-stable cross-engine.
+    */
+  val x30RatioToReport = Query(
+    "x30_ratio_to_report",
+    Some("""WITH cell AS (
+            |  SELECT l_returnflag, l_linestatus,
+            |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+            |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+            |SELECT l_returnflag, l_linestatus,
+            |  CAST(rev AS DOUBLE) AS rev,
+            |  CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+            |    AS share_of_flag
+            |FROM cell ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val cell = t.lineitem
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("rev"))
+      val w = Window.partitionBy("l_returnflag")
+      cell.select(col("l_returnflag"), col("l_linestatus"),
+        col("rev").cast("double").as("rev"),
+        (col("rev").cast("double") / sum(col("rev")).over(w).cast("double"))
+          .as("share_of_flag"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+  )
+
+  /** Session path mining: per-session ordered event-type sequences
+    * (the st01 sessionization feeding an ordered string_agg), ranked
+    * by frequency — "what do users actually do in a session". Path
+    * assembly is deterministic (ordered by ts, event_id).
+    */
+  val x31SessionPaths = Query(
+    "x31_session_paths",
+    Some("""WITH lagged AS (
+            |  SELECT user_id, ts, event_id, event_type,
+            |    CASE WHEN LAG(ts) OVER w IS NULL
+            |         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+            |         THEN 1 ELSE 0 END AS new_s
+            |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            |sess AS (
+            |  SELECT user_id, ts, event_id, event_type,
+            |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |                     ROWS UNBOUNDED PRECEDING) AS sn
+            |  FROM lagged),
+            |paths AS (
+            |  SELECT user_id, sn, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            |  FROM sess GROUP BY user_id, sn)
+            |SELECT path, COUNT(*) AS n_sessions FROM paths
+            |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = t.events
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sn",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess
+        .groupBy("user_id", "sn")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x("event_type")), ">").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("path"))
+        .limit(15)
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -943,6 +1020,7 @@ object Extras {
     x14CohortRetention, x15Funnel, x16Transitions, x17StatsMoments,
     x18Histogram, x19TopKAgg, x20SaltedJoin, x21GroupingSets,
     x22RelativeRanks, x23GapFill, x24MadOutliers, x25ZOrder,
-    x26UnionEvolve, x27PageRank, x28ConversionWindow
+    x26UnionEvolve, x27PageRank, x28ConversionWindow,
+    x30RatioToReport, x31SessionPaths
   )
 }

@@ -211,4 +211,17 @@ class PlanSpec extends SparkSpec {
     // the gram->boilerplate membership probe is a semi join
     assert(p.contains("LeftSemi") || p.contains("left_semi"), p)
   }
+
+  test("prefix-jaccard candidate and verify joins are equi-joins, never cartesian") {
+    val p = plan(graft.operators.Dedup
+      .jaccardPairsPrefix(Tables(spark, sf).documents, "doc_id", "text", k = 3, threshold = 0.5))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("conversion-window probe joins on user with the time range as a residual") {
+    val p = plan(graft.queries.Extras.x28ConversionWindow.build(spark, sf))
+    // equi on user_id; the 1-hour window must not force a nested loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
 }
