@@ -355,12 +355,15 @@ object Sketches {
         org.apache.spark.sql.types.StructField("n_grams", LongType, nullable = false),
         org.apache.spark.sql.types.StructField("n_maybe", LongType, nullable = false)))
     override def checkInputDataTypes() =
+      // element type pinned to non-null bigint: a foldable array<int>
+      // would pass a bare ArrayType check and then ClassCastException
+      // inside toLongArray() at execution — fail at analysis instead
       if (text.dataType == StringType && filterExpr.foldable &&
-          filterExpr.dataType.isInstanceOf[ArrayType])
+          filterExpr.dataType == ArrayType(LongType, containsNull = false))
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          "bloom_probe needs (string, foldable array<long> filter)")
+          "bloom_probe needs (string, foldable array<bigint> filter with non-null elements)")
     private lazy val filterWords: Array[Long] =
       filterExpr.eval().asInstanceOf[ArrayData].toLongArray()
     override def nullSafeEval(t: Any, f: Any): Any = {

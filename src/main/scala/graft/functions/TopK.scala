@@ -29,8 +29,14 @@ object TopK {
 
   /** Insert keeping `buf` sorted best-first and capped at k. */
   private def insert(buf: ArrayBuffer[Pair], k: Int, p: Pair): ArrayBuffer[Pair] = {
-    // ordering: value DESC, id ASC
-    def better(a: Pair, b: Pair): Boolean = a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    // ordering: value DESC, id ASC. Double.compare (not >/==) so NaN
+    // sorts largest and -0.0 < 0.0 — identical to Spark's SQL double
+    // ordering, keeping the documented equivalence to the
+    // row_number-window form even on NaN inputs.
+    def better(a: Pair, b: Pair): Boolean = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
     if (buf.size == k && !better(p, buf.last)) return buf
     var lo = 0
     var hi = buf.size

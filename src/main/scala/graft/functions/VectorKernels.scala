@@ -61,7 +61,7 @@ object VectorKernels {
     * stream) is ≥ 0. Signs are generated inline per (j, i) — a few
     * shifts/multiplies — so no sign matrix travels with the plan.
     */
-  case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Int)
+  case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Int, dim: Int = 64)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def checkInputDataTypes() = requireDoubleArray(child, "hyperplane_sig")
@@ -73,12 +73,15 @@ object VectorKernels {
     }
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData].toDoubleArray()
+      // planes have `dim` components, matching the declarative
+      // hyperplaneSignature: a vector tail beyond dim contributes 0
+      val n = math.min(v.length, dim)
       var bucket = 0L
       var j = 0
       while (j < bits) {
         var s = 0.0
         var i = 0
-        while (i < v.length) {
+        while (i < n) {
           val sg = if (mix(seed.toLong << 40 | j.toLong << 20 | i.toLong) % 2 == 0) 1.0 else -1.0
           s += v(i) * sg
           i += 1
@@ -200,7 +203,8 @@ object VectorKernels {
         registry.createOrReplaceTempFunction(name, builder, "built-in")
     reg("vec_dot", es => VecDotExpr(es(0), es(1)))
     reg("hyperplane_sig",
-      es => HyperplaneSigExpr(es(0), intArg(es(1), "bits"), intArg(es(2), "seed")))
+      es => HyperplaneSigExpr(es(0), intArg(es(1), "bits"), intArg(es(2), "seed"),
+        if (es.length > 3) intArg(es(3), "dim") else 64))
     reg("long_eq_count", es => LongEqCountExpr(es(0), es(1)))
     reg("vec_dist2", es => VecDist2Expr(es(0), es(1)))
     reg("ordered_pair_sum", es => OrderedPairSumExpr(es(0)))
@@ -224,9 +228,9 @@ object VectorKernels {
     register(active)
     call_function("ordered_pair_sum", pairs)
   }
-  def hyperplaneSig(v: Column, bits: Int, seed: Int): Column = {
+  def hyperplaneSig(v: Column, bits: Int, seed: Int, dim: Int = 64): Column = {
     register(active)
     call_function("hyperplane_sig", v, org.apache.spark.sql.functions.lit(bits),
-      org.apache.spark.sql.functions.lit(seed))
+      org.apache.spark.sql.functions.lit(seed), org.apache.spark.sql.functions.lit(dim))
   }
 }

@@ -99,29 +99,40 @@ object Graph {
   }
 
   /** Deterministic PageRank: per-destination contributions are folded
-    * in SOURCE-ID ORDER from 0.0
-    * ([[graft.functions.VectorKernels.OrderedPairSumExpr]] — one
-    * native sort+fold pass), so the rank of every node is
-    * bit-reproducible under any partitioning — a plain sum(contrib)
+    * from 0.0 in a CANONICAL TWO-LEVEL ORDER — within source-bucket
+    * (src mod `foldBuckets`) by ascending src, then across buckets in
+    * ascending bucket id ([[graft.functions.VectorKernels
+    * .OrderedPairSumExpr]] at both levels — one native sort+fold pass
+    * each). The order is a pure function of the src ids, so every rank
+    * is bit-reproducible under any partitioning — a plain sum(contrib)
     * varies in the last ulps with aggregation order and would break
-    * exact replay. Dangling mass is dropped (the simplified
-    * recurrence r' = (1-d)/n + d·Σ); feed symmetrized edges if every
-    * node must keep out-degree > 0.
+    * exact replay. Dangling mass is dropped (the simplified recurrence
+    * r' = (1-d)/n + d·Σ); feed symmetrized edges if every node must
+    * keep out-degree > 0.
     *
     * Scale shape: each iteration is one equi-join on src (rank +
-    * degree broadcast-or-shuffled by key) and one groupBy dst; the
-    * ordered fold costs in-degree log in-degree per node, in a tight
-    * Java loop (the Sketches precedent; an interpreted HOF fold here
-    * was ~2× the whole query's cost).
+    * degree broadcast-or-shuffled by key) and two groupBys. The
+    * two-level fold exists for SKEW: a single per-dst collect_list
+    * sizes one row by in-degree — a celebrity node on a power-law
+    * graph is a multi-GB array in one task. Level 1 groups by
+    * (dst, src mod B), capping every collected array at in-degree/B
+    * (srcs are ~uniform mod B); level 2 merges the ≤ B partial sums
+    * per node in bucket order. Shuffle volume is unchanged (still one
+    * row per edge). Pick B ≳ max-in-degree / rows-per-task; 0.0+x == x
+    * exactly, so buckets with one element cost nothing in precision.
     *
     * @param edges (src, dst) directed edge list, deduplicated
     * @param teleport passed separately from damping (not computed as
     *   1 − damping: 1.0 − 0.85 is 0.15000000000000002 in binary64,
     *   NOT the literal 0.15 an oracle query writes)
+    * @param foldBuckets level-1 bucket count B; changing B changes the
+    *   association order (and hence last-ulp bits) — oracles replay a
+    *   FIXED B
     */
   def pageRank(
       edges: DataFrame, iters: Int,
-      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+      damping: Double = 0.85, teleport: Double = 0.15,
+      foldBuckets: Int = 1024): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
@@ -134,10 +145,14 @@ object Graph {
         .join(r.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
         .select(col("dst"), col("src"), (col("r") / col("outdeg")).as("contrib"))
-      val s = contrib
+      val partial = contrib
+        .groupBy(col("dst"), pmod(col("src"), lit(foldBuckets.toLong)).as("bkt"))
+        .agg(graft.functions.VectorKernels.orderedPairSum(
+          collect_list(struct(col("src").cast("long"), col("contrib")))).as("sb"))
+      val s = partial
         .groupBy("dst")
         .agg(graft.functions.VectorKernels.orderedPairSum(
-          collect_list(struct(col("src").cast("long"), col("contrib")))).as("s"))
+          collect_list(struct(col("bkt").cast("long"), col("sb")))).as("s"))
       r = nodes
         .join(s.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(n))

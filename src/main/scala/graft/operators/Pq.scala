@@ -49,6 +49,10 @@ object Pq {
     val data = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
     val init = data.orderBy(col(idCol)).take(k).map(_._2)
+    require(init.length == k,
+      s"PQ training needs at least k=$k vectors, found only ${init.length}")
+    require(init.forall(_.length >= dim),
+      s"every training vector must have at least dim=$dim components")
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m, k)((s, c) => init(c).slice(s * d, s * d + d))
     for (_ <- 0 until iters) {
@@ -116,46 +120,74 @@ object Pq {
   /** ADC top-k: for each query, distance to a corpus vector =
     * Σ_s dist2(query_sub_s, codebook_s(code_s)) — subspace terms
     * summed in subspace order (fixed association; the oracle replays
-    * it). Codes + codebooks broadcast; queries stream map-only.
+    * it).
+    *
+    * Distribution is INVERTED from the naive shape: the (tiny)
+    * codebooks + queries are broadcast, the corpus CODES STAY
+    * DISTRIBUTED. Each codes partition builds the per-query ADC
+    * tables once, scans its codes maintaining a bounded k-heap per
+    * query, and emits ≤ k candidates per (partition, query); a final
+    * window merges them into the global top-k. Per-task memory is
+    * O(|queries| × (m×k_centroids + k)) regardless of corpus size —
+    * a billion-row corpus never touches the driver.
+    *
+    * Ranking is deterministic — (rounded dist asc, corpus_id asc) —
+    * and partition-invariant: every global top-k row is in its own
+    * partition's top-k under the same total order.
     */
   def adcSearch(
       encoded: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       model: Model, k: Int, roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spark = encoded.sparkSession
     import spark.implicits._
-    val codes = encoded.select(col(idCol).cast("long"), col("codes"))
-      .as[(Long, Array[Int])].collect().sortBy(_._1)
-    val bcCodes = spark.sparkContext.broadcast(codes)
+    // queries are the small side by contract (same as bruteForceKnn)
+    val qArr = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
     val bcModel = spark.sparkContext.broadcast(model)
-    queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
+    val bcQ = spark.sparkContext.broadcast(qArr)
+    val partial = encoded.select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Array[Int])]
       .mapPartitions { rows =>
         val mod = bcModel.value
-        val cs = bcCodes.value
+        val qs = bcQ.value
         val d = mod.subDim
-        rows.flatMap { case (qid, qv) =>
-          // ADC table: per (subspace, centroid) distance for THIS query
-          val table = Array.tabulate(mod.m, mod.codebooks(0).length) { (s, c) =>
-            dist2(qv, mod.codebooks(s)(c), s * d)
-          }
-          val scored = cs.iterator
-            .filter(_._1 != qid)
-            .map { case (cid, code) =>
-              var dist = 0.0
-              var s = 0
-              while (s < mod.m) { dist += table(s)(code(s)); s += 1 }
+        val nCentroids = mod.codebooks(0).length
+        // ADC tables: per (query, subspace, centroid), built once per task
+        val tables = qs.map { case (_, qv) =>
+          Array.tabulate(mod.m, nCentroids)((s, c) => dist2(qv, mod.codebooks(s)(c), s * d))
+        }
+        val ord = Ordering.Tuple2[Double, Long]
+        // max-heap on (dist, cid): head is the current worst keeper
+        val heaps = Array.fill(qs.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+        rows.foreach { case (cid, code) =>
+          var qi = 0
+          while (qi < qs.length) {
+            if (qs(qi)._1 != cid) {
+              val t = tables(qi)
+              var dist = 0.0; var s = 0
+              while (s < mod.m) { dist += t(s)(code(s)); s += 1 }
               val r = BigDecimal(dist)
                 .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
-              (r, cid)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((r, cid))
+              else if (ord.lt((r, cid), h.head)) { h.dequeue(); h.enqueue((r, cid)) }
             }
-            .toArray
-          scala.util.Sorting.quickSort(scored)(Ordering.Tuple2[Double, Long])
-          scored.take(k).zipWithIndex.map { case ((dist, cid), i) =>
-            (qid, cid, dist, i + 1)
+            qi += 1
           }
         }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val qid = qs(qi)._1
+          h.iterator.map { case (r, cid) => (qid, cid, r) }
+        }
       }
-      .toDF("query_id", "corpus_id", "adc_dist", "rank")
+      .toDF("query_id", "corpus_id", "adc_dist")
+    val w = Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("corpus_id"))
+    partial
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "adc_dist", "rank")
   }
 
   /** The standard production PQ pattern: ADC selects a `shortlist`

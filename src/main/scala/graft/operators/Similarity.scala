@@ -84,71 +84,131 @@ object Similarity {
       .select("query_id", "corpus_id", "sim", "rank")
   }
 
+  /** Deterministic block id for a vector id: non-negative `id mod B`.
+    * Blocking by id (not by partition) keeps the assignment stable
+    * across partitionings, which is what makes blocked == unblocked
+    * results bit-identical and partition-invariant.
+    */
+  private def blockOf(id: Long, nBlocks: Int): Int =
+    (((id % nBlocks) + nBlocks) % nBlocks).toInt
+
+  /** Default block count: ~sqrt(2 × parallelism) blocks gives
+    * B(B+1)/2 ≳ parallelism block-pair tasks, enough to fill the
+    * cluster. At real scale callers pass nBlocks explicitly so one
+    * block (corpus/B rows × dim doubles) fits task memory.
+    */
+  private def defaultBlocks(df: DataFrame): Int =
+    math.max(2, math.ceil(math.sqrt(2.0 * df.sparkSession.sparkContext.defaultParallelism)).toInt)
+
+  private def l2(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
   /** Exact all-pairs cosine above a threshold — the dense numeric
-    * kernel done as `mapPartitions` over primitive double arrays
-    * against a broadcast of the (normalized) corpus matrix. This is
-    * the one operator family where imperative per-partition code beats
-    * every declarative encoding: an unrolled-expression Project runs
-    * interpreted once the 64-term tree exceeds codegen limits
-    * (measured 40 s for 2M pairs at sf0.1; this kernel: < 1 s).
+    * kernel as a BLOCK-PAIR shuffle over primitive double arrays. The
+    * corpus is split into `nBlocks` deterministic blocks (id mod B);
+    * each row is shuffled to every block-pair group (p, q) its block
+    * participates in, and each group runs the tight |P|×|Q| dot-product
+    * loop over exactly two blocks. This is the one operator family
+    * where imperative per-group code beats every declarative encoding:
+    * an unrolled-expression Project runs interpreted once the 64-term
+    * tree exceeds codegen limits (measured 40 s for 2M pairs at sf0.1;
+    * this kernel: < 1 s).
     *
-    * Scale path: the broadcast side is one BLOCK of the corpus; tile
-    * over blocks for matrices beyond executor memory (outer loop =
-    * one broadcast per block), keeping O(rows × blockSize) work per
-    * task and no shuffle.
+    * Scale shape: NO driver collect and NO corpus-sized broadcast —
+    * per-task memory is two blocks (2 × |corpus|/B rows), shuffle
+    * volume is B × |corpus| (disk-backed), parallelism is B(B+1)/2
+    * independent tasks. Choose B so a block fits executor memory;
+    * everything else follows.
     *
-    * Rounding matches `functions.round` (HALF_UP at `roundTo`), so
-    * results are bit-identical to the declarative form and the DuckDB
-    * oracle.
+    * Rounding matches `functions.round` (HALF_UP at `roundTo`) and the
+    * per-pair arithmetic is identical for every B, so results are
+    * bit-identical to the declarative form, the DuckDB oracle, and any
+    * other block count.
     */
   def cosinePairsKernel(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      roundTo: Int = 4
+      roundTo: Int = 4,
+      nBlocks: Int = -1
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val b = if (nBlocks > 0) nBlocks else defaultBlocks(corpus)
     val base = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
-    val mat = base.collect().sortBy(_._1).map { case (id, v) =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      (id, v, math.sqrt(s))
-    }
-    val bc = spark.sparkContext.broadcast(mat)
     val scale = roundTo
-    base.mapPartitions { rows =>
-      val m = bc.value
-      rows.flatMap { case (idA, va) =>
-        var na = 0.0; var i = 0
-        while (i < va.length) { na += va(i) * va(i); i += 1 }
-        val nA = math.sqrt(na)
+    // (groupKey = p*B+q, ownBlock, id, vec, norm): each row joins every
+    // block-pair its block is a member of — replication factor B
+    val replicated = base.flatMap { case (id, v) =>
+      val own = blockOf(id, b)
+      val n = l2(v)
+      (0 until b).iterator.map { other =>
+        val p = math.min(own, other); val q = math.max(own, other)
+        (p * b + q, own, id, v, n)
+      }
+    }
+    replicated
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val p = key / b; val q = key % b
+        val sideP = new scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]
+        val sideQ = new scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]
+        it.foreach { case (_, own, id, v, n) =>
+          if (own == p) sideP += ((id, v, n))
+          if (own == q && p != q) sideQ += ((id, v, n))
+        }
+        val right = if (p == q) sideP else sideQ
         // primitive-math prefilter: HALF_UP(x, s) >= t iff
         // x >= t - 0.5*10^-s, so only near/above-threshold pairs pay
         // the BigDecimal rounding (2M allocations otherwise)
         val rawCut = threshold - 0.5 * math.pow(10, -scale) - 1e-12
-        m.iterator.filter(_._1 > idA).flatMap { case (idB, vb, nB) =>
-          var dot = 0.0; var j = 0
-          while (j < va.length) { dot += va(j) * vb(j); j += 1 }
-          val raw = dot / (nA * nB)
-          if (raw < rawCut) None
-          else {
-            val sim = BigDecimal(raw)
-              .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (sim >= threshold) Some((idA, idB, sim)) else None
+        // blocks partition ids, so a cross-block (p != q) pair occurs
+        // exactly once in the P×Q loop; within-block (p == q) pairs
+        // are kept once via idB > idA. Emitted as (low id, high id);
+        // IEEE × is commutative and the j-loop order is fixed, so dot
+        // and norms are bit-identical regardless of which side a row
+        // landed on (and regardless of B).
+        sideP.iterator.flatMap { case (idA, va, nA) =>
+          right.iterator.flatMap { case (idB, vb, nB) =>
+            if (idB == idA || (p == q && idB < idA)) None
+            else {
+              var dot = 0.0; var j = 0
+              while (j < va.length) { dot += va(j) * vb(j); j += 1 }
+              val raw = dot / (nA * nB)
+              if (raw < rawCut) None
+              else {
+                val sim = BigDecimal(raw)
+                  .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (sim >= threshold) {
+                  val lo = math.min(idA, idB); val hi = math.max(idA, idB)
+                  Some((lo, hi, sim))
+                } else None
+              }
+            }
           }
         }
       }
-    }.toDF("id_a", "id_b", "sim")
+      .toDF("id_a", "id_b", "sim")
   }
 
-  /** Top-k cosine neighbors via the same broadcast-matrix kernel as
-    * [[cosinePairsKernel]]: per query row, one pass over the corpus
-    * block maintaining a bounded top-k ordered by
-    * (rounded sim desc, corpus_id asc) — identical ranking semantics
-    * to the declarative window form (and the SQL oracle).
+  /** Top-k cosine neighbors via the same block-pair shape as
+    * [[cosinePairsKernel]]: the corpus is blocked (id mod B), queries
+    * are replicated to every corpus block, each (corpus block ×
+    * queries) cogroup keeps a per-query local top-k ordered by
+    * (rounded sim desc, corpus_id asc), and a final window merges the
+    * B×k candidates per query into the global top-k — identical
+    * ranking semantics to the declarative window form (and the SQL
+    * oracle), because every global top-k member is in its own block's
+    * local top-k under the same total order.
+    *
+    * No driver collect, no corpus-sized broadcast: per-task memory is
+    * one corpus block, and only B×k small candidate rows per query
+    * reach the merge.
     */
   def cosineKnnKernel(
       corpus: DataFrame,
@@ -156,43 +216,47 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      roundTo: Int = 4
+      roundTo: Int = 4,
+      nBlocks: Int = -1
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val b = if (nBlocks > 0) nBlocks else defaultBlocks(corpus)
     def prep(df: DataFrame) =
       df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
         .as[(Long, Array[Double])]
-    val mat = prep(corpus).collect().sortBy(_._1).map { case (id, v) =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      (id, v, math.sqrt(s))
-    }
-    val bc = spark.sparkContext.broadcast(mat)
     val scale = roundTo
-    prep(queries).mapPartitions { rows =>
-      val m = bc.value
-      rows.flatMap { case (qid, qv) =>
-        var nq = 0.0; var i = 0
-        while (i < qv.length) { nq += qv(i) * qv(i); i += 1 }
-        val nQ = math.sqrt(nq)
-        // (negSim, corpusId) sorts best-first with the id tiebreak;
-        // sorting the block's scores is fine per-block (bounded size)
-        val scored = new scala.collection.mutable.ArrayBuffer[(Double, Long)](m.length)
-        m.foreach { case (cid, cv, nC) =>
-          if (cid != qid) {
-            var dot = 0.0; var j = 0
-            while (j < qv.length) { dot += qv(j) * cv(j); j += 1 }
-            val sim = BigDecimal(dot / (nQ * nC))
-              .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
-            scored += ((-sim, cid))
+    val corpusBlocked = prep(corpus).map { case (id, v) => (blockOf(id, b), id, v, l2(v)) }
+    val queriesRepl = prep(queries).flatMap { case (id, v) =>
+      val n = l2(v)
+      (0 until b).iterator.map(blk => (blk, id, v, n))
+    }
+    val candidates = corpusBlocked
+      .groupByKey(_._1)
+      .cogroup(queriesRepl.groupByKey(_._1)) { (_, cIt, qIt) =>
+        val block = cIt.toArray // ONE corpus block, bounded by |corpus|/B
+        qIt.flatMap { case (_, qid, qv, nQ) =>
+          // (negSim, corpusId) sorts best-first with the id tiebreak;
+          // sorting the block's scores is fine per-block (bounded size)
+          val scored = new scala.collection.mutable.ArrayBuffer[(Double, Long)](block.length)
+          block.foreach { case (_, cid, cv, nC) =>
+            if (cid != qid) {
+              var dot = 0.0; var j = 0
+              while (j < qv.length) { dot += qv(j) * cv(j); j += 1 }
+              val sim = BigDecimal(dot / (nQ * nC))
+                .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+              scored += ((-sim, cid))
+            }
           }
-        }
-        scored.sorted.take(k).zipWithIndex.map { case ((negSim, cid), idx) =>
-          (qid, cid, -negSim, idx + 1)
+          scored.sorted.take(k).map { case (negSim, cid) => (qid, cid, -negSim) }
         }
       }
-    }.toDF("query_id", "corpus_id", "sim", "rank")
+      .toDF("query_id", "corpus_id", "sim")
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("corpus_id"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
   }
 
   /** Random-hyperplane signature: bit j = sign(dot(v, r_j)) where r_j

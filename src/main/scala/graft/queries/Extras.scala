@@ -858,11 +858,16 @@ object Extras {
     "x27_pagerank", {
       def foldOrdered(listExpr: String) =
         s"list_reduce(list_prepend(0.0, $listExpr), (a, x) -> a + x)"
+      // replays pageRank's two-level skew-safe fold: within-bucket
+      // (src % 1024) by src, then across buckets in bucket order
       def iterate(prev: String, i: Int) =
         s"""c$i AS (SELECT e.dst, e.src, $prev.r / deg.outdeg AS contrib
            |       FROM edges e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src),
-           |s$i AS (SELECT dst, ${foldOrdered(s"list(contrib ORDER BY src)")} AS s
-           |       FROM c$i GROUP BY dst),
+           |p$i AS (SELECT dst, src % 1024 AS bkt,
+           |         ${foldOrdered(s"list(contrib ORDER BY src)")} AS sb
+           |       FROM c$i GROUP BY dst, src % 1024),
+           |s$i AS (SELECT dst, ${foldOrdered(s"list(sb ORDER BY bkt)")} AS s
+           |       FROM p$i GROUP BY dst),
            |r$i AS (SELECT nodes.id, 0.15 / (SELECT cnt FROM n) + 0.85 * COALESCE(s$i.s, 0.0) AS r
            |       FROM nodes LEFT JOIN s$i ON nodes.id = s$i.dst)""".stripMargin
       Some(

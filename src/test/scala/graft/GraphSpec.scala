@@ -53,6 +53,40 @@ class GraphSpec extends SparkSpec {
     assert(got == r, s"got=$got want=$r")
   }
 
+  test("pageRank skew-safe fold: celebrity in-degree node, partition-invariant, two-level reference") {
+    import org.apache.spark.sql.functions.col
+    // star: 200 sources hit node 0 (in-degree 200 vs 1 everywhere
+    // else); foldBuckets = 4 forces multi-element level-1 buckets so
+    // the two-level association order actually differs from a flat fold
+    val hub = (1L to 200L).map(s => (s, 0L))
+    val sym = (hub :+ ((0L, 1L))).distinct
+    val edges = sym.toDF("src", "dst")
+    val b = 4
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRank(df, iters = 2, foldBuckets = b).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = run(edges)
+    for (e <- Seq(edges.repartition(1), edges.repartition(13, col("dst")),
+                  edges.repartition(31, col("src"))))
+      assert(run(e) == got, "two-level ordered fold must be partition-invariant, bit-exact")
+    // local reference replaying the exact two-level order:
+    // within (src % b) by src asc, then buckets by id asc
+    val nodes = sym.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val out = sym.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 2) {
+      val s = sym.groupBy(_._2).map { case (d, es) =>
+        val partials = es.map(_._1).groupBy(_ % b).toSeq.sortBy(_._1).map { case (_, srcs) =>
+          srcs.sorted.foldLeft(0.0)((acc, src) => acc + r(src) / out(src))
+        }
+        d -> partials.foldLeft(0.0)(_ + _)
+      }
+      r = nodes.map(v => v -> (0.15 / n + 0.85 * s.getOrElse(v, 0.0))).toMap
+    }
+    assert(got == r, "must replay the documented (src mod B, src) fold order bit-exactly")
+  }
+
   test("as-of join agrees with a naive per-row reference on random series") {
     val genCase = for {
       keys <- Gen.chooseNum(1, 4)

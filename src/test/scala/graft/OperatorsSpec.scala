@@ -434,6 +434,16 @@ class OperatorsSpec extends SparkSpec {
         .filter(col("a") =!= col("b"))
       assert(sigDiff.isEmpty, s"signature mismatch at seed $seed")
     }
+    // vectors LONGER than the plane dim: both forms must ignore the
+    // tail beyond dim (kernel caps its loop; zip_with null-pads)
+    val padded = v.withColumn("vp",
+      org.apache.spark.sql.functions.concat(col("v"),
+        org.apache.spark.sql.functions.array(lit(9.0d), lit(-3.0d), lit(7.0d))))
+    val longDiff = padded
+      .withColumn("a", VectorKernels.hyperplaneSig(col("vp"), 8, 1, dim = 64))
+      .withColumn("b", Similarity.hyperplaneSignature(col("vp"), 8, 1, dim = 64))
+      .filter(col("a") =!= col("b"))
+    assert(longDiff.isEmpty, "tail beyond dim must not change the signature")
   }
 
   test("exact-moment stats agree with Spark's corr/stddev_samp builtins") {
@@ -665,6 +675,27 @@ class OperatorsSpec extends SparkSpec {
       assert(exact.contains((kept, rem)),
         s"removal ($rem, kept $kept) must correspond to a true cosine>=0.35 pair")
     }
+  }
+
+  test("blocked cosine kernels: any block count is bit-identical to a single block") {
+    // block-pair shuffle vs the degenerate 1-block run (all pairs in
+    // one group) — per-pair IEEE arithmetic is block-independent, so
+    // every B must produce the identical (id_a, id_b, sim) set
+    def pairs(b: Int) =
+      Similarity.cosinePairsKernel(emb, "vec_id", "embedding", threshold = 0.35, nBlocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val single = pairs(1)
+    assert(single.nonEmpty, "fixture must contain cosine>=0.35 pairs")
+    for (b <- Seq(2, 5, 8)) assert(pairs(b) == single, s"nBlocks=$b diverged from single block")
+
+    def knn(b: Int) =
+      Similarity.cosineKnnKernel(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 3, nBlocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sorted.toSeq
+    val knnSingle = knn(1)
+    assert(knnSingle.size == 60, "20 queries x k=3")
+    for (b <- Seq(3, 7)) assert(knn(b) == knnSingle, s"knn nBlocks=$b diverged from single block")
   }
 
   test("BM25 ranking: positive scores sorted desc, term count bounded by the query") {
