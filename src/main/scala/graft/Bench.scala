@@ -8,13 +8,20 @@ import org.apache.spark.sql.SparkSession
   * on `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query
   * steady-state seconds.
   *
-  * Methodology: each query executes three times — one warmup plus two
-  * measured runs, reporting the MINIMUM of the measured pair. The
-  * warmup pays one-time costs that don't exist in a long-lived
-  * service or a 100 TB batch (JIT, codegen compile, parquet footer
-  * reads); the min-of-two damps the scheduler/GC noise a shared
-  * container adds (±15% observed on identical code). `total` is the
-  * sum of reported times.
+  * Methodology: each query executes one warmup plus
+  * `SPARK_GRAFT_BENCH_RUNS` (default 5) measured runs, reporting the
+  * MEDIAN. The warmup pays one-time costs that don't exist in a
+  * long-lived service or a 100 TB batch (JIT, codegen compile,
+  * parquet footer reads); the median is robust to the scheduler/GC
+  * spikes a shared container adds (±15% observed on identical code,
+  * with rare 3× outliers that a min-of-few still lets through in
+  * EITHER direction). `total` is the sum of medians.
+  *
+  * Between queries every leftover persisted RDD is dropped: several
+  * operators `localCheckpoint()` intermediates, and 100+ queries × N
+  * runs of retained checkpoint blocks otherwise build memory pressure
+  * that taxes whichever queries happen to run LAST (the round-3
+  * x01–x05 "regression" — late alphabetical names, untouched code).
   *
   * Each query runs under a cancellable job group with a hard timeout,
   * so one pathological plan cannot stall the whole bench (-1 marks a
@@ -22,6 +29,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val TimeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "180").toLong
+  private val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+
+  /** Median of the valid (≥0) times; -1 if every run failed. */
+  private def median(xs: Seq[Double]): Double = {
+    val ok = xs.filter(_ >= 0).sorted
+    if (ok.isEmpty) -1.0
+    else if (ok.size % 2 == 1) ok(ok.size / 2)
+    else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,12 +76,22 @@ object Bench {
       }
     }
 
+    /** Drop leftover localCheckpoint blocks so state can't accumulate
+      * across queries and runs.
+      */
+    def clearPersisted(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       guarded(name)(fn(spark, sfDir).count()) // warmup: codegen + JIT + footers
-      val a = guarded(name)(fn(spark, sfDir).count())
-      val b = guarded(name)(fn(spark, sfDir).count())
-      // min-of-two measured runs; a failed run (-1) must not win the min
-      name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val times = (1 to Runs).map { _ =>
+        clearPersisted()
+        guarded(name)(fn(spark, sfDir).count())
+      }
+      clearPersisted()
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

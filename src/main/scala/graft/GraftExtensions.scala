@@ -75,9 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(es(3), "numHashes"), intLit(es(4), "mBits"))),
       ("vec_dot", "_FUNC_(a, b) - left-associated inner product of two array<double>.",
         es => graft.functions.VectorKernels.VecDotExpr(es(0), es(1))),
-      ("hyperplane_sig", "_FUNC_(v, bits, seed) - random-hyperplane LSH bucket id.",
+      ("hyperplane_sig", "_FUNC_(v, bits, seed[, dim]) - random-hyperplane LSH bucket id.",
         es => graft.functions.VectorKernels.HyperplaneSigExpr(es(0),
-          intLit(es(1), "bits"), intLit(es(2), "seed"))),
+          intLit(es(1), "bits"), intLit(es(2), "seed"),
+          if (es.length > 3) intLit(es(3), "dim") else 64)),
       ("lang_id", "_FUNC_(str) - single-pass marker-based language guess.",
         es => graft.functions.LangIdKernel.LangIdExpr(es(0))),
       ("long_eq_count", "_FUNC_(a, b) - positions where two array<bigint> agree.",

@@ -76,7 +76,7 @@ final class GenericImporter(
     warehouse: String,
     enforceLengths: Boolean = false,
     today: () => LocalDate = () => LocalDate.now(),
-    xlsConverter: XlsConverter = new PassthroughConverter
+    xlsConverter: XlsConverter = new XlsxConverter
 ) {
 
   val InvalidMarker = "Invalid Event ID"

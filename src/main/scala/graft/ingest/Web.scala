@@ -197,11 +197,11 @@ object Web {
 }
 
 /** S2: XLS/XLSX → CSV conversion seam (systemscripts/xls_to_csv.py).
-  * The execution container has no spreadsheet codec (no POI on the
-  * classpath), so the real decode is STUBBED behind [[XlsConverter]]:
-  * [[PassthroughConverter]] handles the test fixtures (CSV payloads
-  * under an .xls name — how the golden tests exercise the XLS code
-  * path), and a POI-backed implementation drops in off-container.
+  * The default implementation is [[XlsxConverter]] — a REAL zip+XML
+  * XLSX decode (JDK-only, see [[Xlsx]]) with the reference's
+  * engine-fallback chain: inputs the XLSX reader rejects (legacy BIFF
+  * .xls, CSV payloads under an .xls name) fall through to
+  * [[PassthroughConverter]].
   */
 trait XlsConverter extends Serializable {
   /** Convert `xls` to a CSV file next to it; return the CSV path. */

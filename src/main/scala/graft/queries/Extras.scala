@@ -740,6 +740,12 @@ object Extras {
     * IEEE op on identical inputs — so the comparison is bit-exact, no
     * tolerance. The deviation frame feeds two consumers (the MAD agg
     * and the outlier count), so it is materialized once.
+    *
+    * Memory bound: exact `percentile` buffers EVERY value of a group
+    * on one task — fine here (3 return-flag groups over lineitem),
+    * wrong for high-cardinality groups or giant groups. That regime
+    * uses [[x32MadSampled]]: same shape, thresholds from a
+    * deterministic hash sample, buffer capped at the sample rate.
     */
   val x24MadOutliers = Query(
     "x24_mad_outliers",
@@ -1018,6 +1024,61 @@ object Extras {
     }
   )
 
+  /** MAD outliers at scale: x24's exact per-group percentile buffers
+    * hold every value of the group — fine at 3 return-flag groups,
+    * unbounded for arbitrary group counts. This variant bounds the
+    * buffer at the SAMPLE RATE (td18's machinery): med/MAD are exact
+    * percentiles over a deterministic 10% hash sample
+    * (mixed_hash64 of the unique row key — reproducible across runs
+    * and replayable in the oracle, unlike rand()), then the FULL data
+    * is flagged against the sampled thresholds. Memory per group =
+    * rate × group size; tune the rate down as groups grow.
+    */
+  val x32MadSampled = Query(
+    "x32_mad_sampled", {
+      val fold = TrainingData.foldSql("CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)")
+      val signed = TrainingData.toSignedSql(s"(${TrainingData.fmixSql(s"($fold)")})")
+      Some(
+        s"""WITH s AS (
+           |  SELECT l_returnflag, l_extendedprice FROM lineitem
+           |  WHERE (($signed % 100) + 100) % 100 < 10),
+           |med AS (
+           |  SELECT l_returnflag, PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med_est
+           |  FROM s GROUP BY l_returnflag),
+           |dev AS (
+           |  SELECT s.l_returnflag, ABS(s.l_extendedprice - m.med_est) AS adev, m.med_est
+           |  FROM s JOIN med m ON s.l_returnflag = m.l_returnflag),
+           |mad AS (
+           |  SELECT l_returnflag, MIN(med_est) AS med_est,
+           |    PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY adev) AS mad_est
+           |  FROM dev GROUP BY l_returnflag)
+           |SELECT l.l_returnflag, m.med_est, m.mad_est, COUNT(*) AS n,
+           |  COUNT(*) FILTER (WHERE ABS(l.l_extendedprice - m.med_est) > 1.5 * m.mad_est) AS n_outliers
+           |FROM lineitem l JOIN mad m ON l.l_returnflag = m.l_returnflag
+           |GROUP BY l.l_returnflag, m.med_est, m.mad_est
+           |ORDER BY l.l_returnflag""".stripMargin)
+    },
+    (spark, dir) => {
+      graft.functions.MixedHash64.register(spark)
+      val t = Tables(spark, dir)
+      val li = t.lineitem.select(col("l_returnflag"), col("l_extendedprice"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("string").as("rk"))
+      val samp = li.filter(pmod(graft.functions.MixedHash64(col("rk")), lit(100L)) < 10)
+      val med = samp.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med_est"))
+      val mad = samp.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("l_extendedprice") - col("med_est")))
+        .groupBy("l_returnflag")
+        .agg(min("med_est").as("med_est"), expr("percentile(adev, 0.5)").as("mad_est"))
+      li.join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med_est", "mad_est")
+        .agg(count(lit(1)).as("n"),
+          count(when(abs(col("l_extendedprice") - col("med_est")) > lit(1.5) * col("mad_est"), 1))
+            .as("n_outliers"))
+        .orderBy("l_returnflag")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -1026,6 +1087,6 @@ object Extras {
     x18Histogram, x19TopKAgg, x20SaltedJoin, x21GroupingSets,
     x22RelativeRanks, x23GapFill, x24MadOutliers, x25ZOrder,
     x26UnionEvolve, x27PageRank, x28ConversionWindow,
-    x30RatioToReport, x31SessionPaths
+    x30RatioToReport, x31SessionPaths, x32MadSampled
   )
 }

@@ -19,7 +19,7 @@ object TrainingData {
   /** DuckDB fragment: graft's rolling_hash64 fold over `col`'s chars
     * (ASCII corpus ⇒ ord(char) = UTF-8 byte), as unsigned HUGEINT.
     */
-  private def foldSql(col: String): String =
+  private[queries] def foldSql(col: String): String =
     s"""list_reduce(
        |    list_prepend(1469598103934665603::HUGEINT,
        |      list_transform(regexp_split_to_array($col, ''), x -> ord(x)::HUGEINT)),
@@ -28,7 +28,7 @@ object TrainingData {
   /** DuckDB fragment: reinterpret an unsigned mod-2^64 HUGEINT as the
     * two's-complement signed BIGINT Spark's LongType holds.
     */
-  private def toSignedSql(u: String): String =
+  private[queries] def toSignedSql(u: String): String =
     s"""CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT
        |          THEN $u - 18446744073709551616::HUGEINT ELSE $u END AS BIGINT)""".stripMargin
 
@@ -46,7 +46,7 @@ object TrainingData {
   /** DuckDB fragment: murmur3 fmix64 over an unsigned HUGEINT —
     * mirrors functions.MixedHash64 (logical >>33 = // 2^33).
     */
-  private def fmixSql(u: String): String = {
+  private[queries] def fmixSql(u: String): String = {
     val s1 = s"xor($u, $u // 8589934592)"
     val s2 = mulModSql(s"($s1)", BigInt("ff51afd7ed558ccd", 16))
     val s3 = s"xor(($s2), ($s2) // 8589934592)"

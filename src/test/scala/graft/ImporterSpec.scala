@@ -162,6 +162,88 @@ class ImporterSpec extends SparkSpec {
     assert(empties.forall(_.isactive))
   }
 
+  /** A real .xlsx: zip of workbook + rels + sharedStrings + 2 sheets.
+    * The rels list rId2 FIRST so sheet resolution must go through the
+    * relationship id, not positional luck; sheet2 holds a sentinel
+    * that must never surface.
+    */
+  private def xlsxBytes(sheet1: String, shared: Seq[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Data" sheetId="1" r:id="rId1"/><sheet name="Second" sheetId="2" r:id="rId2"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    if (shared.nonEmpty)
+      put("xl/sharedStrings.xml",
+        s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">${shared
+            .map(s => s"<si><t>$s</t></si>").mkString}</sst>""")
+    put("xl/worksheets/sheet1.xml", sheet1)
+    put("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row><c t="inlineStr"><is><t>WRONG SHEET</t></is></c></row></sheetData></worksheet>""")
+    z.close()
+    bos.toByteArray
+  }
+
+  private val f2SheetXml =
+    """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+      |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+      |<row r="2"><c r="A2"><v>119179</v></c><c r="B2" t="inlineStr"><is><r><t>Acme</t></r><r><t> Corp</t></r></is></c><c r="C2" t="b"><v>1</v></c></row>
+      |<row r="3"><c r="A3"><v>119180</v></c><c r="C3" t="b"><v>0</v></c></row>
+      |</sheetData></worksheet>""".stripMargin
+
+  test("XlsxConverter decodes a real xlsx: first sheet by rel id, shared/inline/bool cells, gaps, quoting") {
+    val dir = Files.createTempDirectory("graft-xlsx")
+    val xls = dir.resolve("f.xlsx")
+    Files.write(xls, xlsxBytes(f2SheetXml, Seq("EventID", "Company Name", "Flag")))
+    val csv = new graft.ingest.XlsxConverter().toCsv(xls)
+    val text = new String(Files.readAllBytes(csv), "UTF-8")
+    // QUOTE_NONNUMERIC parity: strings quoted, numerics bare, gap empty
+    assert(text ==
+      "\"EventID\",\"Company Name\",\"Flag\"\n" +
+      "119179,\"Acme Corp\",\"True\"\n" +
+      "119180,,\"False\"\n")
+    assert(!text.contains("WRONG SHEET"), "must resolve sheet1 via its relationship id")
+  }
+
+  test("real-xlsx end-to-end import and the invalid-marker branch without any passthrough") {
+    val (imp, reg, src, arch, _) = env()
+    val cfg = urlCheckConfig(src, arch).copy(
+      filePattern = """\d{8}T\d{6}_MeetMax_\d+\.xlsx""",
+      fileType = "XLSX",
+      labelSource = MetaSource.Filename, labelLocation = Some("2"),
+      targetTable = "public.tmeetmaxevent"
+    )
+    Files.write(src.resolve("20250401T120000_MeetMax_5.xlsx"),
+      xlsxBytes(f2SheetXml, Seq("EventID", "Company Name", "Flag")))
+    val r1 = imp.run(cfg, 3, 1)
+    assert(r1.files.map(_.status) == Seq(DatasetStatus.Active))
+    assert(r1.loadedRows == 2)
+    val data = imp.readTarget("public.tmeetmaxevent")
+    assert(data.columns.toSet == Set("eventid", "company_name", "flag", "datasetid"))
+    assert(data.filter(col("eventid") === "119179" && col("company_name") === "Acme Corp").count() == 1)
+    assert(data.filter(col("eventid") === "119180" && col("company_name").isNull).count() == 1)
+    // temp CSV cleaned up after the load (generic_import.py:697-704)
+    assert(!Files.exists(src.resolve("20250401T120000_MeetMax_5.csv")))
+    // invalid-marker variant as a REAL xlsx (T9 through the decoder)
+    val invalidSheet =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>Invalid Event ID</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    Files.write(src.resolve("20250402T120000_MeetMax_5.xlsx"),
+      xlsxBytes(invalidSheet, Seq("Company Name")))
+    val r2 = imp.run(cfg, 3, 1)
+    assert(r2.files.map(_.status) == Seq(DatasetStatus.Empty))
+    assert(Files.exists(arch.resolve("20250402T120000_MeetMax_5.xlsx")))
+  }
+
   test("F2 variant evolution + COALESCE-over-variants analytics read") {
     val (imp, reg, src, arch, _) = env()
     val cfg = urlCheckConfig(src, arch).copy(

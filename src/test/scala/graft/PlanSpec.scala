@@ -224,4 +224,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("PQ ADC search keeps corpus codes distributed (no plan-side broadcast or collect shape)") {
+    import graft.operators.Pq
+    val emb = Tables(spark, sf).embeddings
+    val model = Pq.train(emb, "vec_id", "embedding", m = 4, k = 16, iters = 1, dim = 64)
+    val enc = Pq.encode(emb, "vec_id", "embedding", model)
+    val queries = emb.filter(col("vec_id") < 10)
+    val search = Pq.adcSearch(enc, queries, "vec_id", "embedding", model, k = 3)
+    val p = plan(search)
+    // codebooks+queries travel as sc.broadcast vars inside the
+    // map-partitions closure; the CODES side must be a plain scan +
+    // map with no plan-level broadcast or join of the corpus
+    assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("MapPartitions"), p)
+    // partition count of the codes side must not change results
+    val base = search.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sorted.toSeq
+    val repart = Pq.adcSearch(enc.repartition(13), queries, "vec_id", "embedding", model, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(repart == base, "per-partition heap merge must be partition-invariant")
+  }
 }

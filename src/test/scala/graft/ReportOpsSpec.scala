@@ -32,6 +32,71 @@ class ReportOpsSpec extends SparkSpec {
     assert(mailer.sent.size == 1 && mailer.sent.head.recipients == Seq("ops@example.com"))
   }
 
+  test("SmtpMailer delivers the report end-to-end against a stub SMTP server") {
+    import graft.report.{SmtpConfig, SmtpMailer}
+    // single-connection stub SMTP server, canned replies, captures DATA
+    val server = new java.net.ServerSocket(0)
+    val captured = new java.util.concurrent.LinkedBlockingQueue[String]
+    val srv = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream))
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      def reply(r: String): Unit = { out.print(r + "\r\n"); out.flush() }
+      reply("220 stub ESMTP")
+      var inData = false
+      var authStep = 0 // 0 idle, 1 expect username, 2 expect password
+      val data = new StringBuilder
+      var line = in.readLine()
+      while (line != null) {
+        if (inData) {
+          if (line == ".") { inData = false; captured.put(data.toString); reply("250 OK") }
+          else data ++= (if (line.startsWith("..")) line.drop(1) else line) + "\r\n"
+        } else if (authStep == 1) { reply("334 UGFzc3dvcmQ6"); authStep = 2 }
+        else if (authStep == 2) { reply("235 ok"); authStep = 0 }
+        else line.takeWhile(_ != ' ') match {
+          case "EHLO" => reply("250-stub"); reply("250 AUTH LOGIN")
+          case "AUTH" => reply("334 VXNlcm5hbWU6"); authStep = 1
+          case "MAIL" | "RCPT" => reply("250 OK")
+          case "DATA" => inData = true; reply("354 go")
+          case "QUIT" => reply("221 bye"); line = null
+          case _ => reply("250 OK")
+        }
+        if (line != null) line = in.readLine()
+      }
+      s.close()
+    })
+    srv.start()
+
+    Seq((1, "a,b"), (2, "c")).toDF("id", "name").createOrReplaceTempView("graft_smtp_t")
+    val mailer = new SmtpMailer(SmtpConfig(
+      "localhost", server.getLocalPort, from = "etl@example.com",
+      username = Some("etl@example.com"), password = Some("secret")))
+    val runner = new ReportRunner(spark, mailer)
+    runner.run(ReportConfig(
+      reportId = 2, reportName = "smtp",
+      recipients = Seq("ops@example.com", "eng@example.com"), subject = "Daily SMTP",
+      bodyTemplate = "<h2>R</h2>{{g}}",
+      emailBodyQueries = Map("g" -> "SELECT id, name FROM graft_smtp_t ORDER BY id"),
+      attachmentQueries = Seq(AttachmentQuery("rows.csv",
+        "SELECT id, name FROM graft_smtp_t ORDER BY id")),
+      isActive = true))
+    val msg = captured.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+    srv.join(5000); server.close()
+    assert(msg != null, "stub server must capture a DATA payload")
+    // MIME assembly parity with send_reports.py:52-68
+    assert(msg.contains("From: etl@example.com"))
+    assert(msg.contains("To: ops@example.com, eng@example.com"))
+    assert(msg.contains("Subject: Daily SMTP"))
+    assert(msg.contains("Content-Type: multipart/mixed"))
+    assert(msg.contains("Content-Type: text/html; charset=utf-8"))
+    assert(msg.contains("<h2>R</h2><table border=\"1\""))
+    assert(msg.contains("Content-Disposition: attachment; filename=rows.csv"))
+    // the base64 attachment round-trips to the rendered CSV
+    val b64 = msg.split("filename=rows\\.csv\r\n\r\n")(1).split("\r\n--")(0).replace("\r\n", "")
+    val csv = new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+    assert(csv.linesIterator.toSeq == Seq("\"id\",\"name\"", "1,\"a,b\"", "2,\"c\""))
+  }
+
   test("ReportConfig parses the reference's JSONB column shapes") {
     import graft.model.ReportConfig
     val body = ReportConfig.parseBodyQueries("""{"grid1": "SELECT 1", "grid2": "SELECT 2"}""")
