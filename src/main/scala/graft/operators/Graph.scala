@@ -141,10 +141,15 @@ object Graph {
     var r = nodes.crossJoin(broadcast(n))
       .select(col("id"), (lit(1.0) / col("cnt")).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(r.withColumnRenamed("id", "src"), "src")
+      // rank/outdeg is per-NODE: join those two small frames first so
+      // the edge table is shuffled through ONE join per iteration, not
+      // two (r/outdeg is the same IEEE value either side of the join)
+      val weight = r.withColumnRenamed("id", "src")
         .join(deg, "src")
-        .select(col("dst"), col("src"), (col("r") / col("outdeg")).as("contrib"))
+        .select(col("src"), (col("r") / col("outdeg")).as("contrib"))
+      val contrib = e
+        .join(weight, "src")
+        .select(col("dst"), col("src"), col("contrib"))
       val partial = contrib
         .groupBy(col("dst"), pmod(col("src"), lit(foldBuckets.toLong)).as("bkt"))
         .agg(graft.functions.VectorKernels.orderedPairSum(

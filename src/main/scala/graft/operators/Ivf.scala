@@ -118,6 +118,17 @@ object Ivf {
   /** Probe search: top-k cosine among the members of each query's
     * `nprobe` nearest clusters. Ranking/rounding matches the exact
     * kernels: (rounded sim desc, id asc).
+    *
+    * Scale shape: the corpus NEVER leaves the executors — each query
+    * is replicated to its `nprobe` probe clusters (queries are the
+    * small side by contract) and candidates come from an EQUI-JOIN on
+    * `cluster_id`, so the shuffle co-locates each cluster's members
+    * with exactly the queries probing it (and with the corpus stored
+    * partitioned by cluster_id, the scan side prunes to the probed
+    * partitions). Only the k×d centroid model is broadcast. The dot/
+    * norm arithmetic runs in the native [[graft.functions
+    * .VectorKernels]] loops, whose fold order and `round` HALF_UP are
+    * bit-identical to the previous imperative kernel and the oracle.
     */
   def search(
       indexed: DataFrame,
@@ -129,48 +140,32 @@ object Ivf {
       nprobe: Int,
       roundTo: Int = 4
   ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorKernels
     val spark = indexed.sparkSession
     import spark.implicits._
-    // cluster -> members map, broadcast (at 100 TB scale this becomes
-    // a partition-pruned join on cluster_id instead of a broadcast)
-    val members = indexed
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"), col("cluster_id"))
-      .as[(Long, Array[Double], Int)]
-      .collect()
-      .groupBy(_._3)
-      .map { case (c, rows) =>
-        c -> rows.map { case (id, v, _) =>
-          var n = 0.0; var i = 0
-          while (i < v.length) { n += v(i) * v(i); i += 1 }
-          (id, v, math.sqrt(n))
-        }.sortBy(_._1)
-      }
-    val bcMembers = spark.sparkContext.broadcast(members)
     val bcModel = spark.sparkContext.broadcast(model)
-    val scale = roundTo
-    toVec(queries, idCol, vecCol).mapPartitions { rows =>
-      val mem = bcMembers.value
-      val m = bcModel.value
-      rows.flatMap { case (qid, qv) =>
-        var nq = 0.0; var i = 0
-        while (i < qv.length) { nq += qv(i) * qv(i); i += 1 }
-        val nQ = math.sqrt(nq)
-        val scored = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
-        m.nearest(qv, nprobe).foreach { c =>
-          mem.getOrElse(c, Array.empty).foreach { case (cid, cv, nC) =>
-            if (cid != qid) {
-              var dot = 0.0; var j = 0
-              while (j < qv.length) { dot += qv(j) * cv(j); j += 1 }
-              val sim = BigDecimal(dot / (nQ * nC))
-                .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
-              scored += ((-sim, cid))
-            }
-          }
-        }
-        scored.sorted.take(k).zipWithIndex.map { case ((negSim, cid), idx) =>
-          (qid, cid, -negSim, idx + 1)
-        }
+    val probes = toVec(queries, idCol, vecCol)
+      .flatMap { case (qid, qv) =>
+        bcModel.value.nearest(qv, nprobe).map(c => (qid, c, qv))
       }
-    }.toDF("query_id", "corpus_id", "sim", "rank")
+      .toDF("query_id", "cluster_id", "qv")
+      .withColumn("qn", sqrt(VectorKernels.vecDot(col("qv"), col("qv"))))
+    val members = indexed.select(
+      col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"),
+      col("cluster_id"))
+      .withColumn("cn", sqrt(VectorKernels.vecDot(col("cv"), col("cv"))))
+    val pairs = probes
+      .join(members, "cluster_id")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(VectorKernels.vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo)
+          .as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("corpus_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
   }
 }

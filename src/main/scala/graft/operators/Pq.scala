@@ -25,7 +25,7 @@ object Pq {
     def subDim: Int = codebooks(0)(0).length
   }
 
-  private def dist2(a: Array[Double], b: Array[Double], aOff: Int): Double = {
+  private[operators] def dist2(a: Array[Double], b: Array[Double], aOff: Int): Double = {
     var s = 0.0; var i = 0
     while (i < b.length) { val d = a(aOff + i) - b(i); s += d * d; i += 1 }
     s

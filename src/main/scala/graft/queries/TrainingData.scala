@@ -531,45 +531,56 @@ object TrainingData {
     * `pairs(query_id, corpus_id, adc_dist)`. ss04 ranks it directly;
     * ss05 shortlists then re-ranks with exact distances.
     */
+  private def pqFoldSql(sub: Int)(term: String) =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}),
+       |      i -> $term)), (a, x) -> a + x)""".stripMargin
+  private def pqSubDistSql(sub: Int)(v: String, off: Int, cv: String) =
+    pqFoldSql(sub)(s"($v[$off + CAST(i AS INT)] - $cv[CAST(i AS INT)])" +
+      s" * ($v[$off + CAST(i AS INT)] - $cv[CAST(i AS INT)])")
+
+  /** Per-subspace Lloyd + encode CTE chain over the shared `b0(id, v)`
+    * base; `p` prefixes every CTE name so the chain composes with the
+    * IVF CTEs inside one query (ss07). Produces `${p}cb\$s`
+    * (codebooks) and `${p}code\$s` (per-id codes) for each subspace.
+    */
+  private def pqPerSubCtes(m: Int, sub: Int, k: Int, p: String): String = {
+    def slicedDist(sv: String, cv: String) =
+      pqFoldSql(sub)(s"($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)]) * " +
+        s"($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)])")
+    // one Lloyd iteration per subspace (init = k smallest ids)
+    (0 until m).map { s =>
+      val off = s * sub
+      s"""${p}sub$s AS (SELECT id, v[${off + 1}:${off + sub}] AS sv FROM b0),
+         |${p}c0_$s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS c, sv AS cv
+         |          FROM (SELECT id, sv FROM ${p}sub$s ORDER BY id LIMIT $k)),
+         |${p}asg$s AS (
+         |  SELECT id, sv, c FROM (
+         |    SELECT ${p}sub$s.id, ${p}sub$s.sv, ${p}c0_$s.c, ROW_NUMBER() OVER (
+         |      PARTITION BY ${p}sub$s.id ORDER BY ${slicedDist(s"${p}sub$s.sv", s"${p}c0_$s.cv")}, ${p}c0_$s.c) AS rn
+         |    FROM ${p}sub$s CROSS JOIN ${p}c0_$s) WHERE rn = 1),
+         |${p}cm$s AS (
+         |  SELECT c, i, CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mu
+         |  FROM (SELECT c, UNNEST(sv) AS x, UNNEST(range(1, ${sub + 1})) AS i FROM ${p}asg$s)
+         |  GROUP BY c, i),
+         |${p}cb$s AS (
+         |  SELECT c, list(mu ORDER BY i) AS cv FROM ${p}cm$s GROUP BY c
+         |  UNION ALL
+         |  SELECT c, cv FROM ${p}c0_$s WHERE c NOT IN (SELECT DISTINCT c FROM ${p}asg$s)),
+         |${p}code$s AS (
+         |  SELECT id, c AS code FROM (
+         |    SELECT ${p}sub$s.id, ${p}cb$s.c, ROW_NUMBER() OVER (
+         |      PARTITION BY ${p}sub$s.id ORDER BY ${slicedDist(s"${p}sub$s.sv", s"${p}cb$s.cv")}, ${p}cb$s.c) AS rn
+         |    FROM ${p}sub$s CROSS JOIN ${p}cb$s) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+  }
+
   private def pqOracleWith: String = {
     val (m, sub, k) = (4, 16, 16)
-    def fold(term: String) =
-      s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${sub + 1}),
-         |      i -> $term)), (a, x) -> a + x)""".stripMargin
-    def subDist(v: String, off: Int, cv: String) =
-      fold(s"($v[$off + CAST(i AS INT)] - $cv[CAST(i AS INT)])" +
-        s" * ($v[$off + CAST(i AS INT)] - $cv[CAST(i AS INT)])")
-    def slicedDist(sv: String, cv: String) =
-      fold(s"($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)]) * " +
-        s"($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)])")
-    // one Lloyd iteration per subspace (init = 16 smallest ids)
-    val perSub = (0 until m).map { s =>
-      val off = s * sub
-      s"""sub$s AS (SELECT id, v[${off + 1}:${off + sub}] AS sv FROM b0),
-         |c0_$s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS c, sv AS cv
-         |          FROM (SELECT id, sv FROM sub$s ORDER BY id LIMIT $k)),
-         |asg$s AS (
-         |  SELECT id, sv, c FROM (
-         |    SELECT sub$s.id, sub$s.sv, c0_$s.c, ROW_NUMBER() OVER (
-         |      PARTITION BY sub$s.id ORDER BY ${slicedDist(s"sub$s.sv", s"c0_$s.cv")}, c0_$s.c) AS rn
-         |    FROM sub$s CROSS JOIN c0_$s) WHERE rn = 1),
-         |cm$s AS (
-         |  SELECT c, i, CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mu
-         |  FROM (SELECT c, UNNEST(sv) AS x, UNNEST(range(1, ${sub + 1})) AS i FROM asg$s)
-         |  GROUP BY c, i),
-         |cb$s AS (
-         |  SELECT c, list(mu ORDER BY i) AS cv FROM cm$s GROUP BY c
-         |  UNION ALL
-         |  SELECT c, cv FROM c0_$s WHERE c NOT IN (SELECT DISTINCT c FROM asg$s)),
-         |code$s AS (
-         |  SELECT id, c AS code FROM (
-         |    SELECT sub$s.id, cb$s.c, ROW_NUMBER() OVER (
-         |      PARTITION BY sub$s.id ORDER BY ${slicedDist(s"sub$s.sv", s"cb$s.cv")}, cb$s.c) AS rn
-         |    FROM sub$s CROSS JOIN cb$s) WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
+    val perSub = pqPerSubCtes(m, sub, k, "")
     val codeJoins = (0 until m).map(s => s"JOIN code$s ON code$s.id = co.id").mkString(" ")
     val cbJoins = (0 until m).map(s => s"JOIN cb$s ON cb$s.c = code$s.code").mkString(" ")
-    val adcSum = (0 until m).map(s => s"(${subDist("q.v", s * sub, s"cb$s.cv")})").mkString(" + ")
+    val adcSum =
+      (0 until m).map(s => s"(${pqSubDistSql(sub)("q.v", s * sub, s"cb$s.cv")})").mkString(" + ")
     s"""b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |$perSub,
        |q AS (SELECT id, v FROM b0 WHERE id < 5),
@@ -635,6 +646,56 @@ object TrainingData {
       graft.operators.Pq
         .adcRerank(encoded, t.embeddings, t.embeddings.filter(col("vec_id") < 5),
           "vec_id", "embedding", model, shortlist = 10, k = 3)
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  /** IVF-PQ composed search (FAISS IndexIVFPQ, by_residual=false):
+    * IVF probes bound the scan to nprobe/k of the corpus, PQ ADC
+    * ranks inside the probed clusters in the compressed domain. The
+    * oracle replays BOTH chains in one query — the coarse Lloyd + the
+    * four subspace Lloyds (prefixed CTEs) — then the probe join and
+    * the ADC ranking, bit-for-bit.
+    */
+  val ss07IvfPq = Query(
+    "ss07_ivf_pq", {
+      val (dim, ck, citers, nprobe, topK) = (64, 8, 1, 2, 3)
+      val (m, sub, pk) = (4, 16, 16)
+      val dist = ivfDistSql(dim) _
+      val (idxCtes, last) = ivfIdxCtes(dim, ck, citers)
+      val pqCtes = pqPerSubCtes(m, sub, pk, "p")
+      val codeJoins = (0 until m).map(s => s"JOIN pcode$s ON pcode$s.id = idx.id").mkString(" ")
+      val cbJoins = (0 until m).map(s => s"JOIN pcb$s ON pcb$s.c = pcode$s.code").mkString(" ")
+      val adcSum = (0 until m)
+        .map(s => s"(${pqSubDistSql(sub)("probe.qv", s * sub, s"pcb$s.cv")})").mkString(" + ")
+      Some(
+        s"""WITH $idxCtes,
+           |$pqCtes,
+           |q2 AS (SELECT id AS qid, v AS qv FROM b0 WHERE id < 30),
+           |probe AS (
+           |  SELECT qid, qv, c FROM (
+           |    SELECT q2.qid, q2.qv, $last.c, ROW_NUMBER() OVER (
+           |      PARTITION BY q2.qid ORDER BY ${dist("q2.qv", s"$last.cv")}, $last.c) AS rn
+           |    FROM q2 CROSS JOIN $last) WHERE rn <= $nprobe),
+           |pairs AS (
+           |  SELECT probe.qid AS query_id, idx.id AS corpus_id,
+           |    ROUND($adcSum, 4) AS adc_dist
+           |  FROM probe JOIN idx ON probe.c = idx.c AND idx.id <> probe.qid
+           |  $codeJoins $cbJoins)
+           |SELECT query_id, corpus_id, adc_dist, CAST(r AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, corpus_id) AS r
+           |  FROM pairs) WHERE r <= $topK ORDER BY query_id, rank""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val coarse = graft.operators.Ivf.train(t.embeddings, "vec_id", "embedding", k = 8, iters = 1)
+      val indexed = graft.operators.Ivf.index(t.embeddings, "vec_id", "embedding", coarse)
+      val pq = graft.operators.Pq.train(
+        t.embeddings, "vec_id", "embedding", m = 4, k = 16, iters = 1, dim = 64)
+      val encoded = graft.operators.Pq.encode(t.embeddings, "vec_id", "embedding", pq)
+      graft.operators.IvfPq
+        .search(indexed, encoded, t.embeddings.filter(col("vec_id") < 30),
+          "vec_id", "embedding", coarse, pq, k = 3, nprobe = 2)
         .orderBy("query_id", "rank")
     }
   )
@@ -2090,7 +2151,7 @@ object TrainingData {
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
     dd04CosineDup, dd06Winnow, dd07DedupPipeline, ss01CosineKnn, ss02LshAnn, ss03IvfAnn,
-    ss04PqAdc, ss05PqRerank,
+    ss04PqAdc, ss05PqRerank, ss07IvfPq,
     mm01BinaryMeta, mm02MediaFeatures, mm03PhashPairs,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
     st01Sessionize, st02SlidingWindow, td08NormalizedFp, td09Repetition,

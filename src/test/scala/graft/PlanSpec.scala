@@ -246,4 +246,21 @@ class PlanSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
     assert(repart == base, "per-partition heap merge must be partition-invariant")
   }
+
+  test("IVF probe search is an equi-join on cluster_id with the corpus staying distributed") {
+    import graft.operators.Ivf
+    val emb = Tables(spark, sf).embeddings
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val indexed = Ivf.index(emb, "vec_id", "embedding", model)
+    val search = Ivf.search(indexed, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", model, k = 3, nprobe = 2)
+    val p = plan(search)
+    // candidates come from a cluster_id equi-join — never an all-pairs
+    // plan, and never a corpus-sized broadcast (a broadcast of the
+    // small PROBES side is fine and expected)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("cluster_id"), p)
+    val rows = search.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(3) <= 3))
+  }
 }
