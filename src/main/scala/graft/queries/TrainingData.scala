@@ -538,19 +538,20 @@ object TrainingData {
     pqFoldSql(sub)(s"($v[$off + CAST(i AS INT)] - $cv[CAST(i AS INT)])" +
       s" * ($v[$off + CAST(i AS INT)] - $cv[CAST(i AS INT)])")
 
-  /** Per-subspace Lloyd + encode CTE chain over the shared `b0(id, v)`
-    * base; `p` prefixes every CTE name so the chain composes with the
-    * IVF CTEs inside one query (ss07). Produces `${p}cb\$s`
-    * (codebooks) and `${p}code\$s` (per-id codes) for each subspace.
+  /** Per-subspace Lloyd + encode CTE chain over `base(id, v)`
+    * (the raw `b0` for plain PQ, a residual frame for IVF-PQ); `p`
+    * prefixes every CTE name so the chain composes with the IVF CTEs
+    * inside one query (ss07/ss08). Produces `${p}cb\$s` (codebooks)
+    * and `${p}code\$s` (per-id codes) for each subspace.
     */
-  private def pqPerSubCtes(m: Int, sub: Int, k: Int, p: String): String = {
+  private def pqPerSubCtes(m: Int, sub: Int, k: Int, p: String, base: String = "b0"): String = {
     def slicedDist(sv: String, cv: String) =
       pqFoldSql(sub)(s"($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)]) * " +
         s"($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)])")
     // one Lloyd iteration per subspace (init = k smallest ids)
     (0 until m).map { s =>
       val off = s * sub
-      s"""${p}sub$s AS (SELECT id, v[${off + 1}:${off + sub}] AS sv FROM b0),
+      s"""${p}sub$s AS (SELECT id, v[${off + 1}:${off + sub}] AS sv FROM $base),
          |${p}c0_$s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS c, sv AS cv
          |          FROM (SELECT id, sv FROM ${p}sub$s ORDER BY id LIMIT $k)),
          |${p}asg$s AS (
@@ -695,6 +696,66 @@ object TrainingData {
       val encoded = graft.operators.Pq.encode(t.embeddings, "vec_id", "embedding", pq)
       graft.operators.IvfPq
         .search(indexed, encoded, t.embeddings.filter(col("vec_id") < 30),
+          "vec_id", "embedding", coarse, pq, k = 3, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  /** Residual IVF-PQ (`by_residual=true` — the FAISS default): PQ
+    * trains on and encodes `v − centroid(assigned cluster)`, and each
+    * probed cluster ranks against the QUERY's residual w.r.t. that
+    * cluster's centroid (one ADC table per query×probe). Residuals
+    * concentrate near 0, which is why one codebook set quantizes them
+    * better than the raw space. The oracle adds one residual frame on
+    * top of the ss07 machinery and stays bit-exact (IEEE subtraction
+    * is exact; everything downstream replays as before).
+    */
+  val ss08IvfPqResidual = Query(
+    "ss08_ivfpq_residual", {
+      val (dim, ck, citers, nprobe, topK) = (64, 8, 1, 2, 3)
+      val (m, sub, pk) = (4, 16, 16)
+      val dist = ivfDistSql(dim) _
+      val (idxCtes, last) = ivfIdxCtes(dim, ck, citers)
+      val pqCtes = pqPerSubCtes(m, sub, pk, "p", base = "rb")
+      val codeJoins = (0 until m).map(s => s"JOIN pcode$s ON pcode$s.id = idx.id").mkString(" ")
+      val cbJoins = (0 until m).map(s => s"JOIN pcb$s ON pcb$s.c = pcode$s.code").mkString(" ")
+      val adcSum = (0 until m)
+        .map(s => s"(${pqSubDistSql(sub)("probeR.qr", s * sub, s"pcb$s.cv")})").mkString(" + ")
+      Some(
+        s"""WITH $idxCtes,
+           |rb AS (
+           |  SELECT idx.id, list_transform(range(1, ${dim + 1}),
+           |    i -> idx.v[CAST(i AS INT)] - l.cv[CAST(i AS INT)]) AS v
+           |  FROM idx JOIN $last l ON idx.c = l.c),
+           |$pqCtes,
+           |q2 AS (SELECT id AS qid, v AS qv FROM b0 WHERE id < 30),
+           |probe AS (
+           |  SELECT qid, qv, c FROM (
+           |    SELECT q2.qid, q2.qv, $last.c, ROW_NUMBER() OVER (
+           |      PARTITION BY q2.qid ORDER BY ${dist("q2.qv", s"$last.cv")}, $last.c) AS rn
+           |    FROM q2 CROSS JOIN $last) WHERE rn <= $nprobe),
+           |probeR AS (
+           |  SELECT probe.qid, probe.c, list_transform(range(1, ${dim + 1}),
+           |    i -> probe.qv[CAST(i AS INT)] - l.cv[CAST(i AS INT)]) AS qr
+           |  FROM probe JOIN $last l ON probe.c = l.c),
+           |pairs AS (
+           |  SELECT probeR.qid AS query_id, idx.id AS corpus_id,
+           |    ROUND($adcSum, 4) AS adc_dist
+           |  FROM probeR JOIN idx ON probeR.c = idx.c AND idx.id <> probeR.qid
+           |  $codeJoins $cbJoins)
+           |SELECT query_id, corpus_id, adc_dist, CAST(r AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, corpus_id) AS r
+           |  FROM pairs) WHERE r <= $topK ORDER BY query_id, rank""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val coarse = graft.operators.Ivf.train(t.embeddings, "vec_id", "embedding", k = 8, iters = 1)
+      val indexed = graft.operators.Ivf.index(t.embeddings, "vec_id", "embedding", coarse)
+      val res = graft.operators.IvfPq.residuals(indexed, "vec_id", "embedding", coarse)
+      val pq = graft.operators.Pq.train(res, "vec_id", "embedding", m = 4, k = 16, iters = 1, dim = 64)
+      val encoded = graft.operators.Pq.encode(res, "vec_id", "embedding", pq)
+      graft.operators.IvfPq
+        .residualSearch(indexed, encoded, t.embeddings.filter(col("vec_id") < 30),
           "vec_id", "embedding", coarse, pq, k = 3, nprobe = 2)
         .orderBy("query_id", "rank")
     }
@@ -2151,7 +2212,7 @@ object TrainingData {
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
     dd04CosineDup, dd06Winnow, dd07DedupPipeline, ss01CosineKnn, ss02LshAnn, ss03IvfAnn,
-    ss04PqAdc, ss05PqRerank, ss07IvfPq,
+    ss04PqAdc, ss05PqRerank, ss07IvfPq, ss08IvfPqResidual,
     mm01BinaryMeta, mm02MediaFeatures, mm03PhashPairs,
     in01NormalizeStamp, in02MetaExtract, in03LengthPolicy, in04Truncate,
     st01Sessionize, st02SlidingWindow, td08NormalizedFp, td09Repetition,
