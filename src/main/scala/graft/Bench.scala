@@ -80,11 +80,19 @@ object Bench {
       * across queries and runs.
       */
     def clearPersisted(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // blocking: async unpersist lags behind checkpoint-heavy queries
+      // (x27 creates ~6 checkpoint RDDs per run) and the backlog bleeds
+      // GC pressure into the NEXT measured run
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 narrows the run for targeted timing
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
+    val results = selected.map { case (name, fn) =>
       guarded(name)(fn(spark, sfDir).count()) // warmup: codegen + JIT + footers
       val times = (1 to Runs).map { _ =>
         clearPersisted()

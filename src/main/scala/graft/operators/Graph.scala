@@ -134,21 +134,21 @@ object Graph {
       damping: Double = 0.85, teleport: Double = 0.15,
       foldBuckets: Int = 1024): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).localCheckpoint()
+    // not checkpointed: nodes feeds only `nd`, which is
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
-    val n = nodes.agg(count(lit(1)).as("cnt"))
+      .union(e.select(col("dst").as("id"))).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    var r = nodes.crossJoin(broadcast(n))
-      .select(col("id"), (lit(1.0) / col("cnt")).as("r"))
+    // out-degree is static — carry it INSIDE the rank frame so each
+    // iteration joins the edge table exactly once, with no separate
+    // weight join (dangling nodes keep a null outdeg; they never
+    // appear as a src, so their contrib is never read)
+    val nd = nodes.join(deg.withColumnRenamed("src", "id"), Seq("id"), "left").localCheckpoint()
+    val n = nd.agg(count(lit(1)).as("cnt"))
+    var r = nd.crossJoin(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("cnt")).as("r"), col("outdeg"))
     for (_ <- 1 to iters) {
-      // rank/outdeg is per-NODE: join those two small frames first so
-      // the edge table is shuffled through ONE join per iteration, not
-      // two (r/outdeg is the same IEEE value either side of the join)
-      val weight = r.withColumnRenamed("id", "src")
-        .join(deg, "src")
-        .select(col("src"), (col("r") / col("outdeg")).as("contrib"))
       val contrib = e
-        .join(weight, "src")
+        .join(r.select(col("id").as("src"), (col("r") / col("outdeg")).as("contrib")), "src")
         .select(col("dst"), col("src"), col("contrib"))
       val partial = contrib
         .groupBy(col("dst"), pmod(col("src"), lit(foldBuckets.toLong)).as("bkt"))
@@ -158,14 +158,15 @@ object Graph {
         .groupBy("dst")
         .agg(graft.functions.VectorKernels.orderedPairSum(
           collect_list(struct(col("bkt").cast("long"), col("sb")))).as("s"))
-      r = nodes
+      r = nd
         .join(s.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(n))
         .select(col("id"),
           (lit(teleport) / col("cnt") +
-            lit(damping) * coalesce(col("s"), lit(0.0d))).as("r"))
+            lit(damping) * coalesce(col("s"), lit(0.0d))).as("r"),
+          col("outdeg"))
         .localCheckpoint() // keep the iterated plan flat
     }
-    r
+    r.select("id", "r")
   }
 }
