@@ -1079,6 +1079,34 @@ object Extras {
     }
   )
 
+  /** Exact per-group percentiles WITHOUT a per-group buffer
+    * ([[graft.operators.Quantiles.rankedPercentiles]]): a range-
+    * partitioned sort + two-pass global ranks, then only the two
+    * order statistics each target position needs. Same values as
+    * `percentile()` bit-for-bit (the interpolation replays its exact
+    * arithmetic) — this is the form that survives a group too large
+    * for one task's memory, where x02/x24's aggregate cannot.
+    */
+  val x33RankedQuantiles = Query(
+    "x33_ranked_quantiles",
+    Some("""WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem)
+            |SELECT g AS l_returnflag, p, value FROM (
+            |  SELECT g, CAST(0.5 AS DOUBLE) AS p,
+            |    PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY v) AS value
+            |  FROM t GROUP BY g
+            |  UNION ALL
+            |  SELECT g, CAST(0.9 AS DOUBLE) AS p,
+            |    PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY v) AS value
+            |  FROM t GROUP BY g)
+            |ORDER BY l_returnflag, p""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      graft.operators.Quantiles
+        .rankedPercentiles(t.lineitem, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
+        .orderBy("l_returnflag", "p")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -1087,6 +1115,6 @@ object Extras {
     x18Histogram, x19TopKAgg, x20SaltedJoin, x21GroupingSets,
     x22RelativeRanks, x23GapFill, x24MadOutliers, x25ZOrder,
     x26UnionEvolve, x27PageRank, x28ConversionWindow,
-    x30RatioToReport, x31SessionPaths, x32MadSampled
+    x30RatioToReport, x31SessionPaths, x32MadSampled, x33RankedQuantiles
   )
 }

@@ -677,6 +677,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ranked percentiles are bit-identical to the percentile aggregate, partition-invariant") {
+    import graft.operators.Quantiles
+    val li = Tables(spark, sf).lineitem
+    val ps = Seq(0.25, 0.5, 0.9)
+    def viaAgg = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .collect()
+      .flatMap(r => Seq((r.getString(0), 0.25, r.getDouble(1)),
+        (r.getString(0), 0.5, r.getDouble(2)), (r.getString(0), 0.9, r.getDouble(3))))
+      .sorted.toSeq
+    def viaRank(df: org.apache.spark.sql.DataFrame) =
+      Quantiles.rankedPercentiles(df, "l_returnflag", "l_extendedprice", ps)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    val agg = viaAgg
+    assert(viaRank(li) == agg, "rank arithmetic must replay percentile() bit-exactly")
+    assert(viaRank(li.repartition(7)) == agg, "ranks are global — partitioning must not matter")
+  }
+
   test("blocked cosine kernels: any block count is bit-identical to a single block") {
     // block-pair shuffle vs the degenerate 1-block run (all pairs in
     // one group) — per-pair IEEE arithmetic is block-independent, so
