@@ -99,10 +99,22 @@ object Bench {
         guarded(name)(fn(spark, sfDir).count())
       }
       clearPersisted()
-      name -> median(times)
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + f(median(ts)) }
+      .mkString("{", ",", "}")
+    // per-query spread: a median alone can't distinguish container
+    // noise (±15% observed, rare 3× spikes) from a real regression —
+    // publish {median,min,max} over the measured runs so round-over-
+    // round comparisons can see the run-to-run envelope
+    val spread = results.map { case (k, ts) =>
+      val ok = ts.filter(_ >= 0)
+      val (mn, mx) = if (ok.isEmpty) (-1.0, -1.0) else (ok.min, ok.max)
+      "\"" + k + "\":{\"median\":" + f(median(ts)) + ",\"min\":" + f(mn) +
+        ",\"max\":" + f(mx) + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, ts) => median(ts) }.filter(_ >= 0).sum
     pool.shutdownNow()
     // stop (and silence) Spark BEFORE printing: the JSON must be the
     // LAST line of output — a driver that parses the tail line must
@@ -110,6 +122,6 @@ object Bench {
     // suppressed via showSuccess := false) after it
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$Runs,"sf":"$sfDir"}""")
   }
 }

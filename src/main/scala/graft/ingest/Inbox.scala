@@ -113,6 +113,36 @@ final class InboxProcessor(
     parsed.getOrElse(today()).format(DateTimeFormatter.BASIC_ISO_DATE)
   }
 
+  /** Untrusted mail data used in a filesystem path: keep only the
+    * basename (a name like `a/../../x` must not step outside the
+    * repository), drop NULs, and never let the result be empty or a
+    * dot-dir.
+    */
+  private[ingest] def safeName(filename: String): String = {
+    val base = filename.replace('\\', '/').split('/')
+      .filter(s => s.nonEmpty && s != "." && s != "..")
+      .lastOption.getOrElse("attachment")
+    val cleaned = base.filterNot(_ == '\u0000').trim
+    if (cleaned.isEmpty) "attachment" else cleaned
+  }
+
+  /** Write without clobbering: same-day same-name attachments from
+    * DIFFERENT messages must both survive, so on collision a `_n`
+    * suffix is added before the extension; `CREATE_NEW` makes the
+    * exists-check-then-write race-safe.
+    */
+  private def writeFresh(dir: Path, name: String, data: Array[Byte]): Path = {
+    val dot = name.lastIndexOf('.')
+    val (stem, ext) = if (dot > 0) (name.substring(0, dot), name.substring(dot)) else (name, "")
+    var i = 0
+    while (true) {
+      val candidate = dir.resolve(if (i == 0) name else s"${stem}_$i$ext")
+      try return Files.write(candidate, data, java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => i += 1 }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** `process_email` (`:109-152`): save the .eml + matching
     * attachments into the config's repository (typically the
     * `file_watcher/` the importer scans), then relabel to Processed.
@@ -121,12 +151,9 @@ final class InboxProcessor(
     val dir = Paths.get(cfg.localRepositoryPath)
     Files.createDirectories(dir)
     val prefix = datePrefix(msg)
-    val eml = dir.resolve(s"${prefix}_${msg.id}.eml")
-    Files.write(eml, msg.raw)
+    val eml = writeFresh(dir, s"${prefix}_${safeName(msg.id)}.eml", msg.raw)
     val atts = msg.attachments.filter(a => attachmentMatches(cfg, a.filename)).map { a =>
-      val p = dir.resolve(s"${prefix}_${a.filename}")
-      Files.write(p, a.data)
-      p
+      writeFresh(dir, s"${prefix}_${safeName(a.filename)}", a.data)
     }
     service.relabel(msg.id, InboxLabel, ProcessedLabel)
     eml +: atts

@@ -199,9 +199,10 @@ object Web {
 /** S2: XLS/XLSX → CSV conversion seam (systemscripts/xls_to_csv.py).
   * The default implementation is [[XlsxConverter]] — a REAL zip+XML
   * XLSX decode (JDK-only, see [[Xlsx]]) with the reference's
-  * engine-fallback chain: inputs the XLSX reader rejects (legacy BIFF
-  * .xls, CSV payloads under an .xls name) fall through to
-  * [[PassthroughConverter]].
+  * engine-fallback chain (openpyxl → xlrd): inputs the XLSX reader
+  * rejects go to [[BiffConverter]] (real CFB+BIFF8 legacy `.xls`
+  * decode), and only non-spreadsheet payloads (CSV bytes under an .xls
+  * name) reach [[PassthroughConverter]].
   */
 trait XlsConverter extends Serializable {
   /** Convert `xls` to a CSV file next to it; return the CSV path. */

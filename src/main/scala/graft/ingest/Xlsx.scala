@@ -162,18 +162,12 @@ object Xlsx {
   }
 }
 
-/** S2 converter with a REAL decode: XLSX through [[Xlsx]], and the
-  * same engine-fallback chain as the reference (`xls_to_csv.py:53-78`
-  * tries openpyxl, then xlrd) — anything the zip/XML reader rejects
-  * (legacy BIFF .xls, CSV-shaped fixtures) falls through to
-  * `legacyFallback`.
-  *
-  * CSV output mirrors pandas' `QUOTE_NONNUMERIC` (`xls_to_csv.py:80`):
-  * numeric fields bare, everything else quoted; header cells beyond a
-  * row's width surface as pandas' `Unnamed: i`.
+/** Shared CSV emission for the spreadsheet decoders, mirroring pandas'
+  * `QUOTE_NONNUMERIC` (`xls_to_csv.py:80`): numeric fields bare,
+  * everything else quoted; header cells beyond a row's width surface
+  * as pandas' `Unnamed: i`. Written next to the input, `.csv` suffix.
   */
-final class XlsxConverter(legacyFallback: XlsConverter = new PassthroughConverter)
-    extends XlsConverter {
+private[ingest] object SheetCsv {
 
   private val NumericRe = """-?\d+(\.\d+)?([eE][+-]?\d+)?""".r
 
@@ -181,12 +175,8 @@ final class XlsxConverter(legacyFallback: XlsConverter = new PassthroughConverte
     if (v.nonEmpty && NumericRe.matches(v)) v
     else "\"" + v.replace("\"", "\"\"") + "\""
 
-  def toCsv(xls: Path): Path = {
-    val rows =
-      try Xlsx.firstSheetRows(xls)
-      catch { case _: Exception => Vector.empty }
-    if (rows.isEmpty) return legacyFallback.toCsv(xls)
-    val csv = Paths.get(xls.toString.replaceAll("\\.[^.]*$", "") + ".csv")
+  def write(src: Path, rows: Vector[Vector[String]]): Path = {
+    val csv = Paths.get(src.toString.replaceAll("\\.[^.]*$", "") + ".csv")
     val nCols = rows.iterator.map(_.length).max
     val header = rows.head.padTo(nCols, "").zipWithIndex
       .map { case (h, i) => if (h.isEmpty) s"Unnamed: $i" else h }
@@ -197,5 +187,24 @@ final class XlsxConverter(legacyFallback: XlsConverter = new PassthroughConverte
     }
     Files.write(csv, sb.toString.getBytes(StandardCharsets.UTF_8))
     csv
+  }
+}
+
+/** S2 converter with a REAL decode: XLSX through [[Xlsx]], and the
+  * same engine-fallback chain as the reference (`xls_to_csv.py:53-78`
+  * tries openpyxl, then xlrd) — anything the zip/XML reader rejects
+  * goes to `legacyFallback`, by default [[BiffConverter]] (real BIFF8
+  * `.xls` decode), whose own fallback passes CSV-shaped payloads
+  * through untouched.
+  */
+final class XlsxConverter(legacyFallback: XlsConverter = new BiffConverter)
+    extends XlsConverter {
+
+  def toCsv(xls: Path): Path = {
+    val rows =
+      try Xlsx.firstSheetRows(xls)
+      catch { case _: Exception => Vector.empty }
+    if (rows.isEmpty) legacyFallback.toCsv(xls)
+    else SheetCsv.write(xls, rows)
   }
 }

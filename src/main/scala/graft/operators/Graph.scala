@@ -34,9 +34,20 @@ object Graph {
     // materialize the (possibly expensive) upstream pair pipeline ONCE
     // — the size probe and whichever path runs both read the result
     val mat = edges.select(col("src"), col("dst")).localCheckpoint()
-    val edgeCount = mat.count()
-    if (edgeCount <= smallGraphEdges) unionFindLocal(mat)
+    if (!edgeCountExceeds(mat, smallGraphEdges)) unionFindLocal(mat)
     else distributedCC(mat, maxIters)
+  }
+
+  /** Bounded branch probe: true iff `df` holds MORE than `threshold`
+    * rows. `limit(threshold+1)` makes the probe's work proportional to
+    * the THRESHOLD, not the data — CollectLimit scans partitions
+    * incrementally and stops at threshold+1 rows, so on a 100 TB edge
+    * set the probe touches a handful of partitions instead of paying a
+    * full count() pass just to pick a code path.
+    */
+  private[graft] def edgeCountExceeds(df: DataFrame, threshold: Long): Boolean = {
+    val probe = math.min(threshold + 1L, Int.MaxValue.toLong).toInt
+    df.limit(probe).count() > threshold
   }
 
   /** Driver-side union–find with path compression over a collected
@@ -134,7 +145,9 @@ object Graph {
       damping: Double = 0.85, teleport: Double = 0.15,
       foldBuckets: Int = 1024): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).localCheckpoint()
-    // not checkpointed: nodes feeds only `nd`, which is
+    // not checkpointed: nodes feeds only `nd`, which is itself
+    // localCheckpointed two lines down — materializing both would
+    // store the same rows twice
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))

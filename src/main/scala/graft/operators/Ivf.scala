@@ -45,6 +45,17 @@ object Ivf {
     * one (cluster, dim)-cell aggregation. With the decimal-exact mean
     * reduction below, the trained centroids are bit-identical across
     * runs and partitionings — reproducible index builds.
+    *
+    * Driver-memory bound (100 TB note): the init `orderBy(id).take(k)`
+    * plans as a distributed TakeOrdered (per-partition top-k, merge of
+    * k rows — NOT a global sort), and every iteration collects only the
+    * k×d `(cluster, dim, mean)` cells — both are sized by the MODEL
+    * (k×d doubles, e.g. 65536×768 ≈ 400 MB at the extreme end), never
+    * by the corpus. Corpus rows are touched only inside executors. A
+    * sampled init (k-means‖) would cut nothing here: the bound is the
+    * model transfer, which any init shape pays; the id-ordered form
+    * buys bit-reproducibility, which the ss03/ss06/ss07/ss08 oracles
+    * replay.
     */
   def train(
       df: DataFrame,
@@ -113,6 +124,52 @@ object Ivf {
         (id, v, best)
       }
     }.toDF(idCol, vecCol, "cluster_id")
+  }
+
+  /** Persist the indexed corpus as parquet PARTITIONED BY cluster_id —
+    * the stored form of the scaladoc note on [[index]]: one directory
+    * per cluster, so a probe search over the stored index reads only
+    * the probed clusters' files. `repartition(cluster_id)` first, so
+    * each cluster's rows land in few files instead of every task
+    * writing a sliver into every partition directory.
+    */
+  def writeIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Model,
+      path: String
+  ): Unit =
+    index(df, idCol, vecCol, model)
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  /** Search over a [[writeIndex]]-stored index with STATIC probe-cluster
+    * partition pruning: the probed cluster set is computed from the
+    * query vectors (the small side by contract — same bound as the
+    * centroid model itself) and pushed as a `cluster_id IN (...)`
+    * partition filter, so the parquet scan lists and reads ONLY the
+    * probed clusters' directories — ≈ nprobe/k of a 100 TB corpus —
+    * before the same equi-join rescore as [[search]]. Results are
+    * bit-identical to [[search]] over the unstored index.
+    */
+  def searchStored(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Model,
+      k: Int,
+      nprobe: Int,
+      roundTo: Int = 4
+  ): DataFrame = {
+    val probed = toVec(queries, idCol, vecCol).collect()
+      .flatMap { case (_, qv) => model.nearest(qv, nprobe) }
+      .distinct.sorted
+    val stored = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probed.map(Int.box): _*))
+    search(stored, queries, idCol, vecCol, model, k, nprobe, roundTo)
   }
 
   /** Probe search: top-k cosine among the members of each query's

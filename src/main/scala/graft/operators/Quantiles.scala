@@ -25,7 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** @return (groupCol, p, value), one row per group × percentile. */
+  /** @return (groupCol, p, value), one row per group × percentile.
+    *
+    * Null semantics match the drop-in `expr("percentile(v, p)")`: null
+    * VALUES are ignored (the aggregate skips them; without the filter
+    * here the typed decode would throw instead), and a group whose
+    * values are all null disappears from the output the same way a
+    * null-only group yields a null percentile. Null GROUP KEYS are
+    * kept as their own group, like `groupBy` does.
+    */
   def rankedPercentiles(
       df: DataFrame,
       groupCol: String,
@@ -39,6 +47,7 @@ object Quantiles {
     // partitioning (range bounds vary per run; ranks do not)
     val sorted = df
       .select(col(groupCol).cast("string").as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull) // percentile() skips null values
       .repartitionByRange(parts, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .as[(String, Double)]
@@ -86,7 +95,8 @@ object Quantiles {
       .collect() // ≤ 2 × groups × percentiles rows
       .groupBy(_._1)
       .map { case (g, rows) => g -> rows.map(r => r._2 -> r._3).toMap }
-    val out = totals.toSeq.sorted.flatMap { case (g, n) =>
+    // null-safe key order (null group sorts first, like ORDER BY g)
+    val out = totals.toSeq.sortBy { case (g, _) => Option(g) }.flatMap { case (g, n) =>
       val byRank = picked.getOrElse(g, Map.empty)
       ps.map { p =>
         val pos = (n - 1) * p

@@ -8,11 +8,12 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal plumbing) + ingestion scalar ops, instantiated
   * against the `documents`/`embeddings` tables as verifiable queries.
-  * Every op carries a DuckDB oracle except td07 (Spark's
-  * engine-private HLL++, which td12's deterministic HLL covers) —
-  * including the MinHash/SimHash/winnowing sketches and the IVF
-  * k-means pipeline, whose hash/centroid arithmetic is reproduced in
-  * SQL exactly (HUGEINT mod-2^64 folds, decimal-exact means).
+  * Every op carries a DuckDB oracle — td07's engine-private HLL++
+  * estimate is oracle-checked through an in-query error bound (and
+  * td12's deterministic HLL covers the replayable form) — including
+  * the MinHash/SimHash/winnowing sketches and the IVF k-means
+  * pipeline, whose hash/centroid arithmetic is reproduced in SQL
+  * exactly (HUGEINT mod-2^64 folds, decimal-exact means).
   */
 object TrainingData {
 
@@ -956,19 +957,34 @@ object TrainingData {
   )
 
   /** HLL approximate distinct (the sketch aggregate the exact path
-    * can't afford at 100 TB). Rows-only: DuckDB's approx sketch is a
-    * different algorithm; OperatorsSpec bounds the error vs exact.
+    * can't afford at 100 TB). The estimate itself has no DuckDB replay
+    * (Spark's HLL++ is engine-private), so the query carries its OWN
+    * error-bound check: `within_bound` compares the estimate against
+    * the exact distinct (computed in the same aggregation) at 3× the
+    * requested rsd — the oracle replays the exact side and pins the
+    * boolean, so an estimator drifting out of its advertised bound
+    * fails the hash compare instead of hiding behind `no_oracle`.
     */
   val td07ApproxDistinct = Query(
     "td07_approx_distinct",
-    None,
+    Some("""SELECT event_type, COUNT(*) AS n,
+            |  COUNT(DISTINCT user_id) AS exact_users,
+            |  CAST(TRUE AS BOOLEAN) AS within_bound
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
       t.events
         .groupBy("event_type")
         .agg(
           approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n")
+        )
+        .select(
+          col("event_type"), col("n"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(lit(1L), (col("exact_users") * lit(3 * 0.02)).cast("long")))
+            .as("within_bound")
         )
         .orderBy("event_type")
     }

@@ -36,13 +36,28 @@ final class SmtpMailer(config: SmtpConfig) extends Mailer {
   private def b64(bytes: Array[Byte]): String =
     Base64.getEncoder.encodeToString(bytes).grouped(76).mkString("\r\n")
 
+  /** Values interpolated into MIME headers or SMTP commands must not
+    * carry CR/LF — a subject (or attachment name) containing "\r\n"
+    * would otherwise inject arbitrary headers into the message, and a
+    * recipient could inject extra SMTP verbs. Dot-stuffing protects the
+    * DATA body only, not header construction.
+    */
+  private def headerSafe(s: String): String =
+    s.replace('\r', ' ').replace('\n', ' ')
+
+  /** Address form for To / MAIL FROM / RCPT TO: header-safe plus no
+    * angle brackets (they delimit the SMTP path).
+    */
+  private def addrSafe(s: String): String =
+    headerSafe(s).replace("<", "").replace(">", "").trim
+
   /** The full RFC-5322 message, CRLF line endings. */
   def mime(report: RenderedReport): String = {
     val sb = new StringBuilder
     def line(s: String): Unit = { sb ++= s; sb ++= "\r\n" }
-    line(s"From: ${config.from}")
-    line(s"To: ${report.recipients.mkString(", ")}") // ", ".join (:56)
-    line(s"Subject: ${report.subject}")
+    line(s"From: ${addrSafe(config.from)}")
+    line(s"To: ${report.recipients.map(addrSafe).mkString(", ")}") // ", ".join (:56)
+    line(s"Subject: ${headerSafe(report.subject)}")
     line("MIME-Version: 1.0")
     line(s"""Content-Type: multipart/mixed; boundary="$Boundary"""")
     line("")
@@ -54,7 +69,7 @@ final class SmtpMailer(config: SmtpConfig) extends Mailer {
       line(s"--$Boundary")
       line("Content-Type: application/octet-stream") // MIMEBase (:64-68)
       line("Content-Transfer-Encoding: base64")
-      line(s"Content-Disposition: attachment; filename=${a.name}")
+      line(s"Content-Disposition: attachment; filename=${headerSafe(a.name).replace("\"", "")}")
       line("")
       line(b64(a.content.getBytes(StandardCharsets.UTF_8)))
     }
@@ -93,8 +108,8 @@ final class SmtpMailer(config: SmtpConfig) extends Mailer {
           cmd(Base64.getEncoder.encodeToString(p.getBytes(StandardCharsets.UTF_8)), 235)
         case _ => ()
       }
-      cmd(s"MAIL FROM:<${config.from}>", 250)
-      report.recipients.foreach(r => cmd(s"RCPT TO:<$r>", 250, 251))
+      cmd(s"MAIL FROM:<${addrSafe(config.from)}>", 250)
+      report.recipients.foreach(r => cmd(s"RCPT TO:<${addrSafe(r)}>", 250, 251))
       cmd("DATA", 354)
       // dot-stuffing (RFC 5321 §4.5.2): a leading "." doubles
       mime(report).split("\r\n", -1).foreach { l =>

@@ -1,0 +1,271 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Hand-built CFB + BIFF8 fixtures, byte-for-byte from the published
+  * MS-CFB / MS-XLS layouts — the container and record formats are
+  * written here independently of the reader so the two sides
+  * cross-check each other. Covers both container paths (mini-stream
+  * for streams < 4096 bytes, regular FAT chain above) and the
+  * cell-record surface the reader claims.
+  */
+object BiffFixtures {
+
+  final class W {
+    val b = ArrayBuffer.empty[Byte]
+    def u8(v: Int): W = { b += (v & 0xFF).toByte; this }
+    def u16(v: Int): W = { u8(v); u8(v >> 8); this }
+    def i32(v: Int): W = { u16(v & 0xFFFF); u16((v >>> 16) & 0xFFFF); this }
+    def f64(v: Double): W = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(i => u8((bits >>> (8 * i)).toInt)); this
+    }
+    def raw(a: Array[Byte]): W = { b ++= a; this }
+    def ascii(s: String): W = raw(s.getBytes("ISO-8859-1"))
+    def result: Array[Byte] = b.toArray
+  }
+
+  def rec(id: Int, payload: Array[Byte]): Array[Byte] =
+    new W().u16(id).u16(payload.length).raw(payload).result
+
+  def bof(dt: Int): Array[Byte] =
+    rec(0x0809, new W().u16(0x0600).u16(dt).u16(0x0DBB).u16(0x07CC).i32(0).i32(0).result)
+  val eof: Array[Byte] = rec(0x000A, Array.empty)
+
+  def sstPayload(strings: Seq[String]): Array[Byte] = {
+    val w = new W().i32(strings.length).i32(strings.length)
+    strings.foreach { s =>
+      val wide = s.exists(_ > 0xFF)
+      w.u16(s.length).u8(if (wide) 1 else 0)
+      if (wide) s.foreach(c => w.u16(c.toInt)) else w.ascii(s)
+    }
+    w.result
+  }
+
+  def boundSheet(pos: Int, name: String): Array[Byte] =
+    rec(0x0085, new W().i32(pos).u8(0).u8(0).u8(name.length).u8(0).ascii(name).result)
+
+  def labelSst(row: Int, col: Int, isst: Int): Array[Byte] =
+    rec(0x00FD, new W().u16(row).u16(col).u16(0).i32(isst).result)
+  def number(row: Int, col: Int, v: Double): Array[Byte] =
+    rec(0x0203, new W().u16(row).u16(col).u16(0).f64(v).result)
+  def rkInt(row: Int, col: Int, v: Int): Array[Byte] =
+    rec(0x027E, new W().u16(row).u16(col).u16(0).i32((v << 2) | 0x02).result)
+  def rkF100(row: Int, col: Int, centi: Int): Array[Byte] =
+    rec(0x027E, new W().u16(row).u16(col).u16(0).i32((centi << 2) | 0x03).result)
+  def mulRkInts(row: Int, colFirst: Int, vs: Seq[Int]): Array[Byte] = {
+    val w = new W().u16(row).u16(colFirst)
+    vs.foreach(v => w.u16(0).i32((v << 2) | 0x02))
+    w.u16(colFirst + vs.length - 1)
+    rec(0x00BD, w.result)
+  }
+  def boolErr(row: Int, col: Int, v: Boolean): Array[Byte] =
+    rec(0x0205, new W().u16(row).u16(col).u16(0).u8(if (v) 1 else 0).u8(0).result)
+  def label(row: Int, col: Int, s: String): Array[Byte] = {
+    val wide = s.exists(_ > 0xFF)
+    val w = new W().u16(row).u16(col).u16(0).u16(s.length).u8(if (wide) 1 else 0)
+    if (wide) s.foreach(c => w.u16(c.toInt)) else w.ascii(s)
+    rec(0x0204, w.result)
+  }
+  def formulaNum(row: Int, col: Int, v: Double): Array[Byte] =
+    rec(0x0006, new W().u16(row).u16(col).u16(0).f64(v).u16(0).i32(0).u16(0).result)
+  def formulaStr(row: Int, col: Int): Array[Byte] =
+    rec(0x0006, new W().u16(row).u16(col).u16(0)
+      .u8(0).u8(0).i32(0).u16(0xFFFF) // cached value: "string follows"
+      .u16(0).i32(0).u16(0).result)
+  def stringRec(s: String): Array[Byte] =
+    rec(0x0207, new W().u16(s.length).u8(0).ascii(s).result)
+
+  def sheet(cells: Array[Byte]*): Array[Byte] =
+    new W().raw(bof(0x0010)).raw(cells.flatten.toArray).raw(eof).result
+
+  /** Globals (BOF + SST [+ extra records] + BOUNDSHEETs + EOF) followed
+    * by the sheet substreams, BOUNDSHEET offsets patched to the real
+    * positions. `sstRecords` defaults to one SST record; tests may pass
+    * a hand-split SST + CONTINUE pair instead.
+    */
+  def workbook(
+      sstRecords: Seq[Array[Byte]],
+      sheets: Seq[(String, Array[Byte])]
+  ): Array[Byte] = {
+    def globals(positions: Seq[Int]): Array[Byte] = {
+      val w = new W().raw(bof(0x0005))
+      sstRecords.foreach(w.raw)
+      positions.zip(sheets.map(_._1)).foreach { case (p, n) => w.raw(boundSheet(p, n)) }
+      w.raw(eof).result
+    }
+    val gLen = globals(Seq.fill(sheets.length)(0)).length
+    val positions = sheets.map(_._2).scanLeft(gLen)((acc, s) => acc + s.length).init
+    val w = new W().raw(globals(positions))
+    sheets.foreach { case (_, s) => w.raw(s) }
+    w.result
+  }
+
+  def workbook(sstStrings: Seq[String], sheets: Seq[(String, Array[Byte])])(
+      implicit d: DummyImplicit): Array[Byte] =
+    workbook(Seq(rec(0x00FC, sstPayload(sstStrings))), sheets)
+
+  // ---- CFB container ----
+
+  private val Free = 0xFFFFFFFF
+  private val End = 0xFFFFFFFE
+  private val FatSect = 0xFFFFFFFD
+
+  private def pad(a: Array[Byte], m: Int): Array[Byte] =
+    if (a.length % m == 0) a else a ++ new Array[Byte](m - a.length % m)
+
+  private def dirEntry(name: String, typ: Int, start: Int, size: Long, child: Int): Array[Byte] = {
+    val w = new W()
+    name.foreach(c => w.u16(c.toInt))
+    while (w.b.length < 64) w.u8(0)
+    w.u16(if (name.isEmpty) 0 else (name.length + 1) * 2)
+    w.u8(typ).u8(1)
+    w.i32(Free).i32(Free).i32(child)
+    (0 until 36).foreach(_ => w.u8(0)) // CLSID + state + timestamps
+    w.i32(start).i32(size.toInt).i32(0)
+    w.result
+  }
+
+  private def header(numFat: Int, firstDir: Int, firstMiniFat: Int, numMiniFat: Int): Array[Byte] = {
+    val w = new W()
+    w.raw(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+    (0 until 16).foreach(_ => w.u8(0)) // CLSID
+    w.u16(0x003E).u16(0x0003).u16(0xFFFE).u16(9).u16(6)
+    (0 until 6).foreach(_ => w.u8(0))
+    w.i32(0).i32(numFat).i32(firstDir).i32(0).i32(4096)
+    w.i32(firstMiniFat).i32(numMiniFat).i32(End).i32(0)
+    w.i32(0) // DIFAT[0]: the FAT lives at sector 0
+    (1 until 109).foreach(_ => w.i32(Free))
+    w.result
+  }
+
+  private def ints(a: Array[Int]): Array[Byte] = {
+    val w = new W(); a.foreach(w.i32); w.result
+  }
+
+  /** Wrap `stream` as the `Workbook` stream of a CFB file. Streams
+    * under 4096 bytes go through the mini-stream path (mini-FAT +
+    * 64-byte sectors inside the root entry), like real small .xls
+    * files; larger streams use a regular FAT chain.
+    */
+  def cfb(stream: Array[Byte]): Array[Byte] =
+    if (stream.length < 4096) {
+      val mini = pad(stream, 64)
+      val nMini = mini.length / 64
+      val container = pad(mini, 512)
+      val nCont = container.length / 512
+      // sectors: 0 FAT, 1 directory, 2 miniFAT, 3.. mini-stream container
+      val fat = Array.fill(128)(Free)
+      fat(0) = FatSect; fat(1) = End; fat(2) = End
+      (0 until nCont).foreach(i => fat(3 + i) = if (i == nCont - 1) End else 4 + i)
+      val miniFat = Array.fill(128)(Free)
+      (0 until nMini).foreach(i => miniFat(i) = if (i == nMini - 1) End else i + 1)
+      val dir = dirEntry("Root Entry", 5, 3, mini.length, child = 1) ++
+        dirEntry("Workbook", 2, 0, stream.length, child = Free) ++
+        new Array[Byte](256)
+      header(1, 1, 2, 1) ++ ints(fat) ++ dir ++ ints(miniFat) ++ container
+    } else {
+      val data = pad(stream, 512)
+      val nd = data.length / 512
+      require(nd <= 126, "fixture too large for a single FAT sector")
+      // sectors: 0 FAT, 1 directory, 2.. stream data
+      val fat = Array.fill(128)(Free)
+      fat(0) = FatSect; fat(1) = End
+      (0 until nd).foreach(i => fat(2 + i) = if (i == nd - 1) End else 3 + i)
+      val dir = dirEntry("Root Entry", 5, End, 0, child = 1) ++
+        dirEntry("Workbook", 2, 2, stream.length, child = Free) ++
+        new Array[Byte](256)
+      header(1, 1, End, 0) ++ ints(fat) ++ dir ++ data
+    }
+
+  /** The E2E import fixture: same logical grid as ImporterSpec's XLSX
+    * one — headers, a NUMBER + shared string + TRUE row, and an RK +
+    * gap + FALSE row; a second sheet holds a sentinel that must never
+    * surface.
+    */
+  def importXls: Array[Byte] = cfb(workbook(
+    Seq("EventID", "Company Name", "Flag", "Acme Corp"),
+    Seq(
+      "Data" -> sheet(
+        labelSst(0, 0, 0), labelSst(0, 1, 1), labelSst(0, 2, 2),
+        number(1, 0, 119179.0), labelSst(1, 1, 3), boolErr(1, 2, v = true),
+        rkInt(2, 0, 119180), boolErr(2, 2, v = false)),
+      "Second" -> sheet(label(0, 0, "WRONG SHEET")))))
+
+  /** Invalid-marker fixture (T9 through the real decoder). */
+  def invalidXls: Array[Byte] = cfb(workbook(
+    Seq("Company Name"),
+    Seq("Data" -> sheet(labelSst(0, 0, 0), label(1, 0, "Invalid Event ID")))))
+}
+
+class BiffSpec extends AnyFunSuite {
+  import BiffFixtures._
+
+  private def rows(bytes: Array[Byte]): Vector[Vector[String]] = {
+    val dir = Files.createTempDirectory("graft-biff")
+    val p = dir.resolve("f.xls")
+    Files.write(p, bytes)
+    graft.ingest.Biff.firstSheetRowsOfFile(p).getOrElse(fail("decode failed"))
+  }
+
+  test("mini-stream .xls decodes: SST/NUMBER/RK/MULRK/BOOLERR/LABEL/FORMULA cells, first sheet only") {
+    val wb = workbook(
+      Seq("Head", "Zürich"),
+      Seq(
+        "Data" -> sheet(
+          labelSst(0, 0, 0), labelSst(0, 1, 1),
+          number(1, 0, 119179.0), rkInt(1, 1, -7), rkF100(1, 2, 150), // 1.5
+          mulRkInts(2, 0, Seq(5, 6, 7)),
+          boolErr(3, 0, v = true), boolErr(3, 2, v = false), // col 1 gap
+          label(4, 0, "inline"), label(4, 1, "w→de"), // > 0xFF: wide branch
+          formulaNum(5, 0, 42.0), formulaStr(5, 1), stringRec("fstr")),
+        "Second" -> sheet(label(0, 0, "WRONG SHEET"))))
+    val r = rows(cfb(wb))
+    assert(r == Vector(
+      Vector("Head", "Zürich"),
+      Vector("119179", "-7", "1.5"),
+      Vector("5", "6", "7"),
+      Vector("True", "", "False"),
+      Vector("inline", "w→de"),
+      Vector("42", "fstr")))
+  }
+
+  test("SST string split across a CONTINUE record restarts with a fresh grbit") {
+    // "HELLOWORLD": 5 compressed chars in the SST record, the rest as
+    // WIDE chars in the CONTINUE (grbit flips to 1 at the boundary)
+    val sstRec = rec(0x00FC, new W().i32(1).i32(1).u16(10).u8(0).ascii("HELLO").result)
+    val cont = rec(0x003C, { val w = new W().u8(1); "WORLD".foreach(c => w.u16(c.toInt)); w.result })
+    val wb = workbook(Seq(sstRec, cont), Seq("Data" -> sheet(labelSst(0, 0, 0))))
+    assert(rows(cfb(wb)) == Vector(Vector("HELLOWORLD")))
+  }
+
+  test("large workbook stream (>= 4096 bytes) reads through the regular FAT chain") {
+    val cells = (0 until 400).map(i => number(i, 0, i * 10.0))
+    val wb = workbook(Seq.empty[String], Seq("Data" -> sheet(cells: _*)))
+    assert(wb.length >= 4096, "fixture must exercise the non-mini path")
+    val r = rows(cfb(wb))
+    assert(r.length == 400 && r(0) == Vector("0") && r(399) == Vector("3990"))
+  }
+
+  test("BiffConverter writes QUOTE_NONNUMERIC CSV; non-CFB bytes fall through to passthrough") {
+    val dir = Files.createTempDirectory("graft-biff-conv")
+    val xls = dir.resolve("f.xls")
+    Files.write(xls, importXls)
+    val csv = new graft.ingest.BiffConverter().toCsv(xls)
+    val text = new String(Files.readAllBytes(csv), "UTF-8")
+    assert(text ==
+      "\"EventID\",\"Company Name\",\"Flag\"\n" +
+      "119179,\"Acme Corp\",\"True\"\n" +
+      "119180,,\"False\"\n")
+    assert(!text.contains("WRONG SHEET"))
+    // CSV payload under an .xls name: the chain must pass it through
+    val fake = dir.resolve("g.xls")
+    Files.write(fake, "A,B\n1,2\n".getBytes("UTF-8"))
+    val out = new graft.ingest.BiffConverter().toCsv(fake)
+    assert(new String(Files.readAllBytes(out), "UTF-8") == "A,B\n1,2\n")
+  }
+}

@@ -28,6 +28,35 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("CC branch probe is bounded by the threshold — no full pre-count of the edge set") {
+    // a "tripwire" edge source: each partition serves rows normally up
+    // to 500 pulls, then explodes. The bounded probe (limit threshold+1)
+    // pulls ≤ 101 rows per partition and must survive; anything doing a
+    // full count would detonate — which the sanity check proves.
+    val bomb = spark.sparkContext
+      .parallelize(0 until 2, 2)
+      .mapPartitions { _ =>
+        new Iterator[Long] {
+          private var i = 0L
+          def hasNext: Boolean = i < 10000
+          def next(): Long = {
+            i += 1
+            if (i > 500) throw new IllegalStateException("probe scanned past its bound")
+            i
+          }
+        }
+      }
+      .toDF("src").withColumn("dst", $"src" + 1)
+    assert(Graph.edgeCountExceeds(bomb, 100), "2×500-capped source exceeds 100")
+    intercept[org.apache.spark.SparkException](bomb.count()) // tripwire armed
+    // and the distributed path engages off the bounded probe alone
+    // (star graph: diameter 2, converges well inside maxIters)
+    val edges = (1L to 50L).map(i => (0L, i)).toDF("src", "dst")
+    val viaDistributed = Graph.connectedComponents(edges, smallGraphEdges = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDistributed.values.toSet == Set(0L), "one star, one component")
+  }
+
   test("pageRank is bit-identical under repartitioning and matches a local reference") {
     import graft.operators.Graph
     // small fixed digraph, symmetrized

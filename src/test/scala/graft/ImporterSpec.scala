@@ -244,6 +244,30 @@ class ImporterSpec extends SparkSpec {
     assert(Files.exists(arch.resolve("20250402T120000_MeetMax_5.xlsx")))
   }
 
+  test("real legacy BIFF8 .xls end-to-end import and invalid-marker branch without passthrough") {
+    val (imp, reg, src, arch, _) = env()
+    val cfg = urlCheckConfig(src, arch).copy(
+      filePattern = """\d{8}T\d{6}_MeetMax_\d+\.xls""",
+      fileType = "XLS",
+      labelSource = MetaSource.Filename, labelLocation = Some("2"),
+      targetTable = "public.tmeetmaxevent_biff"
+    )
+    Files.write(src.resolve("20250401T120000_MeetMax_5.xls"), BiffFixtures.importXls)
+    val r1 = imp.run(cfg, 3, 1)
+    assert(r1.files.map(_.status) == Seq(DatasetStatus.Active))
+    assert(r1.loadedRows == 2)
+    val data = imp.readTarget("public.tmeetmaxevent_biff")
+    assert(data.columns.toSet == Set("eventid", "company_name", "flag", "datasetid"))
+    assert(data.filter(col("eventid") === "119179" && col("company_name") === "Acme Corp").count() == 1)
+    assert(data.filter(col("eventid") === "119180" && col("company_name").isNull).count() == 1)
+    assert(!Files.exists(src.resolve("20250401T120000_MeetMax_5.csv")))
+    // invalid-marker variant as a REAL BIFF8 file (T9 through the decoder)
+    Files.write(src.resolve("20250402T120000_MeetMax_5.xls"), BiffFixtures.invalidXls)
+    val r2 = imp.run(cfg, 3, 1)
+    assert(r2.files.map(_.status) == Seq(DatasetStatus.Empty))
+    assert(Files.exists(arch.resolve("20250402T120000_MeetMax_5.xls")))
+  }
+
   test("F2 variant evolution + COALESCE-over-variants analytics read") {
     val (imp, reg, src, arch, _) = env()
     val cfg = urlCheckConfig(src, arch).copy(

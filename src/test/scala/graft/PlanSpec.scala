@@ -263,4 +263,44 @@ class PlanSpec extends SparkSpec {
     val rows = search.collect()
     assert(rows.nonEmpty && rows.forall(_.getInt(3) <= 3))
   }
+
+  test("stored IVF index search prunes to the probed clusters' partitions, bit-equal to in-memory") {
+    import graft.operators.Ivf
+    val emb = Tables(spark, sf).embeddings
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+    Ivf.writeIndex(emb, "vec_id", "embedding", model, s"$dir/index")
+    // few queries, 1 probe each: the probed set must stay well under
+    // the k=8 cluster dirs, so the pruning is observable
+    val queries = emb.filter(col("vec_id") < 3)
+    val stored = Ivf.searchStored(spark, s"$dir/index", queries,
+      "vec_id", "embedding", model, k = 3, nprobe = 1)
+    // the probed-cluster IN-filter must land in the scan's
+    // PartitionFilters: a stored-index probe reads nprobe/k of the
+    // corpus directories, never all of them. AQE hides the subtree
+    // behind AdaptiveSparkPlanExec — descend explicitly, post-execution.
+    stored.collect() // finalize the adaptive plan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val found = scans(stored.queryExecution.executedPlan)
+    assert(found.nonEmpty, "stored search must read the parquet index")
+    val idxScan = found.find(_.metadata.getOrElse("Location", "").contains("graft-ivf-idx"))
+      .getOrElse(fail("no scan over the stored index"))
+    assert(idxScan.partitionFilters.exists(_.references.exists(_.name == "cluster_id")),
+      s"cluster_id partition filter missing: ${idxScan.partitionFilters}")
+    assert(idxScan.selectedPartitions.partitionCount <= 3,
+      s"expected ≤3 probed cluster dirs, scanned ${idxScan.selectedPartitions.partitionCount}")
+    // stored results must be bit-identical to the in-memory search
+    val indexed = Ivf.index(emb, "vec_id", "embedding", model)
+    val direct = Ivf.search(indexed, queries, "vec_id", "embedding", model, k = 3, nprobe = 1)
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(key(stored) == key(direct))
+  }
 }

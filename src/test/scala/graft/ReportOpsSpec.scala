@@ -97,6 +97,25 @@ class ReportOpsSpec extends SparkSpec {
     assert(csv.linesIterator.toSeq == Seq("\"id\",\"name\"", "1,\"a,b\"", "2,\"c\""))
   }
 
+  test("CRLF in subject / recipient / attachment name cannot inject headers or SMTP verbs") {
+    import graft.report.{Attachment, RenderedReport, SmtpConfig, SmtpMailer}
+    val mailer = new SmtpMailer(SmtpConfig("localhost", 0, from = "etl@example.com"))
+    val mime = mailer.mime(RenderedReport(
+      subject = "Daily\r\nBcc: evil@example.com",
+      recipients = Seq("ops@example.com\r\nRCPT TO:<evil@example.com>"),
+      htmlBody = "<p>ok</p>",
+      attachments = Seq(Attachment("a\r\nX-Evil: 1\".csv", "x"))))
+    // injected line breaks are flattened to spaces — the hostile text
+    // stays INSIDE its value; no line of the message starts a new
+    // header or SMTP verb
+    val lines = mime.split("\r\n").toSeq
+    assert(!lines.exists(_.startsWith("Bcc:")), mime)
+    assert(!lines.exists(_.startsWith("X-Evil")), mime)
+    assert(!lines.exists(_.startsWith("RCPT")), mime)
+    assert(lines.contains("Subject: Daily  Bcc: evil@example.com"), mime)
+    assert(lines.contains("To: ops@example.com  RCPT TO:evil@example.com"), mime)
+  }
+
   test("ReportConfig parses the reference's JSONB column shapes") {
     import graft.model.ReportConfig
     val body = ReportConfig.parseBodyQueries("""{"grid1": "SELECT 1", "grid2": "SELECT 2"}""")
