@@ -226,11 +226,18 @@ object Biff {
   /** Shared-string table + first-sheet offset from the globals
     * substream; then the first sheet's cells.
     *
+    * BIFF5/7 (pre-97 `.xls`, the `Book` stream) differs only in string
+    * encoding: inline strings are byte strings (cch + raw bytes, no
+    * flags byte) and there is no SST/LABELSST — handled by the
+    * `biff5` branch below, so xlrd's whole legacy surface decodes.
+    *
     * @return rows in ascending row order; gaps inside a row are "".
     */
   def firstSheetRows(wb: Array[Byte]): Vector[Vector[String]] = {
     require(wb.length >= 8 && u16(wb, 0) == RecBof, "not a BIFF stream")
-    require(u16(wb, 4) == 0x0600, "not BIFF8") // anything older → caller falls back
+    val vers = u16(wb, 4)
+    val biff5 = vers == 0x0500
+    require(biff5 || vers == 0x0600, "not BIFF5/BIFF8") // older → caller falls back
 
     // ---- pass 1: globals — SST chunks and the first BOUNDSHEET offset
     val sstChunks = ArrayBuffer.empty[Array[Byte]]
@@ -275,14 +282,18 @@ object Biff {
       while (r.size <= col) r += ""
       r(col) = v
     }
-    /** XLUnicodeString (cch16 + flags + chars), used by LABEL/STRING. */
+    /** BIFF8: XLUnicodeString (cch16 + flags + chars). BIFF5: byte
+      * string (cch16 + raw bytes, Latin-1 — codepage records are out
+      * of scope, like a style-less xlrd read).
+      */
     def inlineString(o: Int): String = {
       val cch = u16(wb, o)
-      val wide = (wb(o + 2) & 0x01) != 0
+      val wide = !biff5 && (wb(o + 2) & 0x01) != 0
+      val base = if (biff5) o + 2 else o + 3
       val sb = new StringBuilder(cch)
       var i = 0
       while (i < cch) {
-        if (wide) sb += u16(wb, o + 3 + 2 * i).toChar else sb += (wb(o + 3 + i) & 0xFF).toChar
+        if (wide) sb += u16(wb, base + 2 * i).toChar else sb += (wb(base + i) & 0xFF).toChar
         i += 1
       }
       sb.toString
@@ -353,11 +364,11 @@ object Biff {
   }
 }
 
-/** S2 legacy branch: decode BIFF8 `.xls` (the reference's xlrd engine,
-  * `xls_to_csv.py:62-78`); anything that is not a CFB/BIFF8 file (CSV
-  * payloads under an .xls name, truncated downloads) falls through —
-  * default [[PassthroughConverter]], mirroring how the reference's
-  * engine chain gives up.
+/** S2 legacy branch: decode BIFF8 and BIFF5/7 `.xls` (the reference's
+  * xlrd engine, `xls_to_csv.py:62-78`); anything that is not a
+  * CFB/BIFF file (CSV payloads under an .xls name, truncated
+  * downloads) falls through — default [[PassthroughConverter]],
+  * mirroring how the reference's engine chain gives up.
   */
 final class BiffConverter(fallback: XlsConverter = new PassthroughConverter)
     extends XlsConverter {

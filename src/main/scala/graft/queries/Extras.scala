@@ -738,14 +738,18 @@ object Extras {
     * with |x − med| > 1.5·MAD. Exact interpolated percentiles in both
     * engines (x02 proved parity), and every derived value is a single
     * IEEE op on identical inputs — so the comparison is bit-exact, no
-    * tolerance. The deviation frame feeds two consumers (the MAD agg
-    * and the outlier count), so it is materialized once.
+    * tolerance. The deviation frame feeds two consumers (the MAD
+    * rank pass and the outlier count), so it is materialized once.
     *
-    * Memory bound: exact `percentile` buffers EVERY value of a group
-    * on one task — fine here (3 return-flag groups over lineitem),
-    * wrong for high-cardinality groups or giant groups. That regime
-    * uses [[x32MadSampled]]: same shape, thresholds from a
-    * deterministic hash sample, buffer capped at the sample rate.
+    * Memory shape: both medians come from
+    * [[graft.operators.Quantiles.rankedPercentiles]] — a range-sorted
+    * two-pass rank computation with NO per-group value buffer — which
+    * is bit-identical to `percentile()` (QuantilesSpec) and hence to
+    * this PERCENTILE_CONT oracle. That removes x24's former caveat
+    * (exact `percentile` holding every group value in one task's
+    * aggregation buffer); [[x32MadSampled]] remains the
+    * sampled-threshold variant for when even two extra sorts are too
+    * expensive.
     */
   val x24MadOutliers = Query(
     "x24_mad_outliers",
@@ -765,16 +769,18 @@ object Extras {
             |GROUP BY d.l_returnflag, m.med, m.mad
             |ORDER BY d.l_returnflag""".stripMargin),
     (spark, dir) => {
+      import graft.operators.Quantiles
       val t = Tables(spark, dir)
       val li = t.lineitem.select("l_returnflag", "l_extendedprice")
-      val med = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      val med = Quantiles.rankedPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5))
+        .select(col("l_returnflag"), col("value").as("med"))
       val dev = li.join(broadcast(med), "l_returnflag")
         .withColumn("adev", abs(col("l_extendedprice") - col("med")))
         .localCheckpoint()
-      val mad = dev.groupBy("l_returnflag")
-        .agg(min("med").as("med"), expr("percentile(adev, 0.5)").as("mad"))
-      dev.drop("med")
+      val mad = Quantiles.rankedPercentiles(
+        dev.select("l_returnflag", "adev"), "l_returnflag", "adev", Seq(0.5))
+        .select(col("l_returnflag"), col("value").as("mad"))
+      dev
         .join(broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag", "med", "mad")
         .agg(count(lit(1)).as("n"),

@@ -109,6 +109,31 @@ object BiffFixtures {
       implicit d: DummyImplicit): Array[Byte] =
     workbook(Seq(rec(0x00FC, sstPayload(sstStrings))), sheets)
 
+  // ---- BIFF5/7 variants (pre-97 .xls, "Book" stream): byte strings,
+  // no flags byte, no SST ----
+
+  def bof5(dt: Int): Array[Byte] =
+    rec(0x0809, new W().u16(0x0500).u16(dt).u16(0x0DBB).u16(0x07CC).result)
+  def boundSheet5(pos: Int, name: String): Array[Byte] =
+    rec(0x0085, new W().i32(pos).u8(0).u8(0).u8(name.length).ascii(name).result)
+  def label5(row: Int, col: Int, s: String): Array[Byte] =
+    rec(0x0204, new W().u16(row).u16(col).u16(0).u16(s.length).ascii(s).result)
+  def sheet5(cells: Array[Byte]*): Array[Byte] =
+    new W().raw(bof5(0x0010)).raw(cells.flatten.toArray).raw(eof).result
+
+  def workbook5(sheets: Seq[(String, Array[Byte])]): Array[Byte] = {
+    def globals(positions: Seq[Int]): Array[Byte] = {
+      val w = new W().raw(bof5(0x0005))
+      positions.zip(sheets.map(_._1)).foreach { case (p, n) => w.raw(boundSheet5(p, n)) }
+      w.raw(eof).result
+    }
+    val gLen = globals(Seq.fill(sheets.length)(0)).length
+    val positions = sheets.map(_._2).scanLeft(gLen)((acc, s) => acc + s.length).init
+    val w = new W().raw(globals(positions))
+    sheets.foreach { case (_, s) => w.raw(s) }
+    w.result
+  }
+
   // ---- CFB container ----
 
   private val Free = 0xFFFFFFFF
@@ -147,12 +172,13 @@ object BiffFixtures {
     val w = new W(); a.foreach(w.i32); w.result
   }
 
-  /** Wrap `stream` as the `Workbook` stream of a CFB file. Streams
-    * under 4096 bytes go through the mini-stream path (mini-FAT +
-    * 64-byte sectors inside the root entry), like real small .xls
-    * files; larger streams use a regular FAT chain.
+  /** Wrap `stream` as the workbook stream of a CFB file ("Workbook"
+    * for BIFF8; BIFF5 files name it "Book"). Streams under 4096 bytes
+    * go through the mini-stream path (mini-FAT + 64-byte sectors
+    * inside the root entry), like real small .xls files; larger
+    * streams use a regular FAT chain.
     */
-  def cfb(stream: Array[Byte]): Array[Byte] =
+  def cfb(stream: Array[Byte], streamName: String = "Workbook"): Array[Byte] =
     if (stream.length < 4096) {
       val mini = pad(stream, 64)
       val nMini = mini.length / 64
@@ -165,7 +191,7 @@ object BiffFixtures {
       val miniFat = Array.fill(128)(Free)
       (0 until nMini).foreach(i => miniFat(i) = if (i == nMini - 1) End else i + 1)
       val dir = dirEntry("Root Entry", 5, 3, mini.length, child = 1) ++
-        dirEntry("Workbook", 2, 0, stream.length, child = Free) ++
+        dirEntry(streamName, 2, 0, stream.length, child = Free) ++
         new Array[Byte](256)
       header(1, 1, 2, 1) ++ ints(fat) ++ dir ++ ints(miniFat) ++ container
     } else {
@@ -177,7 +203,7 @@ object BiffFixtures {
       fat(0) = FatSect; fat(1) = End
       (0 until nd).foreach(i => fat(2 + i) = if (i == nd - 1) End else 3 + i)
       val dir = dirEntry("Root Entry", 5, End, 0, child = 1) ++
-        dirEntry("Workbook", 2, 2, stream.length, child = Free) ++
+        dirEntry(streamName, 2, 2, stream.length, child = Free) ++
         new Array[Byte](256)
       header(1, 1, End, 0) ++ ints(fat) ++ dir ++ data
     }
@@ -249,6 +275,20 @@ class BiffSpec extends AnyFunSuite {
     assert(wb.length >= 4096, "fixture must exercise the non-mini path")
     val r = rows(cfb(wb))
     assert(r.length == 400 && r(0) == Vector("0") && r(399) == Vector("3990"))
+  }
+
+  test("BIFF5 .xls ('Book' stream, byte strings, no SST) decodes through the same reader") {
+    val wb = workbook5(Seq(
+      "Data" -> sheet5(
+        label5(0, 0, "Name"), label5(0, 1, "Qty"),
+        label5(1, 0, "Acmé"), number(1, 1, 12.0), // 0xE9 byte: Latin-1 branch
+        label5(2, 0, "Bolt"), rkInt(2, 1, -3)),
+      "Second" -> sheet5(label5(0, 0, "WRONG SHEET"))))
+    val r = rows(cfb(wb, streamName = "Book"))
+    assert(r == Vector(
+      Vector("Name", "Qty"),
+      Vector("Acmé", "12"),
+      Vector("Bolt", "-3")))
   }
 
   test("BiffConverter writes QUOTE_NONNUMERIC CSV; non-CFB bytes fall through to passthrough") {
