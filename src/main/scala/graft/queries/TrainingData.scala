@@ -1287,6 +1287,52 @@ object TrainingData {
     }
   )
 
+  /** Per-document character-distribution diversity (Simpson index,
+    * distinct code points, top-char ratio) — a repetition/padding
+    * quality signal computed MAP-ONLY by the native
+    * [[graft.functions.CharDiversityExpr]] kernel (one pass per doc
+    * inside whole-stage codegen; no per-character explode/shuffle, so
+    * the 100 TB shape is a scan+project). The oracle re-derives the
+    * same values the heavy way (per-char unnest + group) with the Σp²
+    * fold in ascending code-point order — rational arithmetic only
+    * (house rule: no cross-engine transcendentals), so the compare is
+    * bit-exact.
+    */
+  val td35CharDiversity = Query(
+    "td35_char_diversity",
+    Some("""WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS x
+            |           FROM documents WHERE LENGTH(text) > 0),
+            |c AS (SELECT doc_id, ord(x) AS cp, CAST(COUNT(*) AS DOUBLE) AS cnt
+            |      FROM ch GROUP BY doc_id, ord(x)),
+            |t AS (SELECT doc_id, SUM(cnt) AS n, MAX(cnt) AS mx,
+            |             CAST(COUNT(*) AS DOUBLE) AS nd
+            |      FROM c GROUP BY doc_id),
+            |s AS (SELECT c.doc_id,
+            |        list_reduce(list_prepend(0.0::DOUBLE,
+            |          list((cnt / n) * (cnt / n) ORDER BY cp)), (a, b) -> a + b) AS sq
+            |      FROM c JOIN t USING (doc_id) GROUP BY c.doc_id, t.n)
+            |SELECT d.doc_id,
+            |  COALESCE(1.0 - s.sq, 0.0) AS simpson,
+            |  CAST(COALESCE(t.nd, 0.0) AS INT) AS n_distinct,
+            |  COALESCE(t.mx / t.n, 0.0) AS top_ratio
+            |FROM documents d
+            |LEFT JOIN t USING (doc_id) LEFT JOIN s ON d.doc_id = s.doc_id
+            |ORDER BY d.doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      graft.functions.CharDiversity.register(spark)
+      val d = graft.functions.CharDiversity(col("text"))
+      t.documents
+        .select(col("doc_id"), d.as("div"))
+        .select(
+          col("doc_id"),
+          element_at(col("div"), 1).as("simpson"),
+          element_at(col("div"), 2).cast("int").as("n_distinct"),
+          element_at(col("div"), 3).as("top_ratio"))
+        .orderBy("doc_id")
+    }
+  )
+
   /** Benchmark-contamination check (decontamination shape): fraction
     * of each training document's word 5-grams that appear anywhere in
     * a "benchmark" document set (stand-in: every 50th doc). One gram
@@ -2239,6 +2285,6 @@ object TrainingData {
     td24MixWeights, td25Boilerplate, dd09Containment,
     ss06SemanticDedup, td26LexicalDiversity, td27LengthBand,
     td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
-    dd10PrefixJaccard, td33SourceCap, td34RollingExact
+    dd10PrefixJaccard, td33SourceCap, td34RollingExact, td35CharDiversity
   )
 }

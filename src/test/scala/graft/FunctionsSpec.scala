@@ -140,4 +140,30 @@ class FunctionsSpec extends SparkSpec {
     assert(Functions.containsMarker(bad, "Invalid Event ID"))
     assert(!Functions.containsMarker(good, "Invalid Event ID"))
   }
+
+  test("char_diversity kernel matches a naive reference; empty and surrogate-pair inputs") {
+    import graft.functions.CharDiversity
+    CharDiversity.register(spark)
+    def naive(s: String): (Double, Double, Double) = {
+      if (s.isEmpty) return (0.0, 0.0, 0.0)
+      val cps = s.codePoints().toArray
+      val counts = cps.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = cps.length.toDouble
+      // ascending code point, strict left fold from 0.0 — the pinned order
+      var sq = 0.0
+      counts.toSeq.sortBy(_._1).foreach { case (_, c) => val p = c / n; sq += p * p }
+      (1.0 - sq, counts.size.toDouble, counts.values.max / n)
+    }
+    val inputs = Seq("", "aaaa", "abab", "abcd", "aab bcc\nd", "a😀b😀",
+      "The quick brown fox", "xxxxxxxxxxy")
+    val got = inputs.toDF("s")
+      .select(CharDiversity(org.apache.spark.sql.functions.col("s")).as("d"))
+      .collect().map(_.getSeq[Double](0))
+    inputs.zip(got).foreach { case (s, Seq(sim, nd, top)) =>
+      val (esim, end, etop) = naive(s)
+      assert(sim == esim && nd == end && top == etop, s"input '$s'")
+    }
+    // null stays null
+    assert(Seq[String](null).toDF("s").select(CharDiversity(org.apache.spark.sql.functions.col("s"))).head().isNullAt(0))
+  }
 }

@@ -264,6 +264,19 @@ class PlanSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getInt(3) <= 3))
   }
 
+  test("char-diversity quality scan is map-only whole-stage codegen (no explode, no shuffle)") {
+    // the kernel's reason to exist: the oracle derives the same values
+    // with a per-character unnest + two aggregations, but the engine
+    // side must stay scan → project (sort only for the output order)
+    val df = TrainingData.td35CharDiversity.build(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Generate") && !p.contains("HashAggregate"),
+      s"char_diversity must not explode or aggregate per character:\n$p")
+    assert(p.contains("char_diversity"), p)
+    assert(p.contains("codegen id"), s"kernel must stay inside whole-stage codegen:\n$p")
+  }
+
   test("stored IVF index search prunes to the probed clusters' partitions, bit-equal to in-memory") {
     import graft.operators.Ivf
     val emb = Tables(spark, sf).embeddings
