@@ -291,6 +291,17 @@ class BiffSpec extends AnyFunSuite {
       Vector("Bolt", "-3")))
   }
 
+  test("default converter chain: XlsxConverter routes BIFF bytes through the real decoder") {
+    val dir = Files.createTempDirectory("graft-chain")
+    val xls = dir.resolve("f.xls")
+    Files.write(xls, importXls)
+    // the importer's default converter must decode legacy .xls, not
+    // pass the binary through
+    val csv = new graft.ingest.XlsxConverter().toCsv(xls)
+    val text = new String(Files.readAllBytes(csv), "UTF-8")
+    assert(text.startsWith("\"EventID\",\"Company Name\",\"Flag\"\n"), text.take(80))
+  }
+
   test("BiffConverter writes QUOTE_NONNUMERIC CSV; non-CFB bytes fall through to passthrough") {
     val dir = Files.createTempDirectory("graft-biff-conv")
     val xls = dir.resolve("f.xls")
