@@ -47,4 +47,67 @@ object Packing {
         }
       }
   }
+
+  /** Token-budget data selection: keep documents best-score-first until
+    * a total cost budget is exhausted — the "train on the best N
+    * tokens" subset step of a data pipeline.
+    *
+    * The naive form is `SUM(cost) OVER (ORDER BY score DESC, id)` —
+    * an UN-PARTITIONED window, which Spark executes as a single task
+    * holding the whole corpus's running sum: the classic global-window
+    * scale trap. This implementation uses the same two-pass rank
+    * arithmetic as [[Quantiles.rankedPercentiles]]: one range-
+    * partitioned sort by (score desc, id), per-partition cost totals
+    * (ONE row per partition) prefix-summed on the driver, then a
+    * partition-local running sum seeded with the partition's offset.
+    * Partitions whose offset already exceeds the budget emit nothing
+    * without scanning; within the boundary partition the scan stops at
+    * the budget. Costs are integral, so every cumulative sum is EXACT
+    * (no float-order concerns) and the result is bit-identical to the
+    * window form under any partitioning.
+    *
+    * @param df one row per item; `idCol` unique (the deterministic
+    *   tiebreak), `costCol` integral and non-negative, `scoreCol`
+    *   non-null (higher = kept first).
+    * @return (idCol, cost, cum) for every kept item: cum ≤ budget,
+    *   where cum includes the row's own cost.
+    */
+  def budgetSelect(
+      df: DataFrame,
+      idCol: String,
+      costCol: String,
+      scoreCol: String,
+      budget: Long
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    // frozen once: both passes must observe the same partitioning
+    val sorted = df
+      .select(col(scoreCol).cast("double").as("s"), col(idCol).cast("long").as("i"),
+        col(costCol).cast("long").as("c"))
+      .repartitionByRange(parts, col("s").desc, col("i").asc)
+      .sortWithinPartitions(col("s").desc, col("i").asc)
+      .as[(Double, Long, Long)]
+      .localCheckpoint()
+    // pass 1: one (pid, totalCost) row per partition — control-plane
+    val partCost = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var t = 0L; it.foreach(t += _._3); Iterator.single((pid, t))
+      }
+      .collect()
+      .sortBy(_._1)
+    val offsets = new Array[Long](partCost.length)
+    var acc = 0L
+    partCost.foreach { case (pid, t) => offsets(pid) = acc; acc += t }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    // pass 2: partition-local running sum + offset = global cumsum;
+    // whole partitions beyond the budget are skipped outright
+    val picked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bcOff.value(pid)
+      if (cum > budget) Iterator.empty
+      else it.map { case (_, i, c) => cum += c; (i, c, cum) }.takeWhile(_._3 <= budget)
+    }
+    spark.createDataset(picked).toDF(idCol, "cost", "cum")
+  }
 }

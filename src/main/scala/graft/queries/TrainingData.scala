@@ -1333,6 +1333,46 @@ object TrainingData {
     }
   )
 
+  /** Token-budget subset selection: keep the highest-lexical-diversity
+    * documents until a 20k-token budget is spent — the "train on the
+    * best N tokens" pipeline step. The oracle is the naive
+    * un-partitioned window cumsum (`SUM OVER (ORDER BY ttr DESC,
+    * doc_id)`); the engine side is [[graft.operators.Packing
+    * .budgetSelect]] — range-sort + per-partition offsets, no global
+    * single-task window — and integral costs make every cumulative sum
+    * exact, so the two forms compare bit-identically.
+    */
+  val td36BudgetSelect = Query(
+    "td36_budget_select",
+    Some("""WITH t AS (
+            |  SELECT doc_id,
+            |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            |         ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
+            |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+            |         ELSE CAST(LEN(list_distinct(regexp_split_to_array(TRIM(text), '\s+'))) AS DOUBLE)
+            |              / LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS ttr
+            |  FROM documents),
+            |s AS (SELECT doc_id, n_tokens,
+            |        SUM(n_tokens) OVER (ORDER BY ttr DESC, doc_id) AS cum
+            |      FROM t)
+            |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+            |  CAST(cum AS BIGINT) AS cum_tokens
+            |FROM s WHERE cum <= 20000 ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val trimmed = trim(col("text"))
+      val toks = when(length(trimmed) === 0, lit(0))
+        .otherwise(size(split(trimmed, "\\s+")))
+      val ttr = when(length(trimmed) === 0, lit(0.0))
+        .otherwise(size(array_distinct(split(trimmed, "\\s+"))).cast("double") /
+          size(split(trimmed, "\\s+")))
+      val scored = t.documents.select(col("doc_id"), toks.as("n_tokens"), ttr.as("ttr"))
+      graft.operators.Packing.budgetSelect(scored, "doc_id", "n_tokens", "ttr", 20000L)
+        .select(col("doc_id"), col("cost").as("n_tokens"), col("cum").as("cum_tokens"))
+        .orderBy("doc_id")
+    }
+  )
+
   /** Benchmark-contamination check (decontamination shape): fraction
     * of each training document's word 5-grams that appear anywhere in
     * a "benchmark" document set (stand-in: every 50th doc). One gram
@@ -2285,6 +2325,7 @@ object TrainingData {
     td24MixWeights, td25Boilerplate, dd09Containment,
     ss06SemanticDedup, td26LexicalDiversity, td27LengthBand,
     td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
-    dd10PrefixJaccard, td33SourceCap, td34RollingExact, td35CharDiversity
+    dd10PrefixJaccard, td33SourceCap, td34RollingExact, td35CharDiversity,
+    td36BudgetSelect
   )
 }

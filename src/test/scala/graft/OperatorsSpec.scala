@@ -701,6 +701,32 @@ class OperatorsSpec extends SparkSpec {
     assert(viaRank(li.repartition(7)) == agg, "ranks are global — partitioning must not matter")
   }
 
+  test("budgetSelect equals the global-window cumsum, partition-invariant, exact boundary") {
+    import graft.operators.Packing
+    import org.apache.spark.sql.expressions.Window
+    // scores with heavy ties (forcing the id tiebreak) + zero costs
+    val rows = (0L until 400L).map(i => (i, (i % 7) + (if (i % 13 == 0) 0L else 1L), (i % 5).toDouble / 4.0))
+    val df = rows.toDF("id", "cost", "score")
+    val budget = 600L
+    def viaWindow = df
+      .withColumn("cum", sum("cost").over(Window.orderBy(desc("score"), asc("id"))))
+      .filter(col("cum") <= budget)
+      .select("id", "cost", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    def viaSelect(d: org.apache.spark.sql.DataFrame) =
+      Packing.budgetSelect(d, "id", "cost", "score", budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val expected = viaWindow
+    assert(expected.nonEmpty && expected.size < rows.size, "budget must cut mid-corpus")
+    assert(viaSelect(df) == expected)
+    assert(viaSelect(df.repartition(11)) == expected, "global cumsum must not depend on partitioning")
+    // boundary: a row landing exactly on the budget is kept
+    val exact = Seq((1L, 10L, 3.0), (2L, 10L, 2.0), (3L, 10L, 1.0)).toDF("id", "cost", "score")
+    val kept = Packing.budgetSelect(exact, "id", "cost", "score", 20L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L), "cum == budget keeps the row; the next row is cut")
+  }
+
   test("blocked cosine kernels: any block count is bit-identical to a single block") {
     // block-pair shuffle vs the degenerate 1-block run (all pairs in
     // one group) — per-pair IEEE arithmetic is block-independent, so
