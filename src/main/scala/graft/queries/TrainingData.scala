@@ -1373,6 +1373,54 @@ object TrainingData {
     }
   )
 
+  /** Deterministic negative sampling for contrastive training: each
+    * vector gets k pseudo-random negatives, `neg = fmix64(hash("id_j"))
+    * mod N` with a +1 self-collision bump — reproducible across runs
+    * and partitionings because the "randomness" is the same mixed hash
+    * the sketches use (and the oracle replays it in HUGEINT). Scale
+    * shape: a map-only expansion (k rows per vector, no shuffle) plus
+    * ONE equi-join on `neg_id` to attach the negative's metadata —
+    * never a cross join or per-row sampling loop. Requires dense ids
+    * 0..N−1 (the generator's contract for `embeddings.vec_id`).
+    */
+  val td37NegativeSamples = Query(
+    "td37_negative_samples", {
+      val fold = foldSql("CONCAT(vec_id, '_', j)")
+      Some(
+        s"""WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+           |k AS (SELECT vec_id, i AS j FROM embeddings, UNNEST(range(1, 4)) t(i)),
+           |h0 AS (SELECT vec_id, j, ($fold) AS u0 FROM k),
+           |h AS (SELECT vec_id, j, ${fmixSql("u0")} AS u FROM h0),
+           |sgn AS (SELECT vec_id, j, ${toSignedSql("u")} AS s FROM h),
+           |m AS (SELECT vec_id, j,
+           |        CAST(((s % cnt) + cnt) % cnt AS BIGINT) AS neg0 FROM sgn, n),
+           |x AS (SELECT vec_id, j,
+           |        CASE WHEN neg0 = vec_id THEN (neg0 + 1) % cnt ELSE neg0 END AS neg_id
+           |      FROM m, n)
+           |SELECT x.vec_id, x.j, x.neg_id, e.label AS neg_label
+           |FROM x JOIN embeddings e ON e.vec_id = x.neg_id
+           |ORDER BY x.vec_id, x.j""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      graft.functions.MixedHash64.register(spark)
+      val n = t.embeddings.agg(count(lit(1)).as("cnt"))
+      val expanded = t.embeddings.select(col("vec_id"))
+        .crossJoin(broadcast(n))
+        .select(col("vec_id"), explode(sequence(lit(1L), lit(3L))).as("j"), col("cnt"))
+      val h = graft.functions.MixedHash64(
+        concat(col("vec_id").cast("string"), lit("_"), col("j").cast("string")))
+      val neg0 = pmod(h, col("cnt"))
+      val withNeg = expanded.select(col("vec_id"), col("j"),
+        when(neg0 === col("vec_id"), pmod(neg0 + 1, col("cnt"))).otherwise(neg0).as("neg_id"))
+      withNeg
+        .join(t.embeddings.select(col("vec_id").as("neg_id"), col("label").as("neg_label")),
+          "neg_id")
+        .select("vec_id", "j", "neg_id", "neg_label")
+        .orderBy("vec_id", "j")
+    }
+  )
+
   /** Benchmark-contamination check (decontamination shape): fraction
     * of each training document's word 5-grams that appear anywhere in
     * a "benchmark" document set (stand-in: every 50th doc). One gram
@@ -2326,6 +2374,6 @@ object TrainingData {
     ss06SemanticDedup, td26LexicalDiversity, td27LengthBand,
     td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
     dd10PrefixJaccard, td33SourceCap, td34RollingExact, td35CharDiversity,
-    td36BudgetSelect
+    td36BudgetSelect, td37NegativeSamples
   )
 }

@@ -727,6 +727,19 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Seq(1L, 2L), "cum == budget keeps the row; the next row is cut")
   }
 
+  test("negative samples: k per vector, never self, ids in range, partition-deterministic") {
+    val df = graft.queries.TrainingData.td37NegativeSamples.build(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nVec = Tables(spark, sf).embeddings.count()
+    assert(rows.length == 3 * nVec, "exactly k=3 negatives per vector")
+    assert(rows.forall { case (v, _, neg) => neg != v }, "a vector must never be its own negative")
+    assert(rows.forall { case (_, _, neg) => neg >= 0 && neg < nVec }, "negatives stay in id range")
+    // same hash, same negatives — reproducible across runs
+    val again = graft.queries.TrainingData.td37NegativeSamples.build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("blocked cosine kernels: any block count is bit-identical to a single block") {
     // block-pair shuffle vs the degenerate 1-block run (all pairs in
     // one group) — per-pair IEEE arithmetic is block-independent, so
