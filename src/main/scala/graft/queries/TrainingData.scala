@@ -1421,6 +1421,46 @@ object TrainingData {
     }
   )
 
+  /** Deterministic epoch shuffle + sharding: each document's (shard,
+    * position) for an epoch comes from the mixed hash of
+    * `"ep{epoch}_{doc_id}"` — a different but fully reproducible order
+    * every epoch, the way a training loader reshuffles between passes
+    * without any stateful RNG. Scale shape: hash + pmod are map-only;
+    * the position rank is a window PARTITIONED BY (epoch, shard), so
+    * ranking parallelizes across shards (the shard count is the
+    * parallelism knob — there is no global ordering anywhere).
+    */
+  val td38EpochShuffle = Query(
+    "td38_epoch_shuffle", {
+      val fold = foldSql("CONCAT('ep', epoch, '_', doc_id)")
+      Some(
+        s"""WITH k AS (SELECT doc_id, e AS epoch FROM documents, UNNEST(range(0, 2)) t(e)),
+           |h0 AS (SELECT doc_id, epoch, ($fold) AS u0 FROM k),
+           |hm AS (SELECT doc_id, epoch, ${fmixSql("u0")} AS u FROM h0),
+           |s AS (SELECT doc_id, epoch, ${toSignedSql("u")} AS h FROM hm),
+           |sh AS (SELECT doc_id, epoch, h, ((h % 8) + 8) % 8 AS shard FROM s)
+           |SELECT epoch, shard, doc_id,
+           |  ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS pos
+           |FROM sh ORDER BY epoch, shard, pos""".stripMargin)
+    },
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      graft.functions.MixedHash64.register(spark)
+      val base = t.documents.select(col("doc_id"),
+        explode(sequence(lit(0L), lit(1L))).as("epoch"))
+      val h = graft.functions.MixedHash64(
+        concat(lit("ep"), col("epoch").cast("string"), lit("_"), col("doc_id").cast("string")))
+      val sharded = base.select(col("doc_id"), col("epoch"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+      val w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+      sharded
+        .withColumn("pos", row_number().over(w))
+        .select("epoch", "shard", "doc_id", "pos")
+        .orderBy("epoch", "shard", "pos")
+    }
+  )
+
   /** Benchmark-contamination check (decontamination shape): fraction
     * of each training document's word 5-grams that appear anywhere in
     * a "benchmark" document set (stand-in: every 50th doc). One gram
@@ -2374,6 +2414,6 @@ object TrainingData {
     ss06SemanticDedup, td26LexicalDiversity, td27LengthBand,
     td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
     dd10PrefixJaccard, td33SourceCap, td34RollingExact, td35CharDiversity,
-    td36BudgetSelect, td37NegativeSamples
+    td36BudgetSelect, td37NegativeSamples, td38EpochShuffle
   )
 }

@@ -740,6 +740,24 @@ class OperatorsSpec extends SparkSpec {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("epoch shuffle: every doc placed once per epoch; epochs reorder; reproducible") {
+    val rows = graft.queries.TrainingData.td38EpochShuffle.build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val nDocs = Tables(spark, sf).documents.count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    byEpoch.foreach { case (e, rs) =>
+      assert(rs.map(_._3).distinct.length == nDocs, s"epoch $e must place every doc exactly once")
+      // positions are dense 1..count within each shard
+      rs.groupBy(_._2).foreach { case (_, shardRows) =>
+        assert(shardRows.map(_._4).sorted.toSeq == (1 to shardRows.length))
+      }
+    }
+    // different epochs must actually reshuffle (orders differ)
+    def order(e: Long) = byEpoch(e).sortBy(r => (r._2, r._4)).map(_._3).toSeq
+    assert(order(0L) != order(1L), "epochs must produce different orders")
+  }
+
   test("blocked cosine kernels: any block count is bit-identical to a single block") {
     // block-pair shuffle vs the degenerate 1-block run (all pairs in
     // one group) — per-pair IEEE arithmetic is block-independent, so
