@@ -46,7 +46,10 @@ object Cfb {
     val firstMiniFat = i32(bytes, 60)
     val firstDifat = i32(bytes, 68)
 
-    def sectorOffset(sid: Int): Int = (sid + 1) * sectorSize
+    // offsets in Long: a corrupt sector id near 2^31/sectorSize would
+    // wrap Int arithmetic into a small "valid" offset and silently read
+    // the wrong bytes
+    def sectorOffset(sid: Int): Long = (sid + 1L) * sectorSize
     def validSid(sid: Int): Boolean =
       sid >= 0 && sectorOffset(sid) + sectorSize <= bytes.length
 
@@ -56,8 +59,11 @@ object Cfb {
     while (o < 512) { val v = i32(bytes, o); if (v >= 0) fatSids += v; o += 4 }
     var difat = firstDifat
     var difatGuard = 0
-    while (validSid(difat) && difatGuard < MaxChain) {
-      val base = sectorOffset(difat)
+    // bounded by the file size (a DIFAT cycle cannot name more sectors
+    // than the file holds), not just the iteration guard
+    val maxDifat = bytes.length / sectorSize + 1
+    while (validSid(difat) && difatGuard < maxDifat) {
+      val base = sectorOffset(difat).toInt
       var i = 0
       while (i < sectorSize - 4) { val v = i32(bytes, base + i); if (v >= 0) fatSids += v; i += 4 }
       difat = i32(bytes, base + sectorSize - 4)
@@ -68,18 +74,25 @@ object Cfb {
     var fi = 0
     fatSids.foreach { sid =>
       if (!validSid(sid)) return None
-      val base = sectorOffset(sid)
+      val base = sectorOffset(sid).toInt
       var i = 0
       while (i < entriesPerSector) { fat(fi) = i32(bytes, base + i * 4); fi += 1; i += 1 }
     }
 
-    /** Concatenated bytes of a regular-sector chain, truncated to `size`. */
+    /** Concatenated bytes of a regular-sector chain, truncated to
+      * `size`. The accumulated length is additionally capped at the
+      * FILE length: a cyclic FAT chain in a corrupt/hostile file must
+      * produce a bounded buffer (and fall through to the fallback
+      * converter), not an OutOfMemoryError — no legitimate stream is
+      * larger than its container.
+      */
     def chainBytes(start: Int, size: Long): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
+      val cap = math.min(size, bytes.length.toLong)
       var sid = start
       var guard = 0
-      while (sid != EndOfChain && validSid(sid) && guard < MaxChain && out.size < size) {
-        out.write(bytes, sectorOffset(sid), sectorSize)
+      while (sid != EndOfChain && validSid(sid) && guard < MaxChain && out.size < cap) {
+        out.write(bytes, sectorOffset(sid).toInt, sectorSize)
         sid = if (sid < fat.length) fat(sid) else EndOfChain
         guard += 1
       }
@@ -259,7 +272,10 @@ object Biff {
         case RecContinue if collectingSst =>
           sstChunks += java.util.Arrays.copyOfRange(wb, body, body + len)
         case RecBoundSheet =>
-          if (firstSheetPos < 0) firstSheetPos = i32(wb, body)
+          // first WORKSHEET (dt byte 0x00) — chart/macro sheets are
+          // skipped, like pd.read_excel resolving sheet index 0
+          if (firstSheetPos < 0 && len >= 6 && (wb(body + 5) & 0xFF) == 0)
+            firstSheetPos = i32(wb, body)
           collectingSst = false
         case _ => collectingSst = false
       }

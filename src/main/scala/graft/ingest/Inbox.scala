@@ -119,17 +119,23 @@ final class InboxProcessor(
     * dot-dir.
     */
   private[ingest] def safeName(filename: String): String = {
-    val base = filename.replace('\\', '/').split('/')
+    // clean (NULs, outer whitespace) BEFORE the dot-dir filter: a name
+    // like "..\u0000" or ".. " must not sanitize back into ".." after
+    // the filter already ran
+    val base = filename.filterNot(_ == '\u0000').replace('\\', '/').split('/')
+      .map(_.trim)
       .filter(s => s.nonEmpty && s != "." && s != "..")
       .lastOption.getOrElse("attachment")
-    val cleaned = base.filterNot(_ == '\u0000').trim
-    if (cleaned.isEmpty) "attachment" else cleaned
+    if (base.isEmpty || base == "." || base == "..") "attachment" else base
   }
 
   /** Write without clobbering: same-day same-name attachments from
     * DIFFERENT messages must both survive, so on collision a `_n`
     * suffix is added before the extension; `CREATE_NEW` makes the
-    * exists-check-then-write race-safe.
+    * exists-check-then-write race-safe. A collision with IDENTICAL
+    * bytes reuses the existing file instead — reprocessing a message
+    * whose relabel failed transiently stays idempotent rather than
+    * feeding the importer duplicate copies.
     */
   private def writeFresh(dir: Path, name: String, data: Array[Byte]): Path = {
     val dot = name.lastIndexOf('.')
@@ -138,7 +144,11 @@ final class InboxProcessor(
     while (true) {
       val candidate = dir.resolve(if (i == 0) name else s"${stem}_$i$ext")
       try return Files.write(candidate, data, java.nio.file.StandardOpenOption.CREATE_NEW)
-      catch { case _: java.nio.file.FileAlreadyExistsException => i += 1 }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (java.util.Arrays.equals(Files.readAllBytes(candidate), data)) return candidate
+          i += 1
+      }
     }
     throw new IllegalStateException("unreachable")
   }

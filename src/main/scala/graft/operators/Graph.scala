@@ -45,10 +45,12 @@ object Graph {
     * set the probe touches a handful of partitions instead of paying a
     * full count() pass just to pick a code path.
     */
-  private[graft] def edgeCountExceeds(df: DataFrame, threshold: Long): Boolean = {
-    val probe = math.min(threshold + 1L, Int.MaxValue.toLong).toInt
-    df.limit(probe).count() > threshold
-  }
+  private[graft] def edgeCountExceeds(df: DataFrame, threshold: Long): Boolean =
+    // limit() takes an Int; beyond that a capped probe could never
+    // exceed the threshold (silently inverting the branch), so fall
+    // back to the exact count for astronomically large thresholds
+    if (threshold >= Int.MaxValue) df.count() > threshold
+    else df.limit(threshold.toInt + 1).count() > threshold
 
   /** Driver-side union–find with path compression over a collected
     * edge list; component label = min member id (same contract as the

@@ -1321,7 +1321,10 @@ object TrainingData {
     (spark, dir) => {
       val t = Tables(spark, dir)
       graft.functions.CharDiversity.register(spark)
-      val d = graft.functions.CharDiversity(col("text"))
+      // coalesce: the kernel is null-preserving, but the oracle's LEFT
+      // JOIN form yields the empty-string zeros for a NULL text — keep
+      // both sides on the zeros if the generator ever emits NULLs
+      val d = graft.functions.CharDiversity(coalesce(col("text"), lit("")))
       t.documents
         .select(col("doc_id"), d.as("div"))
         .select(
@@ -1440,7 +1443,7 @@ object TrainingData {
            |s AS (SELECT doc_id, epoch, ${toSignedSql("u")} AS h FROM hm),
            |sh AS (SELECT doc_id, epoch, h, ((h % 8) + 8) % 8 AS shard FROM s)
            |SELECT epoch, shard, doc_id,
-           |  ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS pos
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS INT) AS pos
            |FROM sh ORDER BY epoch, shard, pos""".stripMargin)
     },
     (spark, dir) => {

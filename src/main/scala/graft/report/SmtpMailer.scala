@@ -51,6 +51,17 @@ final class SmtpMailer(config: SmtpConfig) extends Mailer {
   private def addrSafe(s: String): String =
     headerSafe(s).replace("<", "").replace(">", "").trim
 
+  /** Content-Disposition filename: simple names stay bare (the
+    * reference's MIMEBase form); anything with spaces, ';', or quotes
+    * is emitted as a QUOTED parameter (quotes stripped inside) so a
+    * name cannot terminate the parameter or smuggle another one.
+    */
+  private def dispositionName(s: String): String = {
+    val safe = headerSafe(s)
+    if (safe.matches("[A-Za-z0-9._-]+")) safe
+    else "\"" + safe.replace("\"", "") + "\""
+  }
+
   /** The full RFC-5322 message, CRLF line endings. */
   def mime(report: RenderedReport): String = {
     val sb = new StringBuilder
@@ -69,7 +80,7 @@ final class SmtpMailer(config: SmtpConfig) extends Mailer {
       line(s"--$Boundary")
       line("Content-Type: application/octet-stream") // MIMEBase (:64-68)
       line("Content-Transfer-Encoding: base64")
-      line(s"Content-Disposition: attachment; filename=${headerSafe(a.name).replace("\"", "")}")
+      line(s"Content-Disposition: attachment; filename=${dispositionName(a.name)}")
       line("")
       line(b64(a.content.getBytes(StandardCharsets.UTF_8)))
     }

@@ -46,8 +46,8 @@ object BiffFixtures {
     w.result
   }
 
-  def boundSheet(pos: Int, name: String): Array[Byte] =
-    rec(0x0085, new W().i32(pos).u8(0).u8(0).u8(name.length).u8(0).ascii(name).result)
+  def boundSheet(pos: Int, name: String, dt: Int = 0): Array[Byte] =
+    rec(0x0085, new W().i32(pos).u8(0).u8(dt).u8(name.length).u8(0).ascii(name).result)
 
   def labelSst(row: Int, col: Int, isst: Int): Array[Byte] =
     rec(0x00FD, new W().u16(row).u16(col).u16(0).i32(isst).result)
@@ -275,6 +275,21 @@ class BiffSpec extends AnyFunSuite {
     assert(wb.length >= 4096, "fixture must exercise the non-mini path")
     val r = rows(cfb(wb))
     assert(r.length == 400 && r(0) == Vector("0") && r(399) == Vector("3990"))
+  }
+
+  test("a leading chart sheet is skipped: the first WORKSHEET boundsheet wins") {
+    // build globals by hand: boundsheet[0] is a chart (dt=2), [1] the
+    // real worksheet — pd.read_excel's sheet 0 is the worksheet
+    val chart = sheet(label(0, 0, "CHART SUBSTREAM"))
+    val data = sheet(label(0, 0, "real"))
+    def globals(p1: Int, p2: Int): Array[Byte] = {
+      val w = new W().raw(bof(0x0005)).raw(rec(0x00FC, sstPayload(Seq())))
+      w.raw(boundSheet(p1, "Chart1", dt = 2)).raw(boundSheet(p2, "Data"))
+      w.raw(eof).result
+    }
+    val gLen = globals(0, 0).length
+    val wb = new W().raw(globals(gLen, gLen + chart.length)).raw(chart).raw(data).result
+    assert(rows(cfb(wb)) == Vector(Vector("real")))
   }
 
   test("BIFF5 .xls ('Book' stream, byte strings, no SST) decodes through the same reader") {
