@@ -173,6 +173,85 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Persist the MinHash LSH index — band postings (partitioned by
+    * band_idx) plus the signatures — so INCREMENTAL dedup never
+    * re-reads or re-sketches the historical corpus: a daily batch
+    * joins its own postings against the stored ones. At 100 TB the
+    * text is the expensive part; the index is ~`numHashes` longs per
+    * document plus narrow posting rows.
+    */
+  def writeLshIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sigs = df
+      .select(col(idCol).as("id"), minHashSignature(col(textCol), k, numHashes).as("sig"))
+      .where(size(col("sig")) > 0)
+      .localCheckpoint()
+    sigs
+      .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("band"))
+      .select(col("id"), col("band.band_idx"), col("band.band_key"))
+      .repartition(col("band_idx"))
+      .write.mode("overwrite").partitionBy("band_idx").parquet(s"$path/bands")
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+  }
+
+  /** Near-duplicate candidates of a NEW batch against a
+    * [[writeLshIndex]]-stored corpus: the batch is sketched and banded
+    * (map-only), then equi-joined against the stored postings on
+    * (band_idx, band_key) — the historical TEXT is never touched, and
+    * the estimate joins the stored signatures only for surviving
+    * candidates. Returns (id_new, id_old, est_jaccard); batch-internal
+    * duplicates are [[minHashCandidates]] over the batch itself.
+    * Same parameters ⇒ the pair estimates are bit-identical to a
+    * full-corpus [[minHashCandidates]] run restricted to cross pairs.
+    */
+  def dedupAgainstIndex(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val spark = newDf.sparkSession
+    val newSigs = newDf
+      .select(col(idCol).as("id"), minHashSignature(col(textCol), k, numHashes).as("sig"))
+      .where(size(col("sig")) > 0)
+      .localCheckpoint()
+    val newBanded = newSigs
+      .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("band"))
+      .select(col("id").as("id_new"), col("band.band_idx"), col("band.band_key"))
+    val stored = spark.read.parquet(s"$path/bands")
+      .select(col("id").as("id_old"), col("band_idx"), col("band_key"))
+    val cand = newBanded
+      .join(stored, Seq("band_idx", "band_key"))
+      .filter(col("id_new") =!= col("id_old"))
+      .select("id_new", "id_old")
+      .distinct()
+    val storedSigs = spark.read.parquet(s"$path/sigs")
+      .select(col("id").as("id_old"), col("sig").as("sig_old"))
+    cand
+      .join(newSigs.select(col("id").as("id_new"), col("sig").as("sig_new")), "id_new")
+      .join(storedSigs, "id_old")
+      .select(
+        col("id_new"), col("id_old"),
+        (graft.functions.VectorKernels.longEqCount(col("sig_new"), col("sig_old"))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   // ── exact n-gram Jaccard ──────────────────────────────────────────
   /** Exact word-k-gram Jaccard for all pairs sharing at least one
     * shingle. shuffle profile: explode shingles (map-side), self-join

@@ -758,6 +758,28 @@ class OperatorsSpec extends SparkSpec {
     assert(order(0L) != order(1L), "epochs must produce different orders")
   }
 
+  test("incremental LSH index: batch-vs-corpus candidates equal the full-corpus cross pairs") {
+    import graft.operators.Dedup
+    // sf0.01 here: enough duplicate clusters that the old/new split
+    // produces cross pairs, so the equality below is non-vacuous
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-idx")
+    Dedup.writeLshIndex(docs.filter(col("doc_id") < 400), "doc_id", "text", s"$dir/idx")
+    val inc = Dedup.dedupAgainstIndex(
+      docs.filter(col("doc_id") >= 400), "doc_id", "text", s"$dir/idx")
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)),
+        r.getDouble(2)))
+      .sorted.toSeq
+    val full = Dedup.minHashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a < 400) != (b < 400) }
+      .sorted.toSeq
+    assert(full.nonEmpty, "the split must cut through duplicate clusters")
+    assert(inc == full,
+      "incremental candidates must be bit-identical to the full run's cross pairs")
+  }
+
   test("blocked cosine kernels: any block count is bit-identical to a single block") {
     // block-pair shuffle vs the degenerate 1-block run (all pairs in
     // one group) — per-pair IEEE arithmetic is block-independent, so
