@@ -76,6 +76,42 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Content fingerprint over the key columns for the incremental
+    * exact-dedup index: md5 of the concatenated keys (the same
+    * fingerprint family td02 oracle-checks).
+    */
+  private def keyFingerprint(keyCols: Seq[String]): Column =
+    md5(concat_ws("", keyCols.map(col): _*))
+
+  /** Persist the distinct content fingerprints of a corpus — the exact
+    * complement of [[writeLshIndex]]: new batches drop their
+    * already-seen rows with [[dropKnownExact]] without re-reading the
+    * historical text (fingerprints are 32 chars per distinct content).
+    * Append mode, so each ingested batch can add its own fingerprints.
+    */
+  def writeFingerprintIndex(
+      df: DataFrame,
+      keyCols: Seq[String],
+      path: String,
+      mode: String = "overwrite"
+  ): Unit =
+    df.select(keyFingerprint(keyCols).as("fp")).distinct()
+      .write.mode(mode).parquet(path)
+
+  /** Rows of `newDf` whose content was NOT seen by the stored
+    * fingerprint index — one anti-join on the 32-char fingerprint, the
+    * cheapest possible cross-batch exact dedup. Batch-internal
+    * duplicates are [[exactDedup]]'s job.
+    */
+  def dropKnownExact(newDf: DataFrame, keyCols: Seq[String], path: String): DataFrame = {
+    val spark = newDf.sparkSession
+    val known = spark.read.parquet(path)
+    newDf
+      .withColumn("__fp", keyFingerprint(keyCols))
+      .join(known, col("__fp") === col("fp"), "left_anti")
+      .drop("__fp")
+  }
+
   // ── MinHash + LSH ─────────────────────────────────────────────────
   /** Deterministic universal-hash parameters for n permutations.
     * Domain is the Mersenne prime 2^31-1 so `a*h + b` stays below

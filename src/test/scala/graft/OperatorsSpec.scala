@@ -758,6 +758,21 @@ class OperatorsSpec extends SparkSpec {
     assert(order(0L) != order(1L), "epochs must produce different orders")
   }
 
+  test("fingerprint index: a new batch drops exactly its already-seen content, append composes") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp-idx")
+    val p = s"$dir/fp"
+    val oldBatch = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    Dedup.writeFingerprintIndex(oldBatch, Seq("text"), p)
+    val newBatch = Seq((10L, "beta"), (11L, "delta"), (12L, "gamma"), (13L, "eps")).toDF("id", "text")
+    val fresh = Dedup.dropKnownExact(newBatch, Seq("text"), p)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(fresh == Seq(11L, 13L), "only never-seen content survives")
+    // append the surviving batch's fingerprints; a re-delivery now drops fully
+    Dedup.writeFingerprintIndex(newBatch, Seq("text"), p, mode = "append")
+    assert(Dedup.dropKnownExact(newBatch, Seq("text"), p).count() == 0)
+  }
+
   test("incremental LSH index: batch-vs-corpus candidates equal the full-corpus cross pairs") {
     import graft.operators.Dedup
     // sf0.01 here: enough duplicate clusters that the old/new split
