@@ -317,6 +317,51 @@ class BiffSpec extends AnyFunSuite {
     assert(text.startsWith("\"EventID\",\"Company Name\",\"Flag\"\n"), text.take(80))
   }
 
+  test("property: random typed grids round-trip through the CFB+BIFF writer and reader") {
+    import org.scalacheck.Gen
+    import scala.collection.mutable
+    val gen = for {
+      nRows <- Gen.chooseNum(1, 12)
+      nCols <- Gen.chooseNum(1, 6)
+      kinds <- Gen.listOfN(nRows * nCols,
+        Gen.oneOf("gap", "num", "int", "bool", "str", "label"))
+    } yield (nRows, nCols, kinds)
+    Iterator.continually(gen.sample).flatten.take(25).foreach { case (nRows, nCols, kinds) =>
+      val sst = ArrayBuffer.empty[String]
+      val cellRecs = ArrayBuffer.empty[Array[Byte]]
+      val expected = mutable.TreeMap.empty[Int, ArrayBuffer[String]]
+      def place(r: Int, c: Int, v: String): Unit = {
+        val row = expected.getOrElseUpdate(r, ArrayBuffer.empty[String])
+        while (row.size <= c) row += ""
+        row(c) = v
+      }
+      for (r <- 0 until nRows; c <- 0 until nCols) kinds(r * nCols + c) match {
+        case "gap" => ()
+        case "num" =>
+          val v = (r * 31 + c) + 0.5
+          cellRecs += number(r, c, v); place(r, c, v.toString)
+        case "int" =>
+          val v = r * 100 - c * 7
+          cellRecs += rkInt(r, c, v); place(r, c, v.toString)
+        case "bool" =>
+          val v = (r + c) % 2 == 0
+          cellRecs += boolErr(r, c, v); place(r, c, if (v) "True" else "False")
+        case "str" =>
+          val s = s"s$r-$c"
+          sst += s; cellRecs += labelSst(r, c, sst.size - 1); place(r, c, s)
+        case "label" =>
+          val s = s"L$r→$c" // wide char: exercises the UTF-16 branch
+          cellRecs += label(r, c, s); place(r, c, s)
+      }
+      if (cellRecs.nonEmpty) {
+        val wb = workbook(sst.toSeq, Seq("Data" -> sheet(cellRecs.toSeq: _*)))
+        val got = rows(cfb(wb))
+        val exp = expected.values.map(_.toVector).toVector
+        assert(got == exp, s"grid ${nRows}x$nCols kinds=$kinds")
+      }
+    }
+  }
+
   test("BiffConverter writes QUOTE_NONNUMERIC CSV; non-CFB bytes fall through to passthrough") {
     val dir = Files.createTempDirectory("graft-biff-conv")
     val xls = dir.resolve("f.xls")
