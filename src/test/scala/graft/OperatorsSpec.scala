@@ -701,6 +701,34 @@ class OperatorsSpec extends SparkSpec {
     assert(viaRank(li.repartition(7)) == agg, "ranks are global — partitioning must not matter")
   }
 
+  test("property: rankedPercentiles equals percentile() on random data with ties and nulls") {
+    import graft.operators.Quantiles
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.chooseNum(5, 120)
+      gs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      // integers ×0.25: heavy ties, negatives, exact halves
+      vs <- Gen.listOfN(n, Gen.chooseNum(-40, 40).map(_ * 0.25))
+      nullIdx <- Gen.listOfN(n / 5, Gen.chooseNum(0, n - 1))
+    } yield (gs.zip(vs), nullIdx.toSet)
+    Iterator.continually(gen.sample).flatten.take(12).foreach { case (rows, nullIdx) =>
+      val data = rows.zipWithIndex.map { case ((g, v), i) =>
+        (g, if (nullIdx(i)) null.asInstanceOf[java.lang.Double] else java.lang.Double.valueOf(v))
+      }
+      val df = data.toDF("g", "v")
+      val viaAgg = df.groupBy("g")
+        .agg(expr("percentile(v, 0.3)").as("p30"), expr("percentile(v, 0.5)").as("p50"))
+        .collect()
+        .flatMap(r => Seq((r.getString(0), 0.3, if (r.isNullAt(1)) null else r.getDouble(1)),
+          (r.getString(0), 0.5, if (r.isNullAt(2)) null else r.getDouble(2))))
+        .filter(_._3 != null) // all-null group: percentile() yields null, ranked drops the group
+        .map(t => (t._1, t._2, t._3.asInstanceOf[Double])).sorted.toSeq
+      val viaRank = Quantiles.rankedPercentiles(df, "g", "v", Seq(0.3, 0.5))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+      assert(viaRank == viaAgg, s"data=$data")
+    }
+  }
+
   test("budgetSelect equals the global-window cumsum, partition-invariant, exact boundary") {
     import graft.operators.Packing
     import org.apache.spark.sql.expressions.Window
