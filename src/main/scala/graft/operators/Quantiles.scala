@@ -33,12 +33,29 @@ object Quantiles {
     * values are all null disappears from the output the same way a
     * null-only group yields a null percentile. Null GROUP KEYS are
     * kept as their own group, like `groupBy` does.
+    *
+    * Two physical paths, picked by MEASURED cardinality (a cheap count
+    * of the per-(partition, group) pairs — range partitioning on
+    * (g, v) keeps that ≈ groups + partitions, since each group spans
+    * contiguous partitions):
+    *   - at or below `maxBroadcastEntries`, offsets ride to the driver
+    *     and back as two broadcast maps (the x24/x32/x33 shape — a few
+    *     groups, no join overhead);
+    *   - above it, nothing group-cardinality-sized ever lands on the
+    *     driver: counts stay a DataFrame, offsets come from a window
+    *     over (g ORDER BY pid), and global ranks are joined, not
+    *     broadcast from a Scala map. Per-source percentiles over
+    *     millions of sources take this path automatically.
+    * Both paths share the sort and the `Percentile` interpolation
+    * arithmetic, so results are bit-identical to each other and to
+    * `expr("percentile(v, p)")`.
     */
   def rankedPercentiles(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
-      ps: Seq[Double]
+      ps: Seq[Double],
+      maxBroadcastEntries: Long = 10000L
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -52,14 +69,35 @@ object Quantiles {
       .sortWithinPartitions("g", "v")
       .as[(String, Double)]
       .localCheckpoint()
-    // pass 1: per-(partition, group) counts — control-plane sized
-    val counts = sorted.rdd
+    // pass 1: per-(partition, group) counts — kept DISTRIBUTED until the
+    // cardinality probe proves they are control-plane sized
+    val countsRdd = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
         it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1) }
         m.iterator.map { case (g, c) => (pid, g, c) }
       }
-      .collect()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEntries = countsRdd.count()
+    val out =
+      if (nEntries > maxBroadcastEntries)
+        distributedPercentiles(sorted.toDF("g", "v"), countsRdd, ps, groupCol)
+      else broadcastPercentiles(sorted, countsRdd.collect(), ps, groupCol)
+    countsRdd.unpersist(blocking = false)
+    out
+  }
+
+  /** Low-cardinality path: offsets via driver prefix sums + broadcast
+    * maps (≤ `maxBroadcastEntries` (pid, group) pairs by construction).
+    */
+  private def broadcastPercentiles(
+      sorted: org.apache.spark.sql.Dataset[(String, Double)],
+      counts: Array[(Int, String, Long)],
+      ps: Seq[Double],
+      groupCol: String
+  ): DataFrame = {
+    val spark = sorted.sparkSession
+    import spark.implicits._
     val totals: Map[String, Long] =
       counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
     val offsets: Map[(Int, String), Long] =
@@ -109,5 +147,82 @@ object Quantiles {
       }
     }
     spark.createDataset(out).toDF(groupCol, "p", "value")
+  }
+
+  /** High-cardinality path: nothing proportional to the number of
+    * groups touches the driver. Offsets = a running sum over the tiny
+    * counts frame, window-partitioned BY GROUP (each window holds only
+    * that group's ≤ partitions rows — no global single-task window);
+    * global ranks reach the data by equi-join on (pid, g) (AQE
+    * broadcasts the counts side while it is small, shuffles when it is
+    * not); the ≤ 2 order statistics per (group, percentile) are kept by
+    * an equi-join on (g, rank) against the wanted-positions frame.
+    */
+  private def distributedPercentiles(
+      sorted: DataFrame,
+      countsRdd: org.apache.spark.rdd.RDD[(Int, String, Long)],
+      ps: Seq[Double],
+      groupCol: String
+  ): DataFrame = {
+    val spark = sorted.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // equi-joins drop null keys, but a null GROUP is a real group (the
+    // broadcast path keeps it) — encode into a never-null key with a
+    // collision-free sentinel prefix, decode on output
+    def enc(g: String): String = if (g == null) "\u0000" else "\u0001" + g
+    val counts = countsRdd.map { case (pid, g, c) => (pid, enc(g), c) }
+      .toDF("pid", "g", "cnt")
+    val offsets = counts.withColumn(
+      "off",
+      coalesce(
+        sum("cnt").over(
+          Window.partitionBy("g").orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val totals = counts.groupBy("g").agg(sum("cnt").as("n"))
+    // wanted 0-based positions: pos = (n−1)·p, keep ranks ⌊pos⌋ and ⌈pos⌉
+    val positions = totals
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("pos", (col("n") - lit(1L)) * col("p"))
+      .withColumn("lo", floor(col("pos")))
+      .withColumn("hi", ceil(col("pos")))
+    val wanted = positions.select(col("g"), explode(array(col("lo"), col("hi"))).as("rank"))
+      .distinct()
+    // local ranks are free (rows arrive grouped + sorted per task);
+    // globalize by joining the per-(pid, g) offset
+    val local = sorted.as[(String, Double)].rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val seen = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { case (g, v) =>
+          val r = seen.getOrElse(g, 0L)
+          seen.update(g, r + 1)
+          (pid, enc(g), r, v)
+        }
+      }
+      .toDF("pid", "g", "lrank", "v")
+    val picked = local
+      .join(offsets.select("pid", "g", "off"), Seq("pid", "g"))
+      .withColumn("rank", col("off") + col("lrank"))
+      .join(wanted, Seq("g", "rank")) // ≤ 2 × groups × percentiles rows survive
+      .select("g", "rank", "v")
+    // Percentile's interpolation, as Spark double expressions — the
+    // same IEEE ops, in the same order, as the broadcast path's Scala
+    val vLo = picked.select(col("g"), col("rank").as("lo"), col("v").as("v_lo"))
+    val vHi = picked.select(col("g"), col("rank").as("hi"), col("v").as("v_hi"))
+    positions
+      .join(vLo, Seq("g", "lo"))
+      .join(vHi, Seq("g", "hi"))
+      .withColumn(
+        "value",
+        when(col("hi") === col("lo"), col("v_lo"))
+          .otherwise(
+            (col("hi").cast("double") - col("pos")) * col("v_lo") +
+              (col("pos") - col("lo").cast("double")) * col("v_hi")))
+      .select(
+        when(col("g") === lit("\u0000"), lit(null).cast("string"))
+          .otherwise(expr("substring(g, 2)")).as(groupCol),
+        col("p"), col("value"))
+      .orderBy(asc_nulls_first(groupCol), col("p"))
   }
 }

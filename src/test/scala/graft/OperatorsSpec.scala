@@ -729,6 +729,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("rankedPercentiles at 100k groups routes distributed and stays bit-identical") {
+    import graft.operators.Quantiles
+    val nGroups = 100000L
+    // 3 values per group, deterministic, with ties and interpolation points
+    val df = spark.range(3 * nGroups)
+      .select((col("id") % nGroups).cast("string").as("g"),
+        ((col("id") / nGroups) * ((col("id") % 17) + lit(1))).cast("double").as("v"))
+    val viaAgg = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("m"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    // default threshold (10k entries) < 100k groups → distributed path
+    val viaRank = Quantiles.rankedPercentiles(df, "g", "v", Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).sorted.toSeq
+    assert(viaRank == viaAgg, "distributed-offsets path must replay percentile() bit-exactly")
+  }
+
+  test("rankedPercentiles distributed and broadcast paths agree, incl. null groups") {
+    import graft.operators.Quantiles
+    val data = Seq(("a", 1.0), ("a", 2.0), ("a", 5.0), ("b", 3.0), ("b", 4.0),
+      (null, 7.0), (null, 9.0))
+    val df = data.toDF("g", "v")
+    val ps = Seq(0.25, 0.5, 0.9)
+    def run(threshold: Long) =
+      Quantiles.rankedPercentiles(df, "g", "v", ps, maxBroadcastEntries = threshold)
+        .collect().map(r => (Option(r.getString(0)), r.getDouble(1), r.getDouble(2)))
+        .sorted.toSeq
+    assert(run(0L) == run(1000000L),
+      "forcing the join path must not change a single bit, null group included")
+  }
+
   test("budgetSelect equals the global-window cumsum, partition-invariant, exact boundary") {
     import graft.operators.Packing
     import org.apache.spark.sql.expressions.Window
