@@ -223,7 +223,8 @@ object Dedup {
       path: String,
       k: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16
+      bands: Int = 16,
+      mode: String = "overwrite"
   ): Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
@@ -235,8 +236,60 @@ object Dedup {
       .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("band"))
       .select(col("id"), col("band.band_idx"), col("band.band_key"))
       .repartition(col("band_idx"))
-      .write.mode("overwrite").partitionBy("band_idx").parquet(s"$path/bands")
-    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+      .write.mode(mode).partitionBy("band_idx").parquet(s"$path/bands")
+    sigs.write.mode(mode).parquet(s"$path/sigs")
+  }
+
+  /** Index maintenance for the incremental dedup indexes — the VACUUM
+    * debt daily appends accumulate (the reference pays it in
+    * maintenance_procedures.sql:56-116). Rewrites `bands/` (preserving
+    * its band_idx partition layout) and `sigs/` into right-sized files;
+    * candidates from [[dedupAgainstIndex]] are unchanged bit-for-bit
+    * (same rows, fewer files).
+    */
+  def compactLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): Seq[graft.ops.Maintenance.CompactionReport] = Seq(
+    graft.ops.Maintenance.compact(spark, s"$path/bands", targetFileBytes,
+      partitionCols = Seq("band_idx")),
+    graft.ops.Maintenance.compact(spark, s"$path/sigs", targetFileBytes))
+
+  /** Compact the exact-dedup fingerprint index: merges append-mode
+    * small files AND re-distincts fingerprints that multiple batches
+    * wrote independently (each batch distincts only itself).
+    */
+  def compactFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): graft.ops.Maintenance.CompactionReport =
+    graft.ops.Maintenance.compact(spark, path, targetFileBytes, dropDuplicates = true)
+
+  /** Append-cadence trigger: compact either index once its parquet file
+    * count exceeds `maxFiles` (≈ batches × partitions since the last
+    * compaction). Returns true when a compaction ran — callers wire
+    * this after each batch append, mirroring the reference's scheduled
+    * VACUUM loop.
+    */
+  def maybeCompactIndexes(
+      spark: org.apache.spark.sql.SparkSession,
+      lshPath: Option[String] = None,
+      fingerprintPath: Option[String] = None,
+      maxFiles: Long = 256L
+  ): Boolean = {
+    val lsh = lshPath.exists { p =>
+      if (graft.ops.Maintenance.parquetFileCount(spark, p) > maxFiles) {
+        compactLshIndex(spark, p); true
+      } else false
+    }
+    val fp = fingerprintPath.exists { p =>
+      if (graft.ops.Maintenance.parquetFileCount(spark, p) > maxFiles) {
+        compactFingerprintIndex(spark, p); true
+      } else false
+    }
+    lsh || fp
   }
 
   /** Near-duplicate candidates of a NEW batch against a

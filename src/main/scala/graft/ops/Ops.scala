@@ -91,10 +91,17 @@ object Retention {
 object Maintenance {
   final case class CompactionReport(filesBefore: Long, filesAfter: Long, rows: Long)
 
+  /** `partitionCols` preserves a `partitionBy` directory layout across
+    * the rewrite (files compact WITHIN each partition dir);
+    * `dropDuplicates` re-distincts content that appended batches may
+    * have written twice (e.g. a fingerprint set composed by appends).
+    */
   def compact(
       spark: SparkSession,
       path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionCols: Seq[String] = Nil,
+      dropDuplicates: Boolean = false
   ): CompactionReport = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -108,15 +115,31 @@ object Maintenance {
       (n, bytes)
     }
     val (before, totalBytes) = fileStats(path)
-    val df = spark.read.parquet(path)
+    val df0 = spark.read.parquet(path)
+    val df = if (dropDuplicates) df0.distinct() else df0
     val rows = df.count()
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = path + ".compact"
-    df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val repartitioned =
+      if (partitionCols.nonEmpty) df.repartition(parts, partitionCols.map(col): _*)
+      else df.repartition(parts)
+    val writer = repartitioned.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
     val (after, _) = fileStats(path)
     CompactionReport(before, after, rows)
+  }
+
+  /** Parquet file count under `path` — the compaction trigger metric. */
+  def parquetFileCount(spark: SparkSession, path: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    var n = 0L
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
   }
 
   /** Z-order clustered rewrite: sort by the Morton code of two

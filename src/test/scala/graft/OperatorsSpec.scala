@@ -852,6 +852,66 @@ class OperatorsSpec extends SparkSpec {
       "incremental candidates must be bit-identical to the full run's cross pairs")
   }
 
+  test("index compaction: K appended batches → fewer files, candidates bit-equal") {
+    import graft.operators.Dedup
+    import graft.ops.Maintenance
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents.localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-idx")
+    val lshP = s"$dir/lsh"
+    val fpP = s"$dir/fp"
+    // 4 appended corpus batches + one RE-DELIVERED batch (each append
+    // distincts only itself, so the re-delivery duplicates every one of
+    // its fingerprints — exactly what compaction's re-distinct removes)
+    (0 until 4).foreach { b =>
+      val batch = docs.filter(col("doc_id") % 4 === b)
+      Dedup.writeLshIndex(batch, "doc_id", "text", lshP,
+        mode = if (b == 0) "overwrite" else "append")
+      Dedup.writeFingerprintIndex(batch, Seq("text"), fpP,
+        mode = if (b == 0) "overwrite" else "append")
+    }
+    Dedup.writeFingerprintIndex(docs.filter(col("doc_id") % 4 === 0),
+      Seq("text"), fpP, mode = "append")
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    def lshCands = Dedup.dedupAgainstIndex(probe, "doc_id", "text", lshP)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    def freshIds = Dedup.dropKnownExact(probe, Seq("text"), fpP)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val (candsBefore, freshBefore) = (lshCands, freshIds)
+    assert(candsBefore.nonEmpty, "probe must hit the index for a non-vacuous check")
+    val filesBefore =
+      (Maintenance.parquetFileCount(spark, lshP), Maintenance.parquetFileCount(spark, fpP))
+    val distinctFpBefore = spark.read.parquet(fpP).distinct().count()
+    assert(spark.read.parquet(fpP).count() > distinctFpBefore,
+      "batches must have written overlapping fingerprints (each distincts only itself)")
+
+    val lshReports = Dedup.compactLshIndex(spark, lshP)
+    val fpReport = Dedup.compactFingerprintIndex(spark, fpP)
+    assert(lshReports.forall(r => r.filesAfter < r.filesBefore))
+    assert(fpReport.filesAfter < fpReport.filesBefore)
+    assert(Maintenance.parquetFileCount(spark, lshP) < filesBefore._1)
+    assert(Maintenance.parquetFileCount(spark, fpP) < filesBefore._2)
+    // bands/ keeps its partitionBy layout (partition pruning still works)
+    val bandDirs = new java.io.File(s"$lshP/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(bandDirs.nonEmpty && bandDirs.forall(_.startsWith("band_idx=")))
+    // compaction must be invisible to readers — same candidates, same
+    // surviving rows; the fingerprint set is now exactly the distinct set
+    assert(lshCands == candsBefore, "LSH candidates changed across compaction")
+    assert(freshIds == freshBefore, "exact-dedup survivors changed across compaction")
+    assert(spark.read.parquet(fpP).count() == distinctFpBefore)
+
+    // trigger: fires only above maxFiles, and compacting resets it
+    assert(!Dedup.maybeCompactIndexes(spark, Some(lshP), Some(fpP), maxFiles = 1000L))
+    (0 until 3).foreach { b =>
+      Dedup.writeFingerprintIndex(docs.filter(col("doc_id") % 4 === b),
+        Seq("text"), fpP, mode = "append")
+    }
+    assert(Dedup.maybeCompactIndexes(spark, fingerprintPath = Some(fpP), maxFiles = 2L))
+    assert(!Dedup.maybeCompactIndexes(spark, fingerprintPath = Some(fpP), maxFiles = 2L),
+      "a fresh compaction must leave the file count at or below the trigger")
+  }
+
   test("blocked cosine kernels: any block count is bit-identical to a single block") {
     // block-pair shuffle vs the degenerate 1-block run (all pairs in
     // one group) — per-pair IEEE arithmetic is block-independent, so
