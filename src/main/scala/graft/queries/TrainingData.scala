@@ -233,6 +233,38 @@ object TrainingData {
     }
   )
 
+  /** dd11: the INCREMENTAL near-dup path as an oracle-checked query.
+    * The corpus (doc_id % 5 <> 0) is indexed once with
+    * [[Dedup.writeLshIndex]]; the batch (doc_id % 5 = 0) is deduped
+    * against the stored band postings without re-reading corpus text —
+    * the daily-append shape. The oracle replays the FULL-corpus MinHash
+    * chain restricted to cross pairs, so a green row is the proof that
+    * indexing loses nothing vs a from-scratch run (same sketch
+    * constants as dd01: k=3, 64 hashes, 16 bands, est ≥ 0.35).
+    */
+  val dd11IncrementalDedup = Query(
+    "dd11_incremental_dedup",
+    Some(
+      s"""WITH $minhashCandCtes
+         |SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS id_new,
+         |       CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS id_old,
+         |       est_jaccard
+         |FROM cand
+         |WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)
+         |ORDER BY id_new, id_old""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft-dd11-idx").toString
+      Dedup.writeLshIndex(
+        t.documents.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", idx)
+      Query.checkpointSort(
+        Dedup.dedupAgainstIndex(
+          t.documents.filter(col("doc_id") % 5 === 0), "doc_id", "text", idx,
+          threshold = 0.35),
+        "id_new", "id_old")
+    }
+  )
+
   /** The complete near-dup pipeline as ONE operator
     * (Dedup.dedupPipeline): MinHash → LSH candidates (est ≥ 0.35) →
     * exact-Jaccard verification on candidates only (≥ 0.5) →
@@ -2417,6 +2449,6 @@ object TrainingData {
     ss06SemanticDedup, td26LexicalDiversity, td27LengthBand,
     td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
     dd10PrefixJaccard, td33SourceCap, td34RollingExact, td35CharDiversity,
-    td36BudgetSelect, td37NegativeSamples, td38EpochShuffle
+    td36BudgetSelect, td37NegativeSamples, td38EpochShuffle, dd11IncrementalDedup
   )
 }
