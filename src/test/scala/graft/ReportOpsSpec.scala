@@ -32,6 +32,35 @@ class ReportOpsSpec extends SparkSpec {
     assert(mailer.sent.size == 1 && mailer.sent.head.recipients == Seq("ops@example.com"))
   }
 
+  test("report render caps rows: marker in grid + CSV, truncation logged, full collect avoided") {
+    import graft.report.{CsvRenderer, HtmlRenderer}
+    spark.range(10000).selectExpr("id", "concat('n', id) AS name")
+      .createOrReplaceTempView("graft_report_big")
+    val mailer = new InMemoryMailer
+    val truncations = scala.collection.mutable.ArrayBuffer.empty[String]
+    val runner = new ReportRunner(spark, mailer, maxRows = 50, onTruncate = truncations += _)
+    val out = runner.run(ReportConfig(
+      reportId = 3, reportName = "big",
+      recipients = Seq("ops@example.com"), subject = "Big",
+      bodyTemplate = "{{g}}",
+      emailBodyQueries = Map("g" -> "SELECT id, name FROM graft_report_big ORDER BY id"),
+      attachmentQueries = Seq(AttachmentQuery("big.csv",
+        "SELECT id, name FROM graft_report_big ORDER BY id")),
+      isActive = true))
+    // 50 data rows (plain <tr><td>) + 1 colspan marker row, not 10k
+    assert(out.htmlBody.sliding(8).count(_ == "<tr><td>") == 50)
+    assert(out.htmlBody.contains(s"""colspan="2">… truncated at 50 rows"""))
+    val csvLines = out.attachments.head.content.linesIterator.toSeq
+    assert(csvLines.size == 52 && csvLines.last == "\"… truncated at 50 rows\"")
+    assert(truncations.size == 2, s"both renders must be logged, got $truncations")
+    // an under-cap frame renders without any marker (full-frame parity)
+    val (html, t1) = HtmlRenderer.gridWithInfo(
+      spark.sql("SELECT id FROM graft_report_big WHERE id < 5"), maxRows = 50)
+    val (csv, t2) = CsvRenderer.renderWithInfo(
+      spark.sql("SELECT id FROM graft_report_big WHERE id < 5"), maxRows = 50)
+    assert(!t1 && !t2 && !html.contains("truncated") && !csv.contains("truncated"))
+  }
+
   test("SmtpMailer delivers the report end-to-end against a stub SMTP server") {
     import graft.report.{SmtpConfig, SmtpMailer}
     // single-connection stub SMTP server, canned replies, captures DATA
