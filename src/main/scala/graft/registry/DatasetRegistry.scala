@@ -12,10 +12,27 @@ import graft.model.{DatasetMeta, DatasetStatus}
   *
   * Invariant (enforced app-side at generic_import.py:280-297 AND by
   * trigger at dataset_setup.sql:193-236 in the reference): at most one
-  * ACTIVE dataset per (label, datasettypeid, datasetdate). Here the
-  * invariant lives in the single writer path: every insert/update is a
-  * serialized read-modify-overwrite of the registry table, which also
-  * closes the SCD-2 `effthrudate` of displaced versions.
+  * ACTIVE dataset per (label, datasettypeid, datasetdate).
+  *
+  * Concurrency: the reference's DB trigger serializes writers from any
+  * number of client processes; a filesystem table needs its own commit
+  * protocol. Every mutation here is optimistic-CAS over versioned
+  * snapshots at `<path>.versions/`:
+  *   1. read the latest COMMITTED snapshot (version v = marker + data);
+  *   2. apply the mutation and write the result to a unique tmp dir;
+  *   3. claim version v+1 by ATOMIC EXCLUSIVE CREATE of
+  *      `commit-{v+1}` (O_EXCL on local filesystems,
+  *      create-no-overwrite on HDFS — both are real cross-process CAS);
+  *   4. the claim winner renames its tmp dir to `data-{v+1}` (a
+  *      destination only the winner may use); losers delete their tmp
+  *      and retry from 1 against the new base.
+  * Readers resolve the highest version whose marker AND data are both
+  * present, so a half-finished commit is invisible. A writer that dies
+  * between claim and rename leaves a data-less marker; later writers
+  * wait a short grace period for its data, then permanently skip the
+  * dead slot (nothing was committed in it, so nothing is lost).
+  * In-JVM threads additionally share `lock` so a single driver never
+  * races itself through the claim loop.
   *
   * Scale: the registry is control-plane metadata — thousands of rows
   * even when the fact tables are 100 TB. It is deliberately a
@@ -25,18 +42,113 @@ import graft.model.{DatasetMeta, DatasetStatus}
   */
 final class DatasetRegistry(spark: SparkSession, path: String) {
   import spark.implicits._
+  import org.apache.hadoop.fs.{Path => HPath}
 
   private val lock = new Object
+  private val versionsDir = path + ".versions"
+  /** Committed snapshots kept for lagging readers before pruning. */
+  private val keepVersions = 16
 
-  def load(): Dataset[DatasetMeta] =
-    if (exists()) spark.read.parquet(path).as[DatasetMeta]
-    else spark.emptyDataset[DatasetMeta]
+  private def fs =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists(): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p)
+  private def commitMarker(v: Long) = new HPath(s"$versionsDir/commit-$v")
+  private def dataDir(v: Long) = new HPath(s"$versionsDir/data-$v")
+
+  /** Claimed version numbers (markers, committed or not), ascending. */
+  private def claimedVersions(): Seq[Long] = {
+    val dir = new HPath(versionsDir)
+    if (!fs.exists(dir)) Nil
+    else
+      fs.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("commit-") => s.stripPrefix("commit-").toLong }
+        .sorted
   }
+
+  /** Highest version with BOTH marker and data — the committed head.
+    * 0 = nothing committed yet (a pre-protocol table at the bare
+    * `path`, if present, then serves as the seed snapshot).
+    */
+  private def committedMax(): Long =
+    claimedVersions().reverse.find(v => fs.exists(dataDir(v))).getOrElse(0L)
+
+  private def legacyExists(): Boolean = fs.exists(new HPath(path))
+
+  /** Atomic exclusive create — true iff THIS caller created the file.
+    * Local filesystems go through O_EXCL (`Files.createFile`); others
+    * use the filesystem's own create-no-overwrite.
+    */
+  private def tryClaim(p: HPath): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+
+  /** Serialized read-modify-write of the whole registry table via the
+    * claim protocol above. `f` maps the current rows to (new rows,
+    * result); it may run several times under contention, so it must be
+    * pure over its input.
+    */
+  private def mutate[A](f: Seq[DatasetMeta] => (Seq[DatasetMeta], A)): A = lock.synchronized {
+    fs.mkdirs(new HPath(versionsDir))
+    var attempt = 0
+    while (attempt < 100) {
+      val target = claimedVersions().lastOption.getOrElse(0L) + 1
+      // A claimed-but-dataless predecessor is either mid-rename or dead:
+      // give its writer a grace period, then skip the slot for good.
+      if (target > 1 && !fs.exists(dataDir(target - 1))) {
+        var waited = 0
+        while (waited < 20 && !fs.exists(dataDir(target - 1))) {
+          Thread.sleep(100); waited += 1
+        }
+      }
+      if (claimedVersions().lastOption.getOrElse(0L) + 1 == target) {
+        val base = committedMax()
+        val rows =
+          if (base > 0) spark.read.parquet(dataDir(base).toString).as[DatasetMeta].collect().toSeq
+          else if (legacyExists()) spark.read.parquet(path).as[DatasetMeta].collect().toSeq
+          else Nil
+        val (newRows, result) = f(rows)
+        val tmp = new HPath(s"$versionsDir/.tmp-${java.util.UUID.randomUUID()}")
+        spark.createDataset(newRows).coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        if (tryClaim(commitMarker(target))) {
+          if (!fs.rename(tmp, dataDir(target)))
+            throw new IllegalStateException(s"registry: rename into claimed slot $target failed")
+          prune()
+          return result
+        }
+        fs.delete(tmp, true) // lost the claim — rebase and retry
+        attempt += 1
+      }
+    }
+    throw new IllegalStateException("registry: 100 failed commit attempts under contention")
+  }
+
+  /** Drop committed snapshots older than the last `keepVersions`. Only
+    * a contiguous prefix is ever deleted, so the head stays resolvable.
+    */
+  private def prune(): Unit = {
+    val committed = claimedVersions().filter(v => fs.exists(dataDir(v)))
+    committed.dropRight(keepVersions).foreach { v =>
+      fs.delete(dataDir(v), true)
+      fs.delete(commitMarker(v), false)
+    }
+  }
+
+  def load(): Dataset[DatasetMeta] = {
+    val v = committedMax()
+    if (v > 0) spark.read.parquet(dataDir(v).toString).as[DatasetMeta]
+    else if (legacyExists()) spark.read.parquet(path).as[DatasetMeta]
+    else spark.emptyDataset[DatasetMeta]
+  }
+
+  def exists(): Boolean = committedMax() > 0 || legacyExists()
 
   /** Register a new dataset version. Mirrors `dba.f_dataset_iu`
     * (dataset_setup.sql:252-348) + the app-side deactivation
@@ -52,9 +164,8 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
       datasourceid: Int,
       status: DatasetStatus = DatasetStatus.Active,
       createdby: String = "graft"
-  ): Long = lock.synchronized {
+  ): Long = mutate { current =>
     val now = new Timestamp(System.currentTimeMillis())
-    val current = load().collect().toSeq
     val newId = if (current.isEmpty) 1L else current.map(_.datasetid).max + 1
     val makeActive = status == DatasetStatus.Active
     val displaced = current.map { m =>
@@ -82,8 +193,7 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
       createddate = now,
       createdby = createdby
     )
-    overwrite(displaced :+ row)
-    newId
+    (displaced :+ row, newId)
   }
 
   /** Update one dataset's status ONLY — `isactive` is untouched,
@@ -94,23 +204,23 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
     * — exactly the reference's registry state after a bad
     * re-delivery. Explicit deactivation is [[deactivate]].
     */
-  def setStatus(datasetid: Long, status: DatasetStatus): Unit = lock.synchronized {
-    overwrite(load().collect().toSeq.map { m =>
+  def setStatus(datasetid: Long, status: DatasetStatus): Unit = mutate { rows =>
+    (rows.map { m =>
       if (m.datasetid == datasetid) m.copy(datastatusid = status.id) else m
-    })
+    }, ())
   }
 
   /** Explicitly deactivate a dataset, closing its SCD-2 window. */
-  def deactivate(datasetid: Long): Unit = lock.synchronized {
+  def deactivate(datasetid: Long): Unit = mutate { rows =>
     val now = new Timestamp(System.currentTimeMillis())
-    overwrite(load().collect().toSeq.map { m =>
+    (rows.map { m =>
       if (m.datasetid == datasetid)
         m.copy(
           isactive = false,
           datastatusid = DatasetStatus.Inactive.id,
           effthrudate = Some(now))
       else m
-    })
+    }, ())
   }
 
   /** All currently-active dataset rows (Q-pattern: `isactive AND ...`
@@ -161,16 +271,4 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
         val ids = activeIds(datasettypeid, d)
         facts.filter(col("datasetid").isin(ids: _*))
     }
-
-  private def overwrite(rows: Seq[DatasetMeta]): Unit = {
-    // Registry rewrites go through a temp path + atomic-ish swap so a
-    // reader never observes a half-written table.
-    val tmp = path + ".tmp"
-    spark.createDataset(rows).coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val hTmp = new org.apache.hadoop.fs.Path(tmp)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hPath)) fs.delete(hPath, true)
-    fs.rename(hTmp, hPath)
-  }
 }
