@@ -386,12 +386,17 @@ object Biff {
   * downloads) falls through — default [[PassthroughConverter]],
   * mirroring how the reference's engine chain gives up.
   */
-final class BiffConverter(fallback: XlsConverter = new PassthroughConverter)
-    extends XlsConverter {
-  def toCsv(xls: Path): Path =
+final class BiffConverter(
+    fallback: XlsConverter = new PassthroughConverter,
+    maxBytes: Long = XlsConverter.DefaultMaxBytes
+) extends XlsConverter {
+  def toCsv(xls: Path): Path = {
+    val size = Files.size(xls)
+    if (size > maxBytes) throw new OversizedSpreadsheetException(size, maxBytes)
     (try Biff.firstSheetRowsOfFile(xls)
      catch { case _: Exception => None }) match {
       case Some(rows) if rows.nonEmpty => SheetCsv.write(xls, rows)
       case _ => fallback.toCsv(xls)
     }
+  }
 }

@@ -94,12 +94,17 @@ final class GenericImporter(
     // S2: XLS/XLSX go through the converter seam first (the reference
     // shells into xls_to_csv, generic_import.py:648-649); the stub
     // passthrough handles CSV-shaped test payloads
-    val readable =
+    // An over-cap spreadsheet must not be buffered OR passed through to
+    // the CSV reader — it registers as Failed and archives below.
+    val (readable, oversized) =
       if (config.fileType == "XLS" || config.fileType == "XLSX")
-        try xlsConverter.toCsv(file)
-        catch { case _: Exception => file }
-      else file
-    try doImportFile(config, file, readable, typeId, sourceId)
+        try (xlsConverter.toCsv(file), false)
+        catch {
+          case _: OversizedSpreadsheetException => (file, true)
+          case _: Exception => (file, false)
+        }
+      else (file, false)
+    try doImportFile(config, file, readable, typeId, sourceId, oversized)
     finally
       // the temp CSV is removed once the load completes
       // (generic_import.py:697-704)
@@ -111,7 +116,8 @@ final class GenericImporter(
       file: Path,
       readable: Path,
       typeId: Int,
-      sourceId: Int
+      sourceId: Int,
+      oversized: Boolean = false
   ): FileResult = {
     val fname = file.getFileName.toString
     val label = Functions
@@ -125,6 +131,12 @@ final class GenericImporter(
     // Register first (reference inserts the dataset row before reading
     // the file: generic_import.py:585-604), then branch on content.
     val id = registry.insert(dsDate, label, typeId, sourceId)
+
+    if (oversized) {
+      registry.setStatus(id, DatasetStatus.Failed)
+      archive(file, config)
+      return FileResult(fname, id, DatasetStatus.Failed, 0, Nil, Map.empty)
+    }
 
     val df0 =
       try readAllString(readable)

@@ -209,6 +209,24 @@ trait XlsConverter extends Serializable {
   def toCsv(xls: Path): Path
 }
 
+object XlsConverter {
+  /** Spreadsheet decode buffers the whole file (a CFB container needs
+    * random access), so inputs are bounded: the reference's `.xls`
+    * payloads are MB-scale mail attachments, and a multi-GB file under
+    * a spreadsheet name is hostile or corrupt, not data — it must land
+    * on the Failed status path, never in driver memory.
+    */
+  val DefaultMaxBytes: Long = 256L * 1024 * 1024
+}
+
+/** Thrown instead of buffering when a spreadsheet exceeds the size cap;
+  * the importer maps it to status=Failed + archive (NOT the CSV
+  * passthrough other conversion failures take).
+  */
+final class OversizedSpreadsheetException(size: Long, maxBytes: Long)
+    extends java.io.IOException(
+      s"spreadsheet is $size bytes; conversion cap is $maxBytes")
+
 final class PassthroughConverter extends XlsConverter {
   def toCsv(xls: Path): Path = {
     val csv = Paths.get(xls.toString.replaceAll("\\.[^.]*$", "") + ".csv")

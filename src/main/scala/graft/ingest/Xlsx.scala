@@ -197,10 +197,14 @@ private[ingest] object SheetCsv {
   * `.xls` decode), whose own fallback passes CSV-shaped payloads
   * through untouched.
   */
-final class XlsxConverter(legacyFallback: XlsConverter = new BiffConverter)
-    extends XlsConverter {
+final class XlsxConverter(
+    legacyFallback: XlsConverter = new BiffConverter,
+    maxBytes: Long = XlsConverter.DefaultMaxBytes
+) extends XlsConverter {
 
   def toCsv(xls: Path): Path = {
+    val size = Files.size(xls)
+    if (size > maxBytes) throw new OversizedSpreadsheetException(size, maxBytes)
     val rows =
       try Xlsx.firstSheetRows(xls)
       catch { case _: Exception => Vector.empty }

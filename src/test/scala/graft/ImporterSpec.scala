@@ -162,6 +162,40 @@ class ImporterSpec extends SparkSpec {
     assert(empties.forall(_.isactive))
   }
 
+  test("oversized spreadsheet: lands status=Failed + archive, bytes never buffered or parsed") {
+    import graft.ingest.XlsxConverter
+    val root = Files.createTempDirectory("graft-import-big")
+    val src = Files.createDirectories(root.resolve("file_watcher"))
+    val arch = Files.createDirectories(root.resolve("archive"))
+    val reg = new DatasetRegistry(spark, s"$root/registry")
+    // 1 KiB cap stands in for the real 256 MiB default
+    val imp = new GenericImporter(spark, reg, s"$root/warehouse", today = () => today,
+      xlsConverter = new XlsxConverter(maxBytes = 1024))
+    val xlsCfg = urlCheckConfig(src, arch).copy(
+      filePattern = """\d{8}T\d{6}_MeetMax_\d+\.xls""",
+      fileType = "XLS",
+      labelSource = MetaSource.Filename, labelLocation = Some("2"),
+      targetTable = "public.tmeetmaxevent"
+    )
+    // over-cap CSV-shaped payload: without the cap this would import fine
+    // through the passthrough — the cap must win BEFORE any read
+    val big = "EventID,Title\n" + (1 to 500).map(i => s"$i,conf $i\n").mkString
+    assert(big.length > 1024)
+    write(src, "20250401T120000_MeetMax_9.xls", big)
+    val res = imp.run(xlsCfg, 3, 1)
+    assert(res.files.head.status == DatasetStatus.Failed)
+    assert(!Files.exists(src.resolve("20250401T120000_MeetMax_9.xls")))
+    assert(Files.exists(arch.resolve("20250401T120000_MeetMax_9.xls")))
+    val meta = reg.load().collect().head
+    assert(meta.datastatusid == DatasetStatus.Failed.id)
+    assert(!imp.targetExists("public.tmeetmaxevent"), "no rows may reach the target")
+    // the same payload under the cap imports normally (cap is the only gate)
+    val imp2 = new GenericImporter(spark, reg, s"$root/warehouse", today = () => today,
+      xlsConverter = new XlsxConverter(maxBytes = 1024 * 1024))
+    write(src, "20250402T120000_MeetMax_9.xls", big)
+    assert(imp2.run(xlsCfg, 3, 1).files.head.status == DatasetStatus.Active)
+  }
+
   /** A real .xlsx: zip of workbook + rels + sharedStrings + 2 sheets.
     * The rels list rId2 FIRST so sheet resolution must go through the
     * relationship id, not positional luck; sheet2 holds a sentinel
