@@ -379,4 +379,71 @@ class BiffSpec extends AnyFunSuite {
     val out = new graft.ingest.BiffConverter().toCsv(fake)
     assert(new String(Files.readAllBytes(out), "UTF-8") == "A,B\n1,2\n")
   }
+
+  test("fuzz: corrupt CFB containers decode, fall through, or raise Exception — never hang, Error, or explode") {
+    // Truncations, bit flips, and zeroed spans of valid fixtures. The
+    // reader's contract under corruption: return a (bounded) grid, or
+    // None → passthrough, or throw an Exception the converter seam
+    // catches. StackOverflowError/OutOfMemoryError (unbounded recursion
+    // or allocation from corrupt counts/chains) fails the suite
+    // directly; a chain cycle would hang the suite past its timeout.
+    val dir = Files.createTempDirectory("graft-biff-fuzz")
+    val bases = Seq(
+      cfb(workbook(
+        Seq("EventID", "Company Name", "Flag", "Acme Corp"),
+        Seq("Data" -> sheet(
+          labelSst(0, 0, 0), labelSst(0, 1, 1), labelSst(0, 2, 2),
+          number(1, 0, 119179.0), labelSst(1, 1, 3), boolErr(1, 2, v = true)),
+          "Second" -> sheet(label(0, 0, "X"))))),
+      // big-SST variant: corruption lands in CONTINUE-adjacent territory
+      cfb(workbook(
+        (0 until 40).map(i => s"s$i-" + "x" * 50),
+        Seq("Data" -> sheet((0 until 40).map(i => labelSst(i, 0, i)): _*)))),
+      cfb(workbook5(Seq("Data" -> sheet5(label5(0, 0, "biff5")))), streamName = "Book")
+    )
+    val rnd = new scala.util.Random(20260813L)
+    var decoded = 0
+    var fellThrough = 0
+    for (iter <- 0 until 400) {
+      val base = bases(iter % bases.length)
+      val bytes = base.clone()
+      val corrupted = rnd.nextInt(3) match {
+        case 0 => // truncate anywhere, including mid-header
+          bytes.take(rnd.nextInt(bytes.length))
+        case 1 => // flip 1..8 random bits
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            val i = rnd.nextInt(bytes.length)
+            bytes(i) = (bytes(i) ^ (1 << rnd.nextInt(8))).toByte
+          }
+          bytes
+        case 2 => // zero a random 16-byte span (kills sector ids/counts)
+          val at = rnd.nextInt(math.max(1, bytes.length - 16))
+          java.util.Arrays.fill(bytes, at, math.min(bytes.length, at + 16), 0.toByte)
+          bytes
+      }
+      val p = dir.resolve(s"fuzz$iter.xls")
+      Files.write(p, corrupted)
+      val res =
+        try graft.ingest.Biff.firstSheetRowsOfFile(p)
+        catch { case _: Exception => None } // the converter seam's catch
+      res match {
+        case Some(grid) =>
+          decoded += 1
+          val cells = grid.iterator.map(_.length.toLong).sum
+          assert(cells <= 100000L, s"iter $iter: corrupt container yielded $cells cells")
+          assert(grid.iterator.flatten.map(_.length.toLong).sum <= 10000000L,
+            s"iter $iter: corrupt container yielded oversized cell content")
+        case None => fellThrough += 1
+      }
+      // determinism: the same corrupt bytes resolve the same way
+      val res2 =
+        try graft.ingest.Biff.firstSheetRowsOfFile(p)
+        catch { case _: Exception => None }
+      assert(res == res2, s"iter $iter: nondeterministic under corruption")
+      Files.delete(p)
+    }
+    // the fuzzer must exercise BOTH outcomes to mean anything
+    assert(decoded > 0, "no corrupted container decoded — corruption too destructive to test the reader")
+    assert(fellThrough > 0, "every corrupted container decoded — corruption never reached the reader")
+  }
 }
