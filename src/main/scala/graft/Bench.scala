@@ -92,29 +92,64 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
-    val results = selected.map { case (name, fn) =>
-      guarded(name)(fn(spark, sfDir).count()) // warmup: codegen + JIT + footers
-      val times = (1 to Runs).map { _ =>
+    /** One warmup + `runs` measured executions of every selected query
+      * against `dir`.
+      */
+    def runCatalog(dir: String, runs: Int): Seq[(String, Seq[Double])] =
+      selected.map { case (name, fn) =>
+        guarded(name)(fn(spark, dir).count()) // warmup: codegen + JIT + footers
+        val times = (1 to runs).map { _ =>
+          clearPersisted()
+          guarded(name)(fn(spark, dir).count())
+        }
         clearPersisted()
-        guarded(name)(fn(spark, sfDir).count())
+        name -> times
       }
-      clearPersisted()
-      name -> times
-    }
+
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + f(median(ts)) }
-      .mkString("{", ",", "}")
+    def qsJson(results: Seq[(String, Seq[Double])]): String =
+      results.map { case (k, ts) => "\"" + k + "\":" + f(median(ts)) }
+        .mkString("{", ",", "}")
     // per-query spread: a median alone can't distinguish container
     // noise (±15% observed, rare 3× spikes) from a real regression —
     // publish {median,min,max} over the measured runs so round-over-
     // round comparisons can see the run-to-run envelope
-    val spread = results.map { case (k, ts) =>
-      val ok = ts.filter(_ >= 0)
-      val (mn, mx) = if (ok.isEmpty) (-1.0, -1.0) else (ok.min, ok.max)
-      "\"" + k + "\":{\"median\":" + f(median(ts)) + ",\"min\":" + f(mn) +
-        ",\"max\":" + f(mx) + "}"
-    }.mkString("{", ",", "}")
-    val total = results.map { case (_, ts) => median(ts) }.filter(_ >= 0).sum
+    def spreadJson(results: Seq[(String, Seq[Double])]): String =
+      results.map { case (k, ts) =>
+        val ok = ts.filter(_ >= 0)
+        val (mn, mx) = if (ok.isEmpty) (-1.0, -1.0) else (ok.min, ok.max)
+        "\"" + k + "\":{\"median\":" + f(median(ts)) + ",\"min\":" + f(mn) +
+          ",\"max\":" + f(mx) + "}"
+      }.mkString("{", ",", "}")
+    def totalOf(results: Seq[(String, Seq[Double])]): Double =
+      results.map { case (_, ts) => median(ts) }.filter(_ >= 0).sum
+
+    val results = runCatalog(sfDir, Runs)
+
+    // Scale-notch section: re-run the catalog at sf1 (10× the primary
+    // sf0.1 dir, materialized deterministically by GenData on first
+    // use) so every round's bench carries a measured point above toy
+    // scale instead of plan-level scale claims only. On by default
+    // when benching the sf0.1 testdata; SPARK_GRAFT_SF1=0 disables,
+    // SPARK_GRAFT_SF1_DIR overrides the location. Fewer measured runs
+    // (default 3): at 10× the data the per-query noise floor matters
+    // less and wall-clock matters more.
+    val sf1Enabled = sys.env.getOrElse("SPARK_GRAFT_SF1",
+      if (sfDir.contains("sf0.1")) "1" else "0") != "0"
+    val sf1Section = if (!sf1Enabled) "" else {
+      val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/.tmp/sf1")
+      val sf1Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_SF1", "3").toInt
+      val genSec =
+        if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) 0.0
+        else {
+          val t0 = System.nanoTime()
+          graft.tools.GenData.generate(spark, sfDir, sf1Dir, 10)
+          (System.nanoTime() - t0) / 1e9
+        }
+      val r1 = runCatalog(sf1Dir, sf1Runs)
+      s""","sf1":{"dir":"$sf1Dir","runs":$sf1Runs,"gen_sec":${f(genSec)},"total":${f(totalOf(r1))},"queries":${qsJson(r1)},"spread":${spreadJson(r1)}}"""
+    }
+
     pool.shutdownNow()
     // stop (and silence) Spark BEFORE printing: the JSON must be the
     // LAST line of output — a driver that parses the tail line must
@@ -122,6 +157,6 @@ object Bench {
     // suppressed via showSuccess := false) after it
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"runs":$Runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(totalOf(results))},"unit":"sec","queries":${qsJson(results)},"spread":${spreadJson(results)},"runs":$Runs,"sf":"$sfDir"$sf1Section}""")
   }
 }

@@ -72,7 +72,15 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, base, out, replicas)
+    spark.stop()
+  }
 
+  /** Core generation, reusable from an existing session (Bench calls
+    * this to materialize the sf1 dir on first use).
+    */
+  def generate(spark: SparkSession, base: String, out: String,
+               replicas: Int): Unit = {
     // events.ts is physically TIMESTAMP(NANOS) in the driver data, which
     // Spark's reader rejects; mirror Tables.withNanoTs and emit micros
     // (the truncation every engine query and the DuckDB oracle apply).
@@ -139,6 +147,5 @@ object GenData {
       "embeddings", 4)
 
     println(s"[gendata] wrote ${replicas}x of $base to $out")
-    spark.stop()
   }
 }

@@ -5,7 +5,7 @@ over the same parquet tables and compare results.
 
 Usage: python3 tools/check_oracle.py <sfDir> <outDir> [--skip-verify]
 """
-import json, math, os, subprocess, sys
+import json, math, os, subprocess, sys, time
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -45,8 +45,9 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         res_dir = f"{out_dir}/{name}"
+        t0 = time.time()
         if not os.path.isdir(res_dir):
-            print(f"FAIL {name}: no spark output")
+            print(f"FAIL {name}: no spark output", flush=True)
             n_fail += 1
             continue
         try:
@@ -69,10 +70,11 @@ def main():
         g = [tuple(norm(v) for v in r) for r in got_rows]
         e = [tuple(norm(v) for v in r) for r in exp_rows]
         if g == e:
-            print(f"PASS {name} ({len(g)} rows)")
+            print(f"PASS {name} ({len(g)} rows, {time.time()-t0:.1f}s)", flush=True)
             n_pass += 1
         elif sorted(map(repr, g)) == sorted(map(repr, e)):
-            print(f"WARN {name}: rows match only after sorting ({len(g)} rows)")
+            print(f"WARN {name}: rows match only after sorting ({len(g)} rows)",
+                  flush=True)
             n_pass += 1
         else:
             n_fail += 1
