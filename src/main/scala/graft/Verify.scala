@@ -18,8 +18,13 @@ object Verify {
     // per-query hard timeout with job-group cancellation: one
     // pathological plan must not block the round's correctness dump
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
+    // SPARK_GRAFT_SQL_ONLY=1: refresh outDir/oracle_sql.json without
+    // re-running the catalog (for oracle-SQL-only edits against an
+    // existing dump)
+    val sqlOnly = sys.env.getOrElse("SPARK_GRAFT_SQL_ONLY", "0") != "0"
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    (if (sqlOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+     else SparkEntry.queries).foreach { case (name, fn) =>
       val fut = pool.submit(new java.lang.Runnable {
         def run(): Unit = {
           spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)

@@ -1542,14 +1542,21 @@ object TrainingData {
     */
   val td14StratifiedSample = Query(
     "td14_stratified_sample", {
-      val fold = foldSql("CAST(doc_id AS VARCHAR)")
       // pmod over the SIGNED value (2^64 % 1000 != 0, so unsigned-mod
-      // and signed-pmod disagree — convert before bucketing)
-      val signed = toSignedSql(s"(${fmixSql(s"($fold)")})")
+      // and signed-pmod disagree — convert before bucketing). The fold
+      // is staged through a MATERIALIZED CTE: fmixSql inlines its
+      // argument ~36x and DuckDB re-substitutes inlined single-use
+      // CTEs, so an un-staged fold is folded 36x per row (see x32).
+      val signed = toSignedSql("u")
       Some(
-        s"""WITH h AS (
-           |  SELECT doc_id, source, (($signed % 1000) + 1000) % 1000 AS b
-           |  FROM documents)
+        s"""WITH h0 AS MATERIALIZED (
+           |  SELECT doc_id, source, ${foldSql("CAST(doc_id AS VARCHAR)")} AS u0
+           |  FROM documents),
+           |h1 AS MATERIALIZED (
+           |  SELECT doc_id, source, ${fmixSql("u0")} AS u FROM h0),
+           |h AS (
+           |  SELECT doc_id, source, ((($signed) % 1000) + 1000) % 1000 AS b
+           |  FROM h1)
            |SELECT doc_id, source FROM h
            |WHERE b < CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 500 ELSE 100 END
            |ORDER BY doc_id""".stripMargin)

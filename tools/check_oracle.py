@@ -4,6 +4,7 @@ run graft.Verify at a given SF dir, then run each oracle SQL in DuckDB
 over the same parquet tables and compare results.
 
 Usage: python3 tools/check_oracle.py <sfDir> <outDir> [--skip-verify]
+           [--only name1,name2]
 """
 import json, math, os, subprocess, sys, time
 
@@ -42,6 +43,9 @@ def main():
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if "--only" in sys.argv:
+        keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         res_dir = f"{out_dir}/{name}"
