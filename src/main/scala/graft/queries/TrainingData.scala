@@ -271,17 +271,24 @@ object TrainingData {
     * connected components → keeper = min id per component. The oracle
     * replays every stage: the shared MinHash CTE chain, a
     * candidate-restricted exact-Jaccard check, a recursive-CTE
-    * closure, and the final left-join keeper assignment.
+    * closure, and the final left-join keeper assignment. The exact
+    * check stages candidate-side grams through a MATERIALIZED CTE
+    * before the intersection join: written as grams⋈grams⋈cand,
+    * DuckDB's estimate-blind join order put the full shared-gram
+    * pair join below the cand filter and spilled >79 GB at sf1;
+    * cand-first is the same count at 37 s.
     */
   val dd07DedupPipeline = Query(
     "dd07_dedup_pipeline",
     Some(
       s"""WITH RECURSIVE $minhashCandCtes,
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |pairgrams AS MATERIALIZED (
+         |  SELECT cand.id_a, cand.id_b, x.g
+         |  FROM cand JOIN grams x ON x.doc_id = cand.id_a),
          |counts AS (
-         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
-         |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
-         |  JOIN cand ON cand.id_a = x.doc_id AND cand.id_b = y.doc_id
+         |  SELECT pg.id_a, pg.id_b, COUNT(*) AS c
+         |  FROM pairgrams pg JOIN grams y ON y.doc_id = pg.id_b AND y.g = pg.g
          |  GROUP BY 1, 2),
          |edges0 AS (
          |  SELECT id_a AS a, id_b AS b FROM counts

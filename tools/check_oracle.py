@@ -36,6 +36,12 @@ def main():
                 print(line)
     import duckdb
     con = duckdb.connect()
+    # 16 threads, not the machine's 32: DuckDB's partitioned hash
+    # joins hold per-thread build state, and at 32 threads the dd07
+    # gram-intersection join at sf1 spills >79 GB and dies, where 16
+    # threads stream it in 30 s. Override via GRAFT_ORACLE_THREADS.
+    con.execute(f"SET threads TO {os.environ.get('GRAFT_ORACLE_THREADS', 16)}")
+    con.execute(f"SET temp_directory='{out_dir}/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # GenData-scaled tables are parquet dirs
