@@ -40,14 +40,19 @@ def main():
     # joins hold per-thread build state, and at 32 threads the dd07
     # gram-intersection join at sf1 spills >79 GB and dies, where 16
     # threads stream it in 30 s. Override via GRAFT_ORACLE_THREADS.
-    con.execute(f"SET threads TO {os.environ.get('GRAFT_ORACLE_THREADS', 16)}")
-    con.execute(f"SET temp_directory='{out_dir}/duckdb_spill'")
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):  # GenData-scaled tables are parquet dirs
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
-        elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    threads = int(os.environ.get("GRAFT_ORACLE_THREADS", 16))
+
+    def setup(c, n_threads):
+        c.execute(f"SET threads TO {n_threads}")
+        c.execute(f"SET temp_directory='{out_dir}/duckdb_spill'")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):  # GenData-scaled tables are parquet dirs
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+            elif os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    setup(con, threads)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if "--only" in sys.argv:
         keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
@@ -67,8 +72,29 @@ def main():
                 f"SELECT {', '.join(got_cols)} FROM '{res_dir}/*.parquet'").fetchall()
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
-            exp_rows = con.execute(
-                f"SELECT {', '.join(exp_cols)} FROM ({sql})").fetchall()
+            try:
+                exp_rows = con.execute(
+                    f"SELECT {', '.join(exp_cols)} FROM ({sql})").fetchall()
+            except Exception as e:
+                # DuckDB's memory behavior is thread-count sensitive in
+                # BOTH directions at sf1: dd07's gram join spills to
+                # death at 32 threads but streams at 16, while ss08's
+                # Lloyd replay OOMs at 16 but passes at 32. Retry a
+                # resource failure once at the flipped thread count, on
+                # a FRESH connection (the failed attempt leaves the
+                # buffer pool full; a retry on the same connection
+                # fails again even at the good thread count).
+                if not any(s in str(e) for s in ("Out of Memory", "No space left")):
+                    raise
+                flipped = 32 if threads == 16 else 16
+                print(f"RETRY {name} at {flipped} threads: {e}", flush=True)
+                con2 = duckdb.connect()
+                try:
+                    setup(con2, flipped)
+                    exp_rows = con2.execute(
+                        f"SELECT {', '.join(exp_cols)} FROM ({sql})").fetchall()
+                finally:
+                    con2.close()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
