@@ -97,6 +97,10 @@ object Bench {
       */
     def runCatalog(dir: String, runs: Int): Seq[(String, Seq[Double])] =
       selected.map { case (name, fn) =>
+        // progress to stderr (stdout stays the single JSON line): a
+        // query that OOMs or stalls the JVM is identifiable from the
+        // log tail instead of killing an anonymous bench
+        System.err.println(s"[bench] $name @ $dir")
         guarded(name)(fn(spark, dir).count()) // warmup: codegen + JIT + footers
         val times = (1 to runs).map { _ =>
           clearPersisted()

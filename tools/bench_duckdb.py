@@ -18,7 +18,11 @@ def main():
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     import duckdb
     con = duckdb.connect()
-    con.execute("SET threads TO 32")
+    # 16 threads is DuckDB's BEST setting for this catalog, not a
+    # handicap: at 32 threads the big pair joins (dd05/dd07) spill to
+    # disk-death at sf1 (see check_oracle.py). DUCKDB_THREADS overrides.
+    con.execute(f"SET threads TO {os.environ.get('DUCKDB_THREADS', 16)}")
+    con.execute(f"SET temp_directory='{sf_dir}/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
