@@ -22,9 +22,14 @@ object Verify {
     // re-running the catalog (for oracle-SQL-only edits against an
     // existing dump)
     val sqlOnly = sys.env.getOrElse("SPARK_GRAFT_SQL_ONLY", "0") != "0"
+    // SPARK_GRAFT_ONLY=a,b narrows the dump for targeted re-checks
+    // (mirrors Bench); the driver never sets it, so the gate always
+    // dumps the full catalog.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
     (if (sqlOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
-     else SparkEntry.queries).foreach { case (name, fn) =>
+     else SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) })
+      .foreach { case (name, fn) =>
       val fut = pool.submit(new java.lang.Runnable {
         def run(): Unit = {
           spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)

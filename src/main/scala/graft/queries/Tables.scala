@@ -12,18 +12,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long and truncate to micros — the
-    * same conversion DuckDB applies, so oracle comparisons line up.
+  /** Normalize `events.ts` to TIMESTAMP (LTZ, micros) regardless of the
+    * file's physical encoding. The driver has shipped this column three
+    * different ways across rounds, so the boundary must handle all of them:
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it outright; with
+    *    `nanosAsLong` it surfaces as LongType — truncate to micros (the
+    *    same conversion DuckDB applies, so oracle comparisons line up).
+    *  - TIMESTAMP_MICROS with isAdjustedToUTC=0: surfaces as
+    *    TIMESTAMP_NTZ, which `unix_micros`/`withWatermark` reject — cast
+    *    to LTZ. The session timezone is pinned to UTC (Sessions.scala),
+    *    so the cast is bit-identical on the stored micros.
+    *  - TIMESTAMP_MICROS/MILLIS with isAdjustedToUTC=1: already LTZ.
+    *
+    * There is deliberately no silent fall-through for timestamp-shaped
+    * physical types: anything else is a long/LTZ already or a new drift
+    * we want to fail loudly on (TablesSpec pins the three known cases).
     */
   private def withNanoTs(name: String, tsCol: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(name)
-    raw.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn(tsCol, org.apache.spark.sql.functions.expr(s"timestamp_micros($tsCol div 1000)"))
-      case _ => raw
-    }
+    Tables.normalizeTs(table(name), tsCol)
   }
 
   def region: DataFrame     = table("region")
@@ -36,4 +44,27 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame     = withNanoTs("events", "ts")
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
+}
+
+object Tables {
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Normalize a parquet-sourced timestamp column to TIMESTAMP (LTZ,
+    * micros) whatever its surfaced type (see [[Tables.withNanoTs]] for
+    * the three physical encodings this covers). Timestamp-shaped types
+    * other than the known three fail loudly rather than flow through
+    * and break `unix_micros`/watermarks downstream.
+    */
+  def normalizeTs(raw: DataFrame, tsCol: String): DataFrame =
+    raw.schema(tsCol).dataType match {
+      case LongType =>
+        raw.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"unsupported physical encoding for timestamp column '$tsCol': $other")
+    }
 }

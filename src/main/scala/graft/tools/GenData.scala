@@ -81,18 +81,27 @@ object GenData {
     */
   def generate(spark: SparkSession, base: String, out: String,
                replicas: Int): Unit = {
-    // events.ts is physically TIMESTAMP(NANOS) in the driver data, which
-    // Spark's reader rejects; mirror Tables.withNanoTs and emit micros
-    // (the truncation every engine query and the DuckDB oracle apply).
+    // events.ts has shipped as TIMESTAMP(NANOS), micros-NTZ, and LTZ
+    // across driver rounds; normalize on read exactly as the query
+    // surface does (graft.queries.Tables.normalizeTs), and write back in
+    // the SOURCE's surfaced encoding so the scale-notch data exercises
+    // the same Tables boundary as the driver's own files. Exception:
+    // Spark cannot write TIMESTAMP(NANOS); that source falls back to LTZ
+    // micros — bit-identical values, since every consumer truncates
+    // nanos to micros anyway.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def rawEventsTsType = spark.read.parquet(s"$base/events.parquet").schema("ts").dataType
     def read(t: String): DataFrame = {
       val raw = spark.read.parquet(s"$base/$t.parquet")
-      if (t == "events" && raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+      if (t == "events") graft.queries.Tables.normalizeTs(raw, "ts") else raw
     }
-    def write(df: DataFrame, t: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def write(df: DataFrame, t: String, files: Int): Unit = {
+      val encoded =
+        if (t == "events" && rawEventsTsType == org.apache.spark.sql.types.TimestampNTZType)
+          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+        else df
+      encoded.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
 
     // key stride per table = max+1 (keys are dense 0-based in the base data)
     def stride(df: DataFrame, key: String): Long =
