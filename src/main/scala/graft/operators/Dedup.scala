@@ -292,6 +292,68 @@ object Dedup {
     lsh || fp
   }
 
+  /** Result of one [[ingestBatch]]: the batch rows that survived exact
+    * dedup, their near-dup candidates against the historical corpus,
+    * and whether the post-append compaction trigger fired.
+    */
+  final case class BatchIngest(
+      fresh: DataFrame,
+      nearDups: DataFrame,
+      compacted: Boolean)
+
+  /** The incremental-dedup ingest step a scheduled pipeline runs per
+    * batch (the operational composition of the pieces above, with the
+    * maintenance trigger wired in — the reference runs the equivalent
+    * VACUUM on a schedule, maintenance_procedures.sql:56-116):
+    *
+    *  1. drop rows whose exact content the corpus has seen
+    *     ([[dropKnownExact]] anti-join — historical text never re-read);
+    *  2. near-dup candidates of the survivors vs the stored LSH index
+    *     ([[dedupAgainstIndex]]);
+    *  3. append the survivors' fingerprints + sketches to both indexes;
+    *  4. [[maybeCompactIndexes]] — compact once the append debt passes
+    *     `maxFiles`, so a daily feed cannot degrade probe joins into
+    *     thousand-file scans.
+    *
+    * The first batch (no index on disk yet) bootstraps both indexes in
+    * overwrite mode and reports no duplicates. `fresh` is checkpointed
+    * before the index append so steps 2–4 and the caller's sink all
+    * reuse one computation of the batch sketches.
+    */
+  def ingestBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      lshPath: String,
+      fingerprintPath: String,
+      threshold: Double = 0.5,
+      maxFiles: Long = 256L,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): BatchIngest = {
+    val spark = batch.sparkSession
+    val bootstrap = !new java.io.File(fingerprintPath).exists()
+    val deduped = exactDedup(batch, idCol, Seq(textCol))
+    if (bootstrap) {
+      val fresh = deduped.localCheckpoint()
+      writeLshIndex(fresh, idCol, textCol, lshPath, k, numHashes, bands)
+      writeFingerprintIndex(fresh, Seq(textCol), fingerprintPath)
+      BatchIngest(fresh, spark.emptyDataFrame
+        .selectExpr("cast(null as long) id_new", "cast(null as long) id_old",
+          "cast(null as double) est_jaccard").limit(0), compacted = false)
+    } else {
+      val fresh = dropKnownExact(deduped, Seq(textCol), fingerprintPath).localCheckpoint()
+      val cands = dedupAgainstIndex(
+        fresh, idCol, textCol, lshPath, k, numHashes, bands, threshold)
+      writeLshIndex(fresh, idCol, textCol, lshPath, k, numHashes, bands, mode = "append")
+      writeFingerprintIndex(fresh, Seq(textCol), fingerprintPath, mode = "append")
+      val compacted = maybeCompactIndexes(
+        spark, Some(lshPath), Some(fingerprintPath), maxFiles)
+      BatchIngest(fresh, cands, compacted)
+    }
+  }
+
   /** Near-duplicate candidates of a NEW batch against a
     * [[writeLshIndex]]-stored corpus: the batch is sketched and banded
     * (map-only), then equi-joined against the stored postings on

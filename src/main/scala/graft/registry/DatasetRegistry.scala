@@ -66,12 +66,21 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
         .sorted
   }
 
+  /** True iff version v's data slot holds real committed data (a
+    * directory of parquet). A tombstone FILE at the same path marks a
+    * permanently-skipped dead slot and does not count.
+    */
+  private def dataCommitted(v: Long): Boolean = {
+    val p = dataDir(v)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
   /** Highest version with BOTH marker and data — the committed head.
     * 0 = nothing committed yet (a pre-protocol table at the bare
     * `path`, if present, then serves as the seed snapshot).
     */
   private def committedMax(): Long =
-    claimedVersions().reverse.find(v => fs.exists(dataDir(v))).getOrElse(0L)
+    claimedVersions().reverse.find(dataCommitted).getOrElse(0L)
 
   private def legacyExists(): Boolean = fs.exists(new HPath(path))
 
@@ -94,37 +103,67 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
     * claim protocol above. `f` maps the current rows to (new rows,
     * result); it may run several times under contention, so it must be
     * pure over its input.
+    *
+    * The grace-period wait for a claimed-but-dataless predecessor runs
+    * OUTSIDE the in-JVM lock — sleeping up to 2 s while holding it
+    * would stall every other thread's control-plane mutation. The lock
+    * only serializes each individual CAS attempt; correctness across
+    * threads (like across processes) comes from the marker CAS itself.
+    *
+    * Zombie writers: a writer that claimed slot v, stalled past the
+    * grace period, and wakes AFTER later writers skipped v must not
+    * silently commit into the dead slot — its rename would succeed but
+    * the head (already > v) was computed without its mutation, a lost
+    * update reported as success. Skippers therefore TOMBSTONE the dead
+    * slot: an atomic exclusive create of the `data-v` path as an empty
+    * FILE. The waking zombie's rename onto an existing file fails, and
+    * it rebases and retries like any claim loser; `committedMax`
+    * ignores tombstones via the isDirectory check.
     */
-  private def mutate[A](f: Seq[DatasetMeta] => (Seq[DatasetMeta], A)): A = lock.synchronized {
+  private def mutate[A](f: Seq[DatasetMeta] => (Seq[DatasetMeta], A)): A = {
     fs.mkdirs(new HPath(versionsDir))
     var attempt = 0
     while (attempt < 100) {
-      val target = claimedVersions().lastOption.getOrElse(0L) + 1
-      // A claimed-but-dataless predecessor is either mid-rename or dead:
-      // give its writer a grace period, then skip the slot for good.
-      if (target > 1 && !fs.exists(dataDir(target - 1))) {
+      // Grace period for a dataless predecessor (lock NOT held): either
+      // its writer finishes the rename, or the slot is tombstoned dead.
+      val last = claimedVersions().lastOption.getOrElse(0L)
+      if (last > 0 && !fs.exists(dataDir(last))) {
         var waited = 0
-        while (waited < 20 && !fs.exists(dataDir(target - 1))) {
+        while (waited < 20 && !fs.exists(dataDir(last))) {
           Thread.sleep(100); waited += 1
         }
+        if (!fs.exists(dataDir(last)))
+          tryClaim(dataDir(last)) // tombstone; a racing tombstone/rename both fine
       }
-      if (claimedVersions().lastOption.getOrElse(0L) + 1 == target) {
-        val base = committedMax()
-        val rows =
-          if (base > 0) spark.read.parquet(dataDir(base).toString).as[DatasetMeta].collect().toSeq
-          else if (legacyExists()) spark.read.parquet(path).as[DatasetMeta].collect().toSeq
-          else Nil
-        val (newRows, result) = f(rows)
-        val tmp = new HPath(s"$versionsDir/.tmp-${java.util.UUID.randomUUID()}")
-        spark.createDataset(newRows).coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        if (tryClaim(commitMarker(target))) {
-          if (!fs.rename(tmp, dataDir(target)))
-            throw new IllegalStateException(s"registry: rename into claimed slot $target failed")
-          prune()
-          return result
+      val committed = lock.synchronized {
+        val target = claimedVersions().lastOption.getOrElse(0L) + 1
+        // predecessor still dataless and un-tombstoned (rare race):
+        // loop back out to the grace wait rather than sleep in-lock
+        if (target > 1 && !fs.exists(dataDir(target - 1))) None
+        else {
+          val base = committedMax()
+          val rows =
+            if (base > 0) spark.read.parquet(dataDir(base).toString).as[DatasetMeta].collect().toSeq
+            else if (legacyExists()) spark.read.parquet(path).as[DatasetMeta].collect().toSeq
+            else Nil
+          val (newRows, result) = f(rows)
+          val tmp = new HPath(s"$versionsDir/.tmp-${java.util.UUID.randomUUID()}")
+          spark.createDataset(newRows).coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          if (tryClaim(commitMarker(target)) && fs.rename(tmp, dataDir(target))) {
+            // rename fails only when the slot was tombstoned while we
+            // stalled between claim and rename (the zombie case) — then
+            // fall through to rebase like a claim loser
+            prune()
+            Some(result)
+          } else {
+            fs.delete(tmp, true) // lost the claim/slot — rebase and retry
+            None
+          }
         }
-        fs.delete(tmp, true) // lost the claim — rebase and retry
-        attempt += 1
+      }
+      committed match {
+        case Some(result) => return result
+        case None         => attempt += 1
       }
     }
     throw new IllegalStateException("registry: 100 failed commit attempts under contention")
@@ -132,12 +171,21 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
 
   /** Drop committed snapshots older than the last `keepVersions`. Only
     * a contiguous prefix is ever deleted, so the head stays resolvable.
+    * Tombstoned dead slots below the keep watermark are swept too (they
+    * are empty marker files, but should not accumulate forever).
     */
   private def prune(): Unit = {
-    val committed = claimedVersions().filter(v => fs.exists(dataDir(v)))
-    committed.dropRight(keepVersions).foreach { v =>
+    val committed = claimedVersions().filter(dataCommitted)
+    val dropped = committed.dropRight(keepVersions)
+    dropped.foreach { v =>
       fs.delete(dataDir(v), true)
       fs.delete(commitMarker(v), false)
+    }
+    dropped.lastOption.foreach { watermark =>
+      claimedVersions().filter(v => v < watermark && !dataCommitted(v)).foreach { v =>
+        fs.delete(dataDir(v), false) // tombstone file, if any
+        fs.delete(commitMarker(v), false)
+      }
     }
   }
 

@@ -56,6 +56,26 @@ object PipelineDemo {
     val rep = Maintenance.compact(spark, frag)
     println(s"[demo] compaction: ${rep.filesBefore} -> ${rep.filesAfter} files, rows ${rep.rows}")
 
+    // 3b. incremental dedup ingest with the maintenance trigger wired
+    // in: daily batches land, each drops known-exact rows, reports
+    // near-dups vs the corpus index, appends, and auto-compacts once
+    // the append debt passes the file-count threshold
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint()
+    var compactions = 0
+    (0 until 6).foreach { b =>
+      val r = graft.operators.Dedup.ingestBatch(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 6 === b),
+        "doc_id", "text", s"$root/dedup/lsh", s"$root/dedup/fp",
+        threshold = 0.35, maxFiles = 24L)
+      if (r.compacted) compactions += 1
+      logger.info(s"dedup batch $b: fresh=${r.fresh.count()} " +
+        s"nearDups=${r.nearDups.count()} compacted=${r.compacted}")
+    }
+    println(s"[demo] incremental dedup: 6 batches, $compactions auto-compactions, " +
+      s"index files now " +
+      Maintenance.parquetFileCount(spark, s"$root/dedup/lsh").toString)
+
     // 4. backup + retention (daily_backup.sh analog)
     graft.ops.Backup.backup(spark, frag, s"$root/backups", "20260811")
     graft.ops.Backup.backup(spark, frag, s"$root/backups", "20260812")

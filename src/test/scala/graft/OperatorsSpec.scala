@@ -912,6 +912,50 @@ class OperatorsSpec extends SparkSpec {
       "a fresh compaction must leave the file count at or below the trigger")
   }
 
+  test("ingestBatch E2E: K batches auto-compact mid-stream, candidates bit-equal to from-scratch") {
+    import graft.operators.Dedup
+    import graft.ops.Maintenance
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents.localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-e2e")
+    val lshP = s"$dir/lsh"
+    val fpP = s"$dir/fp"
+    // 6 batches; batch 4 RE-DELIVERS batch 1's rows (exact dupes the
+    // fingerprint index must swallow). maxFiles is tiny so the wired
+    // maybeCompactIndexes trigger MUST fire during the stream, proving
+    // compaction mid-pipeline is invisible to later batches.
+    def batchOf(b: Int) = docs.filter(col("doc_id") % 5 === (b % 5))
+    var compactions = 0
+    var relanded = -1L
+    val keptIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (0 until 6).foreach { b =>
+      val r = Dedup.ingestBatch(batchOf(b), "doc_id", "text", lshP, fpP,
+        threshold = 0.35, maxFiles = 24L)
+      if (r.compacted) compactions += 1
+      if (b == 5) relanded = r.fresh.count() // re-delivery of batch 0's content
+      keptIds ++= r.fresh.select("doc_id").collect().map(_.getLong(0))
+    }
+    assert(compactions > 0, "the auto-compaction trigger must fire at this maxFiles")
+    assert(relanded == 0, "a re-delivered batch must be fully dropped by the fingerprint index")
+    assert(Maintenance.parquetFileCount(spark, fpP) <= 24L)
+
+    // candidates after the compacting stream == candidates from an index
+    // built IN ONE SHOT over exactly the rows the stream kept (first-
+    // seen-batch dedup is ingestBatch's contract; this isolates index
+    // append+compaction integrity from that ordering policy)
+    val probe = docs.filter(col("doc_id") % 11 === 3)
+      .withColumn("doc_id", col("doc_id") + lit(5000000L))
+    val streamed = Dedup.dedupAgainstIndex(probe, "doc_id", "text", lshP, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val oneShot = s"$dir/oneshot"
+    Dedup.writeLshIndex(docs.filter(col("doc_id").isin(keptIds.toSeq: _*)),
+      "doc_id", "text", oneShot)
+    val scratch = Dedup.dedupAgainstIndex(probe, "doc_id", "text", oneShot, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(streamed == scratch,
+      s"incremental+compacted index diverged from from-scratch (${streamed.size} vs ${scratch.size})")
+    assert(streamed.nonEmpty, "probe must hit the corpus for a non-vacuous check")
+  }
+
   test("blocked cosine kernels: any block count is bit-identical to a single block") {
     // block-pair shuffle vs the degenerate 1-block run (all pairs in
     // one group) — per-pair IEEE arithmetic is block-independent, so

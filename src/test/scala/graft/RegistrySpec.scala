@@ -115,6 +115,75 @@ class RegistrySpec extends SparkSpec {
       rows.map(_.datasetid).sorted.toSeq)
   }
 
+  test("zombie writer waking AFTER its slot was skipped cannot corrupt the head") {
+    // Protocol-level simulation of the stall-past-grace interleaving:
+    // a writer claims slot v, stalls before renaming its data in; later
+    // writers wait out the grace period, tombstone the dead slot, and
+    // commit past it. When the zombie finally renames, the rename must
+    // FAIL (not silently land a lost update), and head resolution must
+    // keep returning the post-skip snapshot.
+    val dir = Files.createTempDirectory("graft-registry-zombie").toString
+    val path = s"$dir/registry"
+    val reg = new DatasetRegistry(spark, path)
+    reg.insert(d, "A", 1, 1) // commits version 1
+
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = s"$path.versions"
+    // zombie claims slot 2 (atomic marker create) ...
+    hfs.create(new org.apache.hadoop.fs.Path(s"$versions/commit-2"), false).close()
+    // ... and has its data staged in a tmp dir, but stalls before rename
+    val zombieTmp = new org.apache.hadoop.fs.Path(s"$versions/.tmp-zombie")
+    reg.load().write.parquet(zombieTmp.toString)
+
+    // a live writer skips the dead slot after the grace period
+    reg.insert(d, "B", 1, 1)
+    val afterSkip = reg.load().collect()
+    assert(afterSkip.length == 2, "live writer must commit past the dead slot")
+
+    // zombie wakes and tries to rename into its (now tombstoned) slot
+    val renamed = hfs.rename(zombieTmp, new org.apache.hadoop.fs.Path(s"$versions/data-2"))
+    assert(!renamed, "rename into a tombstoned slot must fail, not lose the update")
+
+    // head resolution is unchanged, and the registry keeps working
+    assert(reg.load().collect().map(_.label).sorted.toSeq == Seq("A", "B"))
+    reg.insert(d, "C", 1, 1)
+    assert(reg.load().collect().length == 3)
+    // a separate instance (≈ another process) resolves the same head
+    assert(new DatasetRegistry(spark, path).load().collect().length == 3)
+  }
+
+  test("zombie writer renaming WITHIN the grace period is picked up as the base") {
+    val dir = Files.createTempDirectory("graft-registry-grace").toString
+    val path = s"$dir/registry"
+    val reg = new DatasetRegistry(spark, path)
+    reg.insert(d, "A", 1, 1) // version 1
+
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = s"$path.versions"
+    hfs.create(new org.apache.hadoop.fs.Path(s"$versions/commit-2"), false).close()
+    val slowTmp = new org.apache.hadoop.fs.Path(s"$versions/.tmp-slow")
+    // the slow writer's snapshot adds label S on top of version 1
+    val withS = reg.load().collect() :+ reg.load().collect().head.copy(
+      datasetid = 99L, label = "S", isactive = false)
+    import spark.implicits._
+    spark.createDataset(withS.toSeq).coalesce(1).write.parquet(slowTmp.toString)
+
+    // finish the slow rename ~300 ms into the live writer's grace wait
+    val finisher = new Thread(() => {
+      Thread.sleep(300)
+      hfs.rename(slowTmp, new org.apache.hadoop.fs.Path(s"$versions/data-2"))
+      ()
+    })
+    finisher.start()
+    reg.insert(d, "B", 1, 1) // must base on version 2 (includes S)
+    finisher.join()
+    val labels = reg.load().collect().map(_.label).sorted.toSeq
+    assert(labels == Seq("A", "B", "S"),
+      s"live writer must rebase onto the slow commit, got $labels")
+  }
+
   test("registry upgrades in place from a legacy bare-parquet table") {
     import org.apache.spark.sql.SaveMode
     val dir = Files.createTempDirectory("graft-registry-legacy").toString
