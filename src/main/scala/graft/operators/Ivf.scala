@@ -144,6 +144,41 @@ object Ivf {
       .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
+  /** Incremental index maintenance: assign a NEW embedding batch to the
+    * EXISTING centroids and append it under the same cluster_id
+    * partition layout — no re-clustering, no rewrite of the stored
+    * corpus (at 100 TB a daily feed cannot re-run Lloyd over
+    * everything; FAISS-style IVF lists grow the same way). Every
+    * [[searchStored]] probe sees appended rows immediately because the
+    * partition filter is directory-based. Centroid drift is the
+    * operator's documented trade: retrain + full [[writeIndex]] on a
+    * maintenance cadence, not per batch.
+    *
+    * After the append, small-file debt is compacted once the index
+    * exceeds `maxFiles` parquet files (same trigger contract as
+    * [[Dedup.maybeCompactIndexes]]); compaction preserves the
+    * cluster_id partition layout, so pruning is untouched. Returns
+    * true when a compaction ran.
+    */
+  def appendToIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Model,
+      path: String,
+      maxFiles: Long = 256L
+  ): Boolean = {
+    val spark = df.sparkSession
+    index(df, idCol, vecCol, model)
+      .repartition(col("cluster_id"))
+      .write.mode("append").partitionBy("cluster_id").parquet(path)
+    if (graft.ops.Maintenance.parquetFileCount(spark, path) > maxFiles) {
+      graft.ops.Maintenance.compact(spark, path,
+        partitionCols = Seq("cluster_id"))
+      true
+    } else false
+  }
+
   /** Search over a [[writeIndex]]-stored index with STATIC probe-cluster
     * partition pruning: the probed cluster set is computed from the
     * query vectors (the small side by contract — same bound as the

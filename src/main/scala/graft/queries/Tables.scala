@@ -10,7 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Catalyst (verify with `.explain`: PushedFilters / ReadSchema).
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** Every table scan normalizes any TIMESTAMP_NTZ column to LTZ on the
+    * way in (bit-identical under the pinned UTC session timezone): the
+    * driver regenerating a table with isAdjustedToUTC=0 — as happened
+    * to `events.ts` in round 6 — must not be able to break consumers of
+    * ANY other table either. A bare cast projection over the scan keeps
+    * column pruning and row-group pruning intact.
+    */
+  def table(name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      .foldLeft(raw) { (df, f) =>
+        df.withColumn(f.name,
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampType))
+      }
+  }
 
   /** Normalize `events.ts` to TIMESTAMP (LTZ, micros) regardless of the
     * file's physical encoding. The driver has shipped this column three

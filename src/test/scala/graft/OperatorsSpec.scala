@@ -956,6 +956,35 @@ class OperatorsSpec extends SparkSpec {
     assert(streamed.nonEmpty, "probe must hit the corpus for a non-vacuous check")
   }
 
+  test("IVF appendToIndex: batched appends + compaction ≡ one-shot index under the same model") {
+    import graft.operators.Ivf
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings.localCheckpoint()
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append")
+    // day 0 bootstrap + two daily appends, maxFiles tiny enough that
+    // the second append must trigger a compaction
+    Ivf.writeIndex(emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      model, s"$dir/inc")
+    val c1 = Ivf.appendToIndex(emb.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", model, s"$dir/inc", maxFiles = 12L)
+    val c2 = Ivf.appendToIndex(emb.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding", model, s"$dir/inc", maxFiles = 12L)
+    assert(c1 || c2, "the compaction trigger must fire at this maxFiles")
+    // compaction must keep the cluster_id directory layout (pruning)
+    val clusterDirs = new java.io.File(s"$dir/inc").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(clusterDirs.nonEmpty && clusterDirs.forall(_.startsWith("cluster_id=")))
+
+    Ivf.writeIndex(emb, "vec_id", "embedding", model, s"$dir/oneshot")
+    val queries = emb.filter(col("vec_id") % 17 === 5)
+    def results(p: String) = Ivf.searchStored(spark, p, queries,
+      "vec_id", "embedding", model, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val (inc, full) = (results(s"$dir/inc"), results(s"$dir/oneshot"))
+    assert(inc.nonEmpty && inc == full,
+      s"incremental index diverged from one-shot (${inc.size} vs ${full.size})")
+  }
+
   test("blocked cosine kernels: any block count is bit-identical to a single block") {
     // block-pair shuffle vs the degenerate 1-block run (all pairs in
     // one group) — per-pair IEEE arithmetic is block-independent, so

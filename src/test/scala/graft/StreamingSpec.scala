@@ -320,4 +320,52 @@ class StreamingSpec extends SparkSpec {
     StreamingIngest.runAvailableNow(src3, s"$root/ckpt", (df, _) => third += df.count())
     assert(third == 2L)
   }
+
+  test("streamed landing files flow through incremental dedup (ingestBatch in foreachBatch)") {
+    // the operational composition a daily feed runs: file stream →
+    // foreachBatch → Dedup.ingestBatch (exact drop + near-dup report +
+    // index append + compaction trigger). Re-delivered content must be
+    // dropped across MICRO-BATCHES via the on-disk fingerprint index,
+    // not stream state — the index survives stream restarts.
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-stream-dedup")
+    val in = Files.createDirectories(root.resolve("landing"))
+    def doc(id: Int, words: String) = s"$id,$words"
+    // batch file 1: two docs; batch file 2: one fresh doc + EXACT copy
+    // of doc 1 under a new id + a near-dup of doc 2 (one word changed)
+    Files.write(in.resolve("b1_docs.csv"), (Seq("doc_id,text") ++ Seq(
+      doc(1, "the quick brown fox jumps over the lazy dog tonight"),
+      doc(2, "pack my box with five dozen liquor jugs right now"))).mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val nearDups = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def drain(): Unit = {
+      val src = StreamingIngest.fileStream(spark, in.toString, schema, "*_docs.csv")
+      StreamingIngest.runAvailableNow(src, s"$root/ckpt", (df, _) => {
+        val r = Dedup.ingestBatch(df, "doc_id", "text",
+          s"$root/idx/lsh", s"$root/idx/fp", threshold = 0.3)
+        fresh ++= r.fresh.select("doc_id").collect().map(_.getLong(0))
+        nearDups ++= r.nearDups.select("id_new", "id_old").collect()
+          .map(r0 => (r0.getLong(0), r0.getLong(1)))
+      })
+    }
+    drain()
+    assert(fresh.sorted == Seq(1L, 2L))
+    // second landing, separate stream run (fresh checkpoint history is
+    // irrelevant: the dedup memory lives in the index, not the stream)
+    Files.write(in.resolve("b2_docs.csv"), (Seq("doc_id,text") ++ Seq(
+      doc(3, "sphinx of black quartz judge my vow again today friend"),
+      doc(4, "the quick brown fox jumps over the lazy dog tonight"),
+      doc(5, "pack my box with five dozen liquor jugs right here"))).mkString("\n").getBytes)
+    drain()
+    assert(fresh.sorted == Seq(1L, 2L, 3L, 5L),
+      s"exact re-delivery (doc 4) must be dropped by the fingerprint index, got $fresh")
+    assert(nearDups.contains((5L, 2L)),
+      s"the near-dup of doc 2 must surface against the historical index, got $nearDups")
+    // and the on-disk index now covers both batches' survivors
+    val idxIds = spark.read.parquet(s"$root/idx/lsh/sigs").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(idxIds == Seq(1L, 2L, 3L, 5L))
+  }
 }
