@@ -83,13 +83,17 @@ object Bench {
       // blocking: async unpersist lags behind checkpoint-heavy queries
       // (x27 creates ~6 checkpoint RDDs per run) and the backlog bleeds
       // GC pressure into the NEXT measured run
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val dropped = spark.sparkContext.getPersistentRDDs.values
+      dropped.foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
       // pay collection debt NOW, outside the timed window: at sf1 the
       // first measured run of checkpoint-heavy queries (x27) otherwise
       // absorbs a full-heap GC of the previous queries' garbage — the
-      // BENCH_r06 sf1 spread showed x27 max 82.7 s vs median 12.4 s
-      System.gc()
+      // BENCH_r06 sf1 spread showed x27 max 82.7 s vs median 12.4 s.
+      // Only when checkpoint blocks were actually dropped: a GC after
+      // every one of ~1200 run boundaries would add minutes of dead
+      // wall-clock for the majority of queries that persist nothing.
+      if (dropped.nonEmpty) System.gc()
     }
 
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for targeted timing

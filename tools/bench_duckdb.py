@@ -17,7 +17,9 @@ def connect(sf_dir, threads):
     import duckdb
     con = duckdb.connect()
     con.execute(f"SET threads TO {threads}")
-    con.execute(f"SET temp_directory='{sf_dir}/duckdb_spill'")
+    # spill under the repo's .tmp, never into the SF dir itself —
+    # /root/testdata is read-only by contract
+    con.execute("SET temp_directory='/root/repo/.tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
