@@ -637,6 +637,71 @@ object Dedup {
     * bands; larger thresholds keep high recall but are not exhaustive
     * (standard tradeoff).
     */
+  /** Duplicate-SPAN detection — the "exact substring dedup" shape of
+    * Lee et al., *Deduplicating Training Data Makes Language Models
+    * Better* (2021), at word-window granularity: any `w`-word window
+    * occurring more than once ANYWHERE in the corpus marks its span
+    * duplicated, and per document the overlapping duplicated windows
+    * merge into maximal spans (the text a cleaner would cut). Unlike
+    * the document-level dedups above, this finds the boilerplate
+    * paragraph pasted into otherwise-unique documents.
+    *
+    * Scale shape: windows shuffle as `(xxhash64, doc, pos)` — an
+    * 8-byte key, never the window text; duplicated keys come from one
+    * count>1 aggregation; the interval merge is a gaps-and-islands
+    * window PARTITIONED BY document (nothing corpus-global, no
+    * driver state). Like td13's contamination probe, equality is
+    * decided on the 64-bit hash — at 2^-64 collision odds the span
+    * arithmetic is exact in practice and the DuckDB oracle (which
+    * groups the window strings themselves) verifies exactly that.
+    *
+    * @return one row per document that contains at least one
+    *   duplicated window: (doc_id, n_words, n_dup_spans, dup_words,
+    *   dup_ratio) where dup_words counts words inside merged spans.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int
+  ): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val words = split(trim(col(textCol)), "\\s+")
+    val base = docs
+      .select(col(idCol).as("doc_id"), words.as("w"))
+      .withColumn("n_words", size(col("w")))
+      .filter(col("n_words") >= w)
+    val wins = base
+      .select(col("doc_id"), col("n_words"),
+        explode(transform(sequence(lit(1), col("n_words") - (w - 1)),
+          i => struct(i.as("pos"),
+            xxhash64(array_join(slice(col("w"), i, lit(w)), " ")).as("h")))).as("win"))
+      .select(col("doc_id"), col("n_words"),
+        col("win.pos").as("pos"), col("win.h").as("h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("h")
+    val marked = wins.join(dup, Seq("h"), "left_semi")
+    val prevRows = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runRows = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // new island when this window starts past the farthest end seen so
+    // far; ends are pos + w - 1 and pos is the sort key, so the running
+    // max end is max(pos) over the preceding rows + w - 1
+    val flagged = marked
+      .withColumn("new_span",
+        when(col("pos") > coalesce(max(col("pos")).over(prevRows), lit(-1000000)) + (w - 1),
+          lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("new_span")).over(runRows))
+    flagged
+      .groupBy("doc_id", "n_words", "island")
+      .agg(min(col("pos")).as("s0"), (max(col("pos")) + (w - 1)).as("e0"))
+      .groupBy("doc_id", "n_words")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e0") - col("s0") + 1).as("dup_words"))
+      .select(col("doc_id"), col("n_words"), col("n_dup_spans"), col("dup_words"),
+        (col("dup_words").cast("double") / col("n_words")).as("dup_ratio"))
+  }
+
   def simHashPairs(
       df: DataFrame,
       idCol: String,

@@ -110,4 +110,39 @@ object Packing {
     }
     spark.createDataset(picked).toDF(idCol, "cost", "cum")
   }
+
+  /** Deterministic weighted priority sampling (Duffield–Lund–Thorup,
+    * *Priority Sampling for Estimation of Arbitrary Subset Sums*):
+    * each item gets priority `weight / u` with `u ∈ (0, 1]` drawn
+    * deterministically from the mixed hash of `seed + id`; the top-k
+    * by priority is a without-replacement sample whose inclusion
+    * odds track weight — the "sample the corpus, favor the good
+    * documents" primitive, reproducible across runs and partitionings
+    * because there is no RNG state.
+    *
+    * Exactness: u = (fmix64(hash) mod 2^53 + 1) / 2^53 — numerator
+    * ≤ 2^53 and the denominator is a power of two, so u and
+    * weight/u are IEEE-identical in any engine (the DuckDB oracle
+    * replays them bit-for-bit). Scale shape: priority is map-only;
+    * the top-k runs as TakeOrdered (per-partition k-heaps merged on
+    * the driver — k rows of driver state, no global sort).
+    */
+  def prioritySample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String
+  ): DataFrame = {
+    graft.functions.MixedHash64.register(df.sparkSession)
+    val twoTo53 = 1L << 53
+    val u = (pmod(graft.functions.MixedHash64(
+        concat(lit(seed), col(idCol).cast("string"))), lit(twoTo53)) + 1)
+      .cast("double") / lit(twoTo53.toDouble)
+    df.select(col(idCol), col(weightCol).cast("double").as("weight"), u.as("u"))
+      .withColumn("priority", col("weight") / col("u"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"), col("priority"))
+  }
 }

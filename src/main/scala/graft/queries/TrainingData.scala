@@ -2447,6 +2447,76 @@ object TrainingData {
     }
   )
 
+  /** Duplicate-span detection (exact-substring dedup shape, Lee et
+    * al. 2021) over 10-word windows: per doc, merged spans of windows
+    * that occur more than once anywhere in the corpus. The Spark side
+    * matches windows on xxhash64 (8-byte shuffle keys); the oracle
+    * groups the window strings themselves, so the hash-equality
+    * shortcut is verified against true string equality end to end.
+    */
+  val dd12SpanDedup = Query(
+    "dd12_span_dedup",
+    Some("""WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w FROM documents),
+            |d AS (SELECT doc_id, CAST(LEN(w) AS INT) AS n, w FROM words WHERE LEN(w) >= 10),
+            |g AS (SELECT doc_id, n, CAST(i AS INT) AS pos,
+            |        list_aggregate(w[i:i+9], 'string_agg', ' ') AS s
+            |      FROM d, UNNEST(range(1, n - 8)) t(i)),
+            |dup AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) > 1),
+            |m AS (SELECT doc_id, n, pos FROM g JOIN dup USING (s)),
+            |fl AS (SELECT doc_id, n, pos,
+            |         CASE WHEN pos > COALESCE(MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+            |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000000) + 9
+            |              THEN 1 ELSE 0 END AS f
+            |       FROM m),
+            |isl AS (SELECT doc_id, n, pos,
+            |         SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            |       FROM fl),
+            |sp AS (SELECT doc_id, n, island, MIN(pos) AS s0, MAX(pos) + 9 AS e0
+            |       FROM isl GROUP BY doc_id, n, island)
+            |SELECT doc_id, n AS n_words, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+            |  CAST(SUM(e0 - s0 + 1) AS BIGINT) AS dup_words,
+            |  CAST(SUM(e0 - s0 + 1) AS DOUBLE) / n AS dup_ratio
+            |FROM sp GROUP BY doc_id, n ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup.duplicateSpans(t.documents, "doc_id", "text", w = 10).orderBy("doc_id")
+    }
+  )
+
+  /** Deterministic weighted priority sampling: top-100 documents by
+    * `n_tokens / u` with u the hash-derived uniform in (0,1] — the
+    * weighted corpus-subsampling primitive (Duffield–Lund–Thorup).
+    * u's construction keeps every value exactly representable, so
+    * priority is IEEE-identical across engines and the oracle pins
+    * the full double, not a rounding.
+    */
+  val td39PrioritySample = Query(
+    "td39_priority_sample", {
+      val fold = foldSql("CONCAT('ps', CAST(doc_id AS VARCHAR))")
+      Some(
+        s"""WITH h0 AS MATERIALIZED (SELECT doc_id, text, ($fold) AS u0 FROM documents),
+           |h1 AS MATERIALIZED (SELECT doc_id, text, ${fmixSql("u0")} AS u64 FROM h0),
+           |t AS (SELECT doc_id,
+           |        CASE WHEN strlen(TRIM(text)) = 0 THEN CAST(0 AS DOUBLE)
+           |             ELSE CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS DOUBLE)
+           |        END AS weight,
+           |        CAST(u64 % 9007199254740992::HUGEINT + 1 AS DOUBLE)
+           |          / CAST(9007199254740992 AS DOUBLE) AS u
+           |      FROM h1)
+           |SELECT doc_id, weight, weight / u AS priority
+           |FROM t ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val trimmed = trim(col("text"))
+      val toks = when(length(trimmed) === 0, lit(0))
+        .otherwise(size(split(trimmed, "\\s+")))
+      val scored = t.documents.select(col("doc_id"), toks.as("n_tokens"))
+      graft.operators.Packing.prioritySample(scored, "doc_id", "n_tokens", k = 100, seed = "ps")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -2463,6 +2533,7 @@ object TrainingData {
     ss06SemanticDedup, td26LexicalDiversity, td27LengthBand,
     td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
     dd10PrefixJaccard, td33SourceCap, td34RollingExact, td35CharDiversity,
-    td36BudgetSelect, td37NegativeSamples, td38EpochShuffle, dd11IncrementalDedup
+    td36BudgetSelect, td37NegativeSamples, td38EpochShuffle, dd11IncrementalDedup,
+    dd12SpanDedup, td39PrioritySample
   )
 }

@@ -1099,6 +1099,54 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans merges overlapping dup windows into maximal spans; repeats split islands") {
+    // w=3. doc1/doc2 share "a b c" and "b c d"; doc3 repeats "p q r"
+    // at positions 1 and 5 (two disjoint islands); doc4 is unique.
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d z"),
+      (3L, "p q r s p q r t"),
+      (4L, "unique words only here really")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, "doc_id", "text", w = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // doc1: dup windows at pos 1,2 -> span [1,4]; doc2: pos 3,4 -> [3,6];
+    // doc3: pos 1 and 5 -> [1,3] + [5,7]
+    assert(got.toSeq == Seq((1L, 6, 1L, 4L), (2L, 7, 1L, 4L), (3L, 8, 2L, 6L)))
+
+    // partition-invariance: same result under a different partitioning
+    val re = Dedup.duplicateSpans(df.repartition(7), "doc_id", "text", w = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("prioritySample: deterministic top-k by weight/u, replayable from the hash") {
+    import graft.functions.MixedHash64
+    val items = (0L until 200L).map(i => (i, 1L + i % 7)).toDF("id", "w")
+    val got = graft.operators.Packing.prioritySample(items, "id", "w", k = 25, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 25)
+    // replay the exact construction in Scala: fold + fmix64, mod 2^53
+    def mixed(s: String): Long = {
+      var h = 1469598103934665603L
+      s.getBytes("UTF-8").foreach(b => h = h * 1000003L + (b & 0xffL))
+      MixedHash64.fmix64(h)
+    }
+    val expected = (0L until 200L).map { i =>
+      val u = (java.lang.Math.floorMod(mixed(s"s$i"), 1L << 53) + 1).toDouble / (1L << 53).toDouble
+      (i, (1L + i % 7).toDouble, (1L + i % 7).toDouble / u)
+    }.sortBy { case (id, _, p) => (-p, id) }.take(25)
+    assert(got.toSeq == expected, "operator must match the hash replay bit-for-bit")
+    // invariant under input partitioning
+    val re = graft.operators.Packing
+      .prioritySample(items.repartition(13), "id", "w", k = 25, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(re.toSeq == got.toSeq)
+  }
+
   test("MAD outliers: robust center flags the uniform tails, counts partition the groups") {
     val rows = graft.queries.Extras.x24MadOutliers.build(spark, sf).collect()
     assert(rows.length == 3) // returnflags A/N/R
