@@ -664,6 +664,24 @@ object Dedup {
       idCol: String,
       textCol: String,
       w: Int
+  ): DataFrame =
+    mergedDupSpans(docs, idCol, textCol, w)
+      .groupBy("doc_id", "n_words")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e0") - col("s0") + 1).as("dup_words"))
+      .select(col("doc_id"), col("n_words"), col("n_dup_spans"), col("dup_words"),
+        (col("dup_words").cast("double") / col("n_words")).as("dup_ratio"))
+
+  /** The merged duplicated spans themselves: one row per maximal span,
+    * `(doc_id, n_words, s0, e0)` with 1-based inclusive word positions.
+    * Shared core of [[duplicateSpans]] (stats) and [[removeDupSpans]]
+    * (cleaning); see duplicateSpans for the shuffle profile.
+    */
+  private[graft] def mergedDupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int
   ): DataFrame = {
     require(w >= 2, s"window width must be >= 2, got $w")
     val words = split(trim(col(textCol)), "\\s+")
@@ -695,11 +713,45 @@ object Dedup {
     flagged
       .groupBy("doc_id", "n_words", "island")
       .agg(min(col("pos")).as("s0"), (max(col("pos")) + (w - 1)).as("e0"))
-      .groupBy("doc_id", "n_words")
-      .agg(count(lit(1)).as("n_dup_spans"),
-        sum(col("e0") - col("s0") + 1).as("dup_words"))
-      .select(col("doc_id"), col("n_words"), col("n_dup_spans"), col("dup_words"),
-        (col("dup_words").cast("double") / col("n_words")).as("dup_ratio"))
+      .select("doc_id", "n_words", "s0", "e0")
+  }
+
+  /** Duplicate-span REMOVAL — the actionable form of
+    * [[duplicateSpans]]: cut every merged duplicated span out of the
+    * document and re-emit the surviving words (whitespace-normalized,
+    * single-space joined — both engines reconstruct from the same
+    * token array). Documents without duplicated spans pass through
+    * with their full (normalized) text.
+    *
+    * Scale shape: the span table is tiny (flagged docs only) and joins
+    * back on doc_id; the cut itself is a per-row lambda over the
+    * document's own word array (work linear in document length — the
+    * same per-row cost as tokenization), so no word-level explode or
+    * shuffle happens.
+    */
+  def removeDupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int
+  ): DataFrame = {
+    val spans = mergedDupSpans(docs, idCol, textCol, w)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s0"), col("e0"))).as("spans"))
+    val words = split(trim(col(textCol)), "\\s+")
+    docs
+      .select(col(idCol).as("doc_id"), words.as("w"))
+      .withColumn("n_words", size(col("w")))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), array().cast("array<struct<s0:int,e0:int>>")))
+      // keep word i (1-based) unless some span covers it
+      .withColumn("kept", filter(col("w"),
+        (x, i) => !exists(col("spans"),
+          s => (i + 1) >= s.getField("s0") && (i + 1) <= s.getField("e0"))))
+      .select(col("doc_id"), col("n_words"),
+        size(col("kept")).as("kept_words"),
+        array_join(col("kept"), " ").as("cleaned_text"))
   }
 
   def simHashPairs(

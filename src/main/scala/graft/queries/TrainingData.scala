@@ -2484,6 +2484,53 @@ object TrainingData {
     }
   )
 
+  /** Duplicate-span REMOVAL (the actionable form of dd12): cut every
+    * merged duplicated 10-word-window span and re-emit the surviving
+    * words. Output covers ALL documents (whitespace-normalized text;
+    * unflagged docs pass through whole), so the oracle also verifies
+    * the pass-through path and the fully-duplicated → empty edge.
+    */
+  val dd13SpanRemoval = Query(
+    "dd13_span_removal",
+    Some("""WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w FROM documents),
+            |d AS (SELECT doc_id, CAST(LEN(w) AS INT) AS n, w FROM words),
+            |dw AS (SELECT doc_id, n, w FROM d WHERE n >= 10),
+            |g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+            |        list_aggregate(w[i:i+9], 'string_agg', ' ') AS s
+            |      FROM dw, UNNEST(range(1, n - 8)) t(i)),
+            |dup AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) > 1),
+            |m AS (SELECT doc_id, pos FROM g JOIN dup USING (s)),
+            |fl AS (SELECT doc_id, pos,
+            |         CASE WHEN pos > COALESCE(MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+            |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000000) + 9
+            |              THEN 1 ELSE 0 END AS f
+            |       FROM m),
+            |isl AS (SELECT doc_id, pos,
+            |         SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            |       FROM fl),
+            |sp AS (SELECT doc_id, island, MIN(pos) AS s0, MAX(pos) + 9 AS e0
+            |       FROM isl GROUP BY doc_id, island),
+            |pos AS (SELECT doc_id, n, i AS p, w[i] AS word
+            |        FROM d, UNNEST(range(1, n + 1)) t(i)),
+            |kept AS (SELECT doc_id, p, word FROM pos
+            |         WHERE NOT EXISTS (SELECT 1 FROM sp
+            |                           WHERE sp.doc_id = pos.doc_id
+            |                             AND pos.p BETWEEN sp.s0 AND sp.e0)),
+            |agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS kept_words,
+            |          string_agg(word, ' ' ORDER BY p) AS cleaned_text
+            |        FROM kept GROUP BY doc_id)
+            |SELECT d.doc_id, d.n AS n_words,
+            |  COALESCE(kept_words, 0) AS kept_words,
+            |  COALESCE(cleaned_text, '') AS cleaned_text
+            |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+            |ORDER BY d.doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup.removeDupSpans(t.documents, "doc_id", "text", w = 10).orderBy("doc_id")
+    }
+  )
+
   /** Deterministic weighted priority sampling: top-100 documents by
     * `n_tokens / u` with u the hash-derived uniform in (0,1] — the
     * weighted corpus-subsampling primitive (Duffield–Lund–Thorup).
@@ -2534,6 +2581,6 @@ object TrainingData {
     td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
     dd10PrefixJaccard, td33SourceCap, td34RollingExact, td35CharDiversity,
     td36BudgetSelect, td37NegativeSamples, td38EpochShuffle, dd11IncrementalDedup,
-    dd12SpanDedup, td39PrioritySample
+    dd12SpanDedup, td39PrioritySample, dd13SpanRemoval
   )
 }

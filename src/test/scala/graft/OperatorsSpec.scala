@@ -1123,6 +1123,27 @@ class OperatorsSpec extends SparkSpec {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("removeDupSpans cuts spans, passes unique docs through, empties full duplicates") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d z"),
+      (3L, "p q r s p q r t"),
+      (4L, "unique words only here really"),
+      (5L, "m n o"),
+      (6L, "m n o")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(df, "doc_id", "text", w = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 6, 2, "e f"),
+      (2L, 7, 3, "x y z"),
+      (3L, 8, 2, "s t"),
+      (4L, 5, 5, "unique words only here really"),
+      (5L, 3, 0, ""),
+      (6L, 3, 0, "")))
+  }
+
   test("prioritySample: deterministic top-k by weight/u, replayable from the hash") {
     import graft.functions.MixedHash64
     val items = (0L until 200L).map(i => (i, 1L + i % 7)).toDF("id", "w")
