@@ -316,4 +316,25 @@ class PlanSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
     assert(key(stored) == key(direct))
   }
+
+  test("span dedup joins stay equi/semi joins on the window hash, never cartesian") {
+    val t = Tables(spark, sf)
+    Seq(
+      graft.operators.Dedup.duplicateSpans(t.documents, "doc_id", "text", w = 10),
+      graft.operators.Dedup.removeDupSpans(t.documents, "doc_id", "text", w = 10)
+    ).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("priority sample plans as TakeOrdered over map-only priorities (no global sort)") {
+    val t = Tables(spark, sf)
+    val scored = t.documents.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    val p = plan(graft.operators.Packing.prioritySample(scored, "doc_id", "n_tokens", 100, "ps"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), s"priority computation must not shuffle:\n$p")
+  }
 }

@@ -129,6 +129,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("streaming priority sample equals the batch sample (map-only priorities + TopK state)") {
+    import graft.functions.MixedHash64
+    val dir = Files.createTempDirectory("graft-psample-stream").toString
+    val batchDocs = Tables(spark, "/root/testdata/sf0.001").documents
+    batchDocs.write.parquet(s"$dir/in")
+    MixedHash64.register(spark)
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    // the same map-only priority the batch operator computes, fed to
+    // the TopK aggregator as bounded stream state (k rows, no window)
+    val trimmed = trim(col("text"))
+    val weight = when(length(trimmed) === 0, lit(0))
+      .otherwise(size(split(trimmed, "\\s+"))).cast("double")
+    val u = (pmod(MixedHash64(concat(lit("ps"), col("doc_id").cast("string"))),
+      lit(1L << 53)) + 1).cast("double") / lit((1L << 53).toDouble)
+    val q = stream
+      .select(col("doc_id"), (weight / u).as("priority"))
+      .agg(graft.functions.TopK.topK(col("priority"), col("doc_id"), 20).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("doc_id"), col("col._1").as("priority"))
+      .writeStream.outputMode("complete").format("memory").queryName("psample_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("psample_stream").orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val scored = batchDocs.select(col("doc_id"),
+      when(length(trimmed) === 0, lit(0))
+        .otherwise(size(split(trimmed, "\\s+"))).as("n_tokens"))
+    val want = graft.operators.Packing
+      .prioritySample(scored, "doc_id", "n_tokens", k = 20, seed = "ps")
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1, r.getLong(0), r.getDouble(2)) }
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("streaming PQ encode yields the exact batch codes, map-only (no state store)") {
     import graft.operators.Pq
     val dir = Files.createTempDirectory("graft-pq-stream").toString
