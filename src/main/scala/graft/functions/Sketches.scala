@@ -264,6 +264,32 @@ object Sketches {
     arr
   }
 
+  /** ALL k-gram xxhash64 values in document order, duplicates kept:
+    * out(g) = hash of the gram starting at word g (0-based) — the
+    * positional form span-level dedup needs (`posexplode` recovers
+    * the position). Same per-gram hash as [[gramXxHashes]], i.e.
+    * `xxhash64(array_join(slice(words, g+1, k), ' '))`.
+    */
+  def gramXxHashesAll(words: Array[String], k: Int): Array[Long] = {
+    val m = words.length - k + 1
+    if (m <= 0) return Array.emptyLongArray
+    val out = new Array[Long](m)
+    val sb = new java.lang.StringBuilder()
+    var g = 0
+    while (g < m) {
+      sb.setLength(0)
+      var wi = 0
+      while (wi < k) {
+        if (wi > 0) sb.append(' ')
+        sb.append(words(g + wi))
+        wi += 1
+      }
+      out(g) = XxHash64Function.hash(UTF8String.fromString(sb.toString), StringType, 42L)
+      g += 1
+    }
+    out
+  }
+
   // ── expression wrappers ───────────────────────────────────────────
   abstract class SketchExpr extends UnaryExpression with CodegenFallback {
     override def checkInputDataTypes() =
@@ -303,6 +329,13 @@ object Sketches {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       new GenericArrayData(gramXxHashes(tokens(input.asInstanceOf[UTF8String]), k))
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  case class GramXxHashesAllExpr(child: Expression, k: Int) extends SketchExpr {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(gramXxHashesAll(tokens(input.asInstanceOf[UTF8String]), k))
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -405,6 +438,8 @@ object Sketches {
       es => WinnowExpr(es(0), intArg(es(1), "k"), intArg(es(2), "w")))
     registerIfAbsent(spark, "gram_xxhashes",
       es => GramXxHashesExpr(es(0), intArg(es(1), "k")))
+    registerIfAbsent(spark, "gram_xxhashes_all",
+      es => GramXxHashesAllExpr(es(0), intArg(es(1), "k")))
     registerIfAbsent(spark, "bloom_positions",
       es => BloomPositionsExpr(es(0), intArg(es(1), "k"), intArg(es(2), "numHashes"),
         intArg(es(3), "mBits")))
@@ -438,6 +473,10 @@ object Sketches {
   def gramXxHashesCol(text: Column, k: Int): Column = {
     register(active)
     call_function("gram_xxhashes", text, org.apache.spark.sql.functions.lit(k))
+  }
+  def gramXxHashesAllCol(text: Column, k: Int): Column = {
+    register(active)
+    call_function("gram_xxhashes_all", text, org.apache.spark.sql.functions.lit(k))
   }
   def bloomPositionsCol(text: Column, k: Int, numHashes: Int, mBits: Int): Column = {
     register(active)

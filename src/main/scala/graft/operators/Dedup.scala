@@ -684,18 +684,16 @@ object Dedup {
       w: Int
   ): DataFrame = {
     require(w >= 2, s"window width must be >= 2, got $w")
-    val words = split(trim(col(textCol)), "\\s+")
-    val base = docs
-      .select(col(idCol).as("doc_id"), words.as("w"))
-      .withColumn("n_words", size(col("w")))
-      .filter(col("n_words") >= w)
-    val wins = base
+    // positional window hashes come from ONE native pass per document
+    // (functions.Sketches.gramXxHashesAll — the string-building HOF
+    // form ran interpreted and cost ~3x); posexplode recovers the
+    // 1-based window start
+    val wins = docs
+      .select(col(idCol).as("doc_id"),
+        size(split(trim(col(textCol)), "\\s+")).as("n_words"),
+        posexplode(graft.functions.Sketches.gramXxHashesAllCol(col(textCol), w)))
       .select(col("doc_id"), col("n_words"),
-        explode(transform(sequence(lit(1), col("n_words") - (w - 1)),
-          i => struct(i.as("pos"),
-            xxhash64(array_join(slice(col("w"), i, lit(w)), " ")).as("h")))).as("win"))
-      .select(col("doc_id"), col("n_words"),
-        col("win.pos").as("pos"), col("win.h").as("h"))
+        (col("pos") + 1).as("pos"), col("col").as("h"))
     val dup = wins.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("h")
     val marked = wins.join(dup, Seq("h"), "left_semi")
     val prevRows = Window.partitionBy("doc_id").orderBy("pos")
