@@ -187,4 +187,66 @@ object TextAnalysis {
     }
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Distributed BPE merge training (Sennrich et al., *Neural Machine
+    * Translation of Rare Words with Subword Units*): learn the first
+    * `k` merge rules over the corpus vocabulary. Each round counts
+    * adjacent symbol pairs across the (word, freq) vocabulary, picks
+    * the most frequent (ties: lexicographically first), and rewrites
+    * every word's symbol string by leftmost non-overlapping
+    * replacement — the contract both this and the SQL oracle define
+    * merging by, so the learned table is engine-exact.
+    *
+    * Scale shape: state is the VOCABULARY (distinct words × freq),
+    * not the corpus — the corpus is read once for the word count;
+    * each round is one pair-count aggregation over the vocab plus a
+    * single-row argmax collect (the merge rule itself is control
+    * plane, exactly like a trained model's parameters). A production
+    * run at 100 TB trains on a sampled vocab (compose with td14/td39)
+    * — the per-round shape is unchanged.
+    *
+    * @return the merge table: (step, pair, merged, cnt), k rows (or
+    *   fewer if the vocabulary runs out of pairs).
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val vocab = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // chars joined by ' ' = the initial symbol string; filter guards
+      // against split("") emitting empty fragments on any engine
+      .withColumn("sym",
+        array_join(filter(split(col("word"), ""), c => c =!= ""), " "))
+      .localCheckpoint()
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var cur = vocab
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val s = split(col("sym"), " ")
+      val top = cur
+        .select(col("freq"),
+          // when() guards the single-symbol words: sequence(0, -1)
+          // would descend, and explode(null) correctly emits nothing
+          explode(when(size(s) >= 2,
+            transform(sequence(lit(0), size(s) - 2),
+              i => concat(element_at(s, i + 1), lit(" "), element_at(s, i + 2))))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), asc("pair"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val merged = pair.replace(" ", "")
+        merges += ((step, pair, merged, top(0).getLong(1)))
+        cur = cur.withColumn("sym", replace(col("sym"), lit(pair), lit(merged)))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "pair", "merged", "cnt")
+  }
 }

@@ -2564,6 +2564,51 @@ object TrainingData {
     }
   )
 
+  /** Distributed BPE merge training: the first 8 learned merge rules
+    * over the corpus vocabulary (the trained-tokenizer artifact the
+    * bpeish proxy in td03 stands in for). The oracle replays every
+    * round — pair count, argmax with lexicographic tie-break, leftmost
+    * non-overlapping rewrite — as a chained CTE per merge, so the
+    * whole training trajectory is engine-exact, not just the final
+    * table.
+    */
+  val td40BpeMerges = Query(
+    "td40_bpe_merges", {
+      val k = 8
+      val sb = new StringBuilder
+      sb ++= """WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+               |  FROM (SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS word
+               |        FROM documents)
+               |  WHERE word <> '' GROUP BY word),
+               |s0 AS MATERIALIZED (SELECT freq,
+               |  list_aggregate(regexp_split_to_array(word, ''), 'string_agg', ' ') AS sym
+               |  FROM w)""".stripMargin
+      // every stage MATERIALIZED: s_i is referenced by both p_{i+1}
+      // and s_{i+1}, so DuckDB's single-use CTE inlining would blow
+      // the chain up 2^k-fold (the x32/td14 lesson)
+      for (i <- 1 to k) {
+        val prev = s"s${i - 1}"
+        sb ++= s""",
+                  |p$i AS MATERIALIZED (SELECT s[i] || ' ' || s[i+1] AS pair, SUM(freq) AS cnt
+                  |  FROM (SELECT freq, regexp_split_to_array(sym, ' ') AS s FROM $prev),
+                  |       UNNEST(range(1, LEN(s))) t(i)
+                  |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+        if (i < k)
+          sb ++= s""",
+                    |s$i AS MATERIALIZED (SELECT freq, REPLACE(sym, (SELECT pair FROM p$i),
+                    |  REPLACE((SELECT pair FROM p$i), ' ', '')) AS sym FROM $prev)""".stripMargin
+      }
+      sb ++= "\n" + (1 to k).map(i =>
+        s"SELECT CAST($i AS INT) AS step, pair, REPLACE(pair, ' ', '') AS merged, " +
+          s"CAST(cnt AS BIGINT) AS cnt FROM p$i").mkString("", "\nUNION ALL\n", "\nORDER BY step")
+      Some(sb.toString)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.bpeMerges(t.documents, "text", k = 8).orderBy("step")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -2581,6 +2626,6 @@ object TrainingData {
     td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
     dd10PrefixJaccard, td33SourceCap, td34RollingExact, td35CharDiversity,
     td36BudgetSelect, td37NegativeSamples, td38EpochShuffle, dd11IncrementalDedup,
-    dd12SpanDedup, td39PrioritySample, dd13SpanRemoval
+    dd12SpanDedup, td39PrioritySample, dd13SpanRemoval, td40BpeMerges
   )
 }

@@ -1144,6 +1144,25 @@ class OperatorsSpec extends SparkSpec {
       (6L, 3, 0, "")))
   }
 
+  test("bpeMerges learns the classic es/est/lo/low sequence with lexicographic ties") {
+    // Sennrich's worked example: vocab low:5 lower:2 newest:6 widest:3.
+    // Round 1 ties (e,s)=9 with (s,t)=9 -> lexicographic 'e s' wins;
+    // round 2 must pair the MERGED symbol ('es t'); rounds 3-4 chain
+    // l o -> lo w.
+    val df = Seq(
+      "low low low low low lower lower",
+      "newest newest newest newest newest newest widest widest widest"
+    ).toDF("text")
+    val got = TextAnalysis.bpeMerges(df, "text", k = 4).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "e s", "es", 9L), (2, "es t", "est", 9L),
+      (3, "l o", "lo", 7L), (4, "lo w", "low", 7L)))
+    // runs out of pairs gracefully: one 2-char word has exactly 1 merge
+    val tiny = TextAnalysis.bpeMerges(Seq("ab").toDF("text"), "text", k = 5).collect()
+    assert(tiny.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a b")))
+  }
+
   test("prioritySample: deterministic top-k by weight/u, replayable from the hash") {
     import graft.functions.MixedHash64
     val items = (0L until 200L).map(i => (i, 1L + i % 7)).toDF("id", "w")
