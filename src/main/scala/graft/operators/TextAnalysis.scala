@@ -249,4 +249,31 @@ object TextAnalysis {
     import spark.implicits._
     merges.toSeq.toDF("step", "pair", "merged", "cnt")
   }
+
+  /** Apply a learned merge table ([[bpeMerges]]'s artifact) and count
+    * the resulting subword segments per document. Pure map: the merge
+    * rules arrive as literals (control-plane, like broadcast model
+    * weights) and each word segments independently — chars joined by
+    * ' ', then every merge applied in training order by leftmost
+    * literal replacement, the same contract training used. No
+    * shuffle, no state; streams through the corpus in one pass.
+    */
+  def bpeSegmentCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    val ws = filter(split(trim(col(textCol)), "\\s+"), wd => wd =!= "")
+    docs
+      .select(col(idCol), ws.as("ws"))
+      .select(col(idCol), size(col("ws")).as("n_words"),
+        aggregate(
+          transform(col("ws"), wd => {
+            var sym = array_join(filter(split(wd, ""), c => c =!= ""), " ")
+            merges.foreach { case (p, m) => sym = replace(sym, lit(p), lit(m)) }
+            size(split(sym, " "))
+          }),
+          lit(0), (acc, x) => acc + x).as("n_subwords"))
+  }
 }

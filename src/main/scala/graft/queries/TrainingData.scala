@@ -2609,6 +2609,64 @@ object TrainingData {
     }
   )
 
+  /** BPE segmentation with the td40-trained merges: per-doc word and
+    * subword counts after applying all 8 merge rules in training
+    * order. Train + apply together make the tokenizer story
+    * end-to-end engine-exact: the oracle re-derives the merges with
+    * td40's CTE chain and applies them inside a list_transform lambda
+    * capturing the merge scalars.
+    */
+  val td41BpeSegment = Query(
+    "td41_bpe_segment", {
+      val k = 8
+      val sb = new StringBuilder
+      sb ++= """WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+               |  FROM (SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS word
+               |        FROM documents)
+               |  WHERE word <> '' GROUP BY word),
+               |s0 AS MATERIALIZED (SELECT freq,
+               |  list_aggregate(regexp_split_to_array(word, ''), 'string_agg', ' ') AS sym
+               |  FROM w)""".stripMargin
+      for (i <- 1 to k) {
+        val prev = s"s${i - 1}"
+        sb ++= s""",
+                  |p$i AS MATERIALIZED (SELECT s[i] || ' ' || s[i+1] AS pair, SUM(freq) AS cnt
+                  |  FROM (SELECT freq, regexp_split_to_array(sym, ' ') AS s FROM $prev),
+                  |       UNNEST(range(1, LEN(s))) t(i)
+                  |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+        if (i < k)
+          sb ++= s""",
+                    |s$i AS MATERIALIZED (SELECT freq, REPLACE(sym, (SELECT pair FROM p$i),
+                    |  REPLACE((SELECT pair FROM p$i), ' ', '')) AS sym FROM $prev)""".stripMargin
+      }
+      // one row of merge scalars, captured by the segmentation lambda
+      sb ++= s""",
+                |mg AS MATERIALIZED (SELECT ${(1 to k).map(i =>
+                  s"(SELECT pair FROM p$i) AS p${i}p, " +
+                  s"(SELECT REPLACE(pair, ' ', '') FROM p$i) AS p${i}m").mkString(", ")}),
+                |d2 AS (SELECT doc_id,
+                |  list_filter(regexp_split_to_array(TRIM(text), '\\s+'), wd -> wd <> '') AS ws
+                |  FROM documents)""".stripMargin
+      val applied = (1 to k).foldLeft(
+        "list_aggregate(regexp_split_to_array(wd, ''), 'string_agg', ' ')") {
+        (acc, i) => s"REPLACE($acc, p${i}p, p${i}m)"
+      }
+      sb ++= s"""
+                |SELECT doc_id, CAST(LEN(ws) AS INT) AS n_words,
+                |  CAST(COALESCE(list_aggregate(
+                |    list_transform(ws, wd -> LEN(regexp_split_to_array($applied, ' '))),
+                |    'sum'), 0) AS INT) AS n_subwords
+                |FROM d2 CROSS JOIN mg ORDER BY doc_id""".stripMargin
+      Some(sb.toString)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val m = TextAnalysis.bpeMerges(t.documents, "text", k = 8).orderBy("step")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeSegmentCounts(t.documents, "doc_id", "text", m).orderBy("doc_id")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -2626,6 +2684,6 @@ object TrainingData {
     td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
     dd10PrefixJaccard, td33SourceCap, td34RollingExact, td35CharDiversity,
     td36BudgetSelect, td37NegativeSamples, td38EpochShuffle, dd11IncrementalDedup,
-    dd12SpanDedup, td39PrioritySample, dd13SpanRemoval, td40BpeMerges
+    dd12SpanDedup, td39PrioritySample, dd13SpanRemoval, td40BpeMerges, td41BpeSegment
   )
 }

@@ -1161,6 +1161,15 @@ class OperatorsSpec extends SparkSpec {
     // runs out of pairs gracefully: one 2-char word has exactly 1 merge
     val tiny = TextAnalysis.bpeMerges(Seq("ab").toDF("text"), "text", k = 5).collect()
     assert(tiny.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a b")))
+
+    // applying those merges segments by the SAME leftmost-rewrite
+    // contract: low->1, lower->low+e+r=3, newest->n+e+w+est=4,
+    // widest->w+i+d+est=4
+    val m = got.map(r => (r._2, r._3)).toSeq
+    val seg = TextAnalysis.bpeSegmentCounts(
+      Seq((1L, "low lower newest widest"), (2L, "  ")).toDF("id", "text"), "id", "text", m)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(seg.toSeq == Seq((1L, 4, 1 + 3 + 4 + 4), (2L, 0, 0)))
   }
 
   test("prioritySample: deterministic top-k by weight/u, replayable from the hash") {
