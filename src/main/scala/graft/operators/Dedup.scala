@@ -782,4 +782,38 @@ object Dedup {
         bit_count(col("s_a").bitwiseXOR(col("s_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Quality-aware canonical selection: cluster documents by the md5
+    * of their first `prefixWords` NORMALIZED words — the same-opening
+    * fingerprint that catches truncation variants exact hashing
+    * misses (one copy cut short still shares the prefix) — and keep
+    * the copy with the MOST TOKENS (ties: lowest id), the
+    * "keep the longest variant" policy real cleaning pipelines use
+    * instead of min-id. Emits one row per group of ≥2.
+    *
+    * Shape: the shuffle carries (fp, id, n_toks) — never the
+    * document; rank and group-size share one window partitioning
+    * (a single exchange). Quality is an integer token count: the
+    * argmax is exactly reproducible with no FP concerns.
+    */
+  def canonicalByQuality(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefixWords: Int = 8
+  ): DataFrame = {
+    val norm = TextAnalysis.normalizeForDedup(col(textCol))
+    val base = docs.select(
+      col(idCol),
+      md5(array_join(slice(split(norm, " "), 1, prefixWords), " ")).as("norm_fp"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_toks"))
+    val byFp = Window.partitionBy("norm_fp")
+    val rank = byFp.orderBy(desc("n_toks"), col(idCol))
+    base
+      .withColumn("rn", row_number().over(rank))
+      .withColumn("n_docs", count(lit(1)).over(byFp))
+      .filter(col("rn") === 1 && col("n_docs") >= 2)
+      .select(col("norm_fp"), col("n_docs").cast("int").as("n_docs"),
+        col(idCol).as(s"kept_$idCol"), col("n_toks").as("kept_n_tokens"))
+  }
 }

@@ -250,6 +250,152 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "pair", "merged", "cnt")
   }
 
+  /** Gopher-style repetition filters (Rae et al., *Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher*,
+    * table A1): per document and n-gram size, the fraction of n-gram
+    * occurrences that are duplicated within the document and the
+    * fraction claimed by the single most frequent n-gram. High values
+    * flag boilerplate/looping text that token-level distinct ratios
+    * (td09) miss.
+    *
+    * Scale shape: n-grams leave the row as 8-byte xxhash64 keys (one
+    * native pass per document, the dd12 kernel), so the shuffle is
+    * (id, n, hash) — narrow and uniformly distributed; per-doc stats
+    * are a two-level aggregation on that key. Nothing document-sized
+    * crosses the wire and no state outlives the aggregation.
+    *
+    * @return one row per (document, n): id, n, n_grams, dup_frac,
+    *   top_frac — documents shorter than n words carry zeros.
+    */
+  def dupNgramStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ns: Seq[Int]
+  ): DataFrame = {
+    import graft.functions.Sketches
+    val grams = ns.map { n =>
+      docs.select(col(idCol), lit(n).as("n"),
+        explode(Sketches.gramXxHashesAllCol(col(textCol), n)).as("h"))
+    }.reduce(_ union _)
+    val stats = grams
+      .groupBy(col(idCol), col("n"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("n"))
+      .agg(
+        sum("cnt").as("n_grams"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_occ"),
+        max("cnt").as("top_cnt"))
+    val shell = docs.select(col(idCol),
+      explode(array(ns.map(n => lit(n)): _*)).as("n"))
+    shell
+      .join(stats, Seq(idCol, "n"), "left")
+      .select(
+        col(idCol), col("n"),
+        coalesce(col("n_grams"), lit(0L)).cast("int").as("n_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("dup_occ").cast("double") / col("n_grams")).as("dup_frac"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("top_cnt").cast("double") / col("n_grams")).as("top_frac"))
+  }
+
+  /** CCNet-shaped statistical quality score: an add-one-smoothed
+    * bigram language model trained on the corpus itself, then each
+    * document scored by its mean transition probability
+    * p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V). CCNet ranks documents by a
+    * KenLM perplexity; this is the same signal built from corpus
+    * statistics the engine can aggregate exactly — and with NO ln()
+    * anywhere (the td11/td32 policy), every per-position term is one
+    * fixed chain of IEEE ops, so the oracle replays it bit-exact.
+    *
+    * Per-document totals fold in POSITION order through the
+    * `ordered_pair_sum` kernel: a plain SUM would be
+    * aggregation-order-dependent in binary64.
+    *
+    * Scale shape: model tables are (word) and (w1,w2) count
+    * aggregations — vocabulary-sized, shuffled on narrow keys, never
+    * collected; scoring is two shuffle joins on those keys (AQE picks
+    * broadcast when a side is small) plus one per-doc fold. The model
+    * is itself an artifact a production run would persist and reuse.
+    */
+  /** The trained model artifact: unigram counts, bigram counts, and
+    * the 1-row vocabulary size — persistable tables a production run
+    * trains once and serves everywhere (including stream-side, see
+    * [[bigramLmScore]] and StreamingSpec's serving parity test).
+    */
+  final case class BigramLm(uni: DataFrame, big: DataFrame, vocab: DataFrame)
+
+  private def toksOf(textCol: String): Column =
+    when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+
+  private def bigramFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), toksOf(textCol).as("toks"))
+    val sz = size(col("toks"))
+    val bigramArr = when(sz >= 2,
+      zip_with(
+        slice(col("toks"), lit(1), sz - 1),
+        slice(col("toks"), lit(2), sz - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    base
+      .select(col(idCol), posexplode(bigramArr))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+  }
+
+  def bigramLmTrain(docs: DataFrame, idCol: String, textCol: String): BigramLm = {
+    val uni = docs
+      .select(explode(toksOf(textCol)).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = bigramFrame(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    BigramLm(uni, big, uni.agg(count(lit(1)).as("vsz")))
+  }
+
+  /** Score documents against a trained [[BigramLm]] — pure serving:
+    * two joins on the model tables plus one per-doc position-ordered
+    * fold. `docs` may be a streaming DataFrame (stream-static joins +
+    * one stateful aggregation keyed by document); in that mode the
+    * all-docs left-join shell is skipped — joining the stream back
+    * onto its own aggregation is a stream-stream join Spark rejects —
+    * so only documents with ≥1 model-known bigram are emitted.
+    */
+  def bigramLmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: BigramLm
+  ): DataFrame = {
+    val scored = bigramFrame(docs, idCol, textCol)
+      .join(model.big, Seq("w1", "w2"))
+      .join(model.uni, Seq("w1"))
+      .crossJoin(broadcast(model.vocab))
+      .select(col(idCol), col("pos"),
+        ((col("c2") + 1).cast("double") / (col("c1") + col("vsz"))).as("p"))
+    val agg = scored
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        graft.functions.VectorKernels.orderedPairSum(
+          collect_list(struct(col("pos"), col("p")))).as("sum_p"))
+    if (docs.isStreaming)
+      agg.select(col(idCol), col("n_bigrams").cast("int").as("n_bigrams"),
+        col("sum_p"), (col("sum_p") / col("n_bigrams")).as("avg_p"))
+    else
+      docs.select(col(idCol))
+        .join(agg, Seq(idCol), "left")
+        .select(
+          col(idCol),
+          coalesce(col("n_bigrams"), lit(0L)).cast("int").as("n_bigrams"),
+          coalesce(col("sum_p"), lit(0.0)).as("sum_p"),
+          when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("sum_p") / col("n_bigrams")).as("avg_p"))
+  }
+
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramLmScore(docs, idCol, textCol, bigramLmTrain(docs, idCol, textCol))
+
   /** Apply a learned merge table ([[bpeMerges]]'s artifact) and count
     * the resulting subword segments per document. Pure map: the merge
     * rules arrive as literals (control-plane, like broadcast model

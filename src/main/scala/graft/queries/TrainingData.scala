@@ -2667,6 +2667,169 @@ object TrainingData {
     }
   )
 
+  /** Gopher repetition filters: duplicate n-gram fraction and
+    * top-n-gram fraction per (document, n) for n ∈ {2,3}. The engine
+    * counts grams by their 8-byte xxhash64 (the dd12 kernel — nothing
+    * wider than (id, n, hash) shuffles); the oracle counts the TRUE
+    * gram strings, so the hash-equality shortcut is itself verified.
+    * All-doc coverage: documents shorter than n words carry zeros.
+    */
+  val td42DupNgrams = Query(
+    "td42_dup_ngrams", {
+      val perN = Seq(2, 3).map { n =>
+        s"""SELECT doc_id, $n AS n, list_aggregate(w[i:i+${n - 1}], 'string_agg', ' ') AS s
+           |  FROM d, UNNEST(range(1, nw - ${n - 2})) t(i) WHERE nw >= $n""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      Some(
+        s"""WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w
+           |           FROM documents),
+           |d AS (SELECT doc_id, CAST(LEN(w) AS INT) AS nw, w FROM w),
+           |g AS (
+           |$perN
+           |),
+           |cnt AS (SELECT doc_id, n, s, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+           |st AS (SELECT doc_id, n, SUM(c) AS n_grams,
+           |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+           |         MAX(c) AS top_cnt
+           |       FROM cnt GROUP BY 1, 2),
+           |shell AS (SELECT doc_id, n FROM documents, UNNEST([2, 3]) t(n))
+           |SELECT shell.doc_id, CAST(shell.n AS INT) AS n,
+           |  CAST(COALESCE(n_grams, 0) AS INT) AS n_grams,
+           |  CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0::DOUBLE
+           |       ELSE CAST(dup_occ AS DOUBLE) / n_grams END AS dup_frac,
+           |  CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0::DOUBLE
+           |       ELSE CAST(top_cnt AS DOUBLE) / n_grams END AS top_frac
+           |FROM shell LEFT JOIN st USING (doc_id, n)
+           |ORDER BY doc_id, n""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.dupNgramStats(t.documents, "doc_id", "text", Seq(2, 3))
+        .orderBy("doc_id", "n")
+    }
+  )
+
+  /** CCNet-shaped bigram-LM quality score: add-one-smoothed transition
+    * probabilities from the corpus's own unigram/bigram counts, mean
+    * per document. No ln() anywhere (the td11/td32 rational policy)
+    * and the per-doc total folds in position order through
+    * `ordered_pair_sum`, so the oracle replays every double exactly.
+    */
+  val td43BigramLm = Query(
+    "td43_bigram_lm",
+    Some("""WITH w AS (SELECT doc_id,
+            |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+            |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks
+            |FROM documents),
+            |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS w1, toks[i+1] AS w2
+            |        FROM w, UNNEST(range(1, LEN(toks))) t(i)),
+            |uni AS (SELECT toks[i] AS w1, COUNT(*) AS c1
+            |        FROM w, UNNEST(range(1, LEN(toks) + 1)) t(i) GROUP BY 1),
+            |big AS (SELECT w1, w2, COUNT(*) AS c2 FROM tok GROUP BY 1, 2),
+            |v AS (SELECT COUNT(*) AS vsz FROM uni),
+            |sc AS (SELECT tok.doc_id, tok.pos,
+            |         CAST(c2 + 1 AS DOUBLE) / (c1 + vsz) AS p
+            |       FROM tok JOIN big USING (w1, w2) JOIN uni USING (w1), v),
+            |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+            |          list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+            |                      (a, x) -> a + x) AS sum_p
+            |        FROM sc GROUP BY doc_id)
+            |SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS INT) AS n_bigrams,
+            |  COALESCE(sum_p, 0.0) AS sum_p,
+            |  CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0::DOUBLE
+            |       ELSE sum_p / n_bigrams END AS avg_p
+            |FROM documents d LEFT JOIN agg USING (doc_id)
+            |ORDER BY d.doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.bigramLmScores(t.documents, "doc_id", "text").orderBy("doc_id")
+    }
+  )
+
+  /** Quality-aware canonical selection: cluster by the first-8-
+    * normalized-words fingerprint (same-opening ⇒ truncation-variant
+    * candidates) and keep the longest copy (most tokens, ties →
+    * lowest id) instead of dd pipelines' min-id — the policy real
+    * corpus cleaning uses, since near-identical copies usually differ
+    * by truncation. The integer token-count argmax makes the choice
+    * engine-exact.
+    */
+  val dd14QualityCanonical = Query(
+    "dd14_quality_canonical",
+    Some("""WITH b AS (SELECT doc_id,
+            |    TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+            |                        '\s+', ' ', 'g')) AS norm,
+            |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            |         ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_toks
+            |  FROM documents),
+            |k AS (SELECT doc_id, n_toks,
+            |    MD5(list_aggregate(regexp_split_to_array(norm, ' ')[1:8],
+            |                       'string_agg', ' ')) AS norm_fp
+            |  FROM b),
+            |r AS (SELECT *,
+            |        ROW_NUMBER() OVER (PARTITION BY norm_fp
+            |                           ORDER BY n_toks DESC, doc_id) AS rn,
+            |        COUNT(*) OVER (PARTITION BY norm_fp) AS n_docs
+            |      FROM k)
+            |SELECT norm_fp, CAST(n_docs AS INT) AS n_docs,
+            |  doc_id AS kept_doc_id, CAST(n_toks AS INT) AS kept_n_tokens
+            |FROM r WHERE rn = 1 AND n_docs >= 2 ORDER BY norm_fp""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup.canonicalByQuality(t.documents, "doc_id", "text").orderBy("norm_fp")
+    }
+  )
+
+  /** Matryoshka-style dimension screening: top-10 cosine neighbours
+    * from the 32-dim PREFIX of each 64-dim embedding, scored as
+    * recall@10 against the full-dimension top-10 — the measurement
+    * that justifies (or vetoes) truncated-vector first-pass search at
+    * scale. Overlap counts are integers, so the check is exact even
+    * where the two rankings disagree.
+    */
+  val ss09TruncatedRecall = Query(
+    "ss09_truncated_recall",
+    Some("""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            |fk AS (SELECT query_id, corpus_id FROM (
+            |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            |        ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id) AS r
+            |    FROM b q, b c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+            |  WHERE r <= 10),
+            |hk AS (SELECT query_id, corpus_id FROM (
+            |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            |        ORDER BY ROUND(list_cosine_similarity(q.v[1:32], c.v[1:32]), 4) DESC,
+            |                 c.vec_id) AS r
+            |    FROM b q, b c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+            |  WHERE r <= 10),
+            |ov AS (SELECT query_id, COUNT(*) AS c
+            |       FROM fk JOIN hk USING (query_id, corpus_id) GROUP BY 1)
+            |SELECT b.vec_id AS query_id,
+            |  CAST(COALESCE(c, 0) AS INT) AS n_overlap,
+            |  CAST(COALESCE(c, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall_at_10
+            |FROM b LEFT JOIN ov ON b.vec_id = ov.query_id
+            |WHERE b.vec_id < 50 ORDER BY query_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val emb = t.embeddings
+      val q = emb.filter(col("vec_id") < 50)
+      def cut(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("embedding", slice(col("embedding"), 1, 32))
+      val full = Similarity.cosineKnnKernel(emb, q, "vec_id", "embedding", k = 10)
+      val half = Similarity.cosineKnnKernel(cut(emb), cut(q), "vec_id", "embedding", k = 10)
+      val ov = full.select("query_id", "corpus_id")
+        .join(half.select("query_id", "corpus_id"), Seq("query_id", "corpus_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("c"))
+      q.select(col("vec_id").as("query_id"))
+        .join(ov, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("c"), lit(0L)).cast("int").as("n_overlap"),
+          (coalesce(col("c"), lit(0L)).cast("double") / lit(10.0)).as("recall_at_10"))
+        .orderBy("query_id")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -2684,6 +2847,7 @@ object TrainingData {
     td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
     dd10PrefixJaccard, td33SourceCap, td34RollingExact, td35CharDiversity,
     td36BudgetSelect, td37NegativeSamples, td38EpochShuffle, dd11IncrementalDedup,
-    dd12SpanDedup, td39PrioritySample, dd13SpanRemoval, td40BpeMerges, td41BpeSegment
+    dd12SpanDedup, td39PrioritySample, dd13SpanRemoval, td40BpeMerges, td41BpeSegment,
+    td42DupNgrams, td43BigramLm, ss09TruncatedRecall, dd14QualityCanonical
   )
 }

@@ -1144,6 +1144,78 @@ class OperatorsSpec extends SparkSpec {
       (6L, 3, 0, "")))
   }
 
+  test("canonicalByQuality keeps the longest copy per prefix group, min-id on ties") {
+    val df = Seq(
+      (1L, "Hello,  World!"),     // normalizes with 2 (short docs: whole text is the prefix)
+      (2L, "hello world"),
+      (4L, "hello world again"),  // 3-word prefix != 2-word prefix -> singleton
+      (3L, "a b"),                // ties with 5 on n_toks -> keep 3
+      (5L, "A b!"),
+      (7L, "one two three four five six seven eight nine ten"),
+      (8L, "one two three four five six seven eight") // truncated copy of 7
+    ).toDF("doc_id", "text")
+    val got = Dedup.canonicalByQuality(df, "doc_id", "text")
+      .orderBy("kept_doc_id").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+    // {1,2}: equal token counts -> keep doc 1; {3,5}: keep doc 3;
+    // {7,8}: same 8-word prefix, 7 is longer -> keep 7; 4 is singleton
+    assert(got.toSeq == Seq((2, 1L, 2), (2, 3L, 2), (2, 7L, 10)))
+  }
+
+  test("dupNgramStats: duplicate/top n-gram fractions, zeros for short docs") {
+    val df = Seq(
+      (1L, "a b a b a"),
+      (2L, "x y z"),
+      (3L, "q")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramStats(df, "doc_id", "text", Seq(2, 3))
+      .orderBy("doc_id", "n").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    // doc1 bigrams: ab,ba,ab,ba -> all duplicated, top covers 2/4;
+    // doc1 trigrams: aba,bab,aba -> 2 of 3 duplicated, top 2/3
+    assert(got.toSeq == Seq(
+      (1L, 2, 4, 1.0, 0.5),
+      (1L, 3, 3, 2.0 / 3, 2.0 / 3),
+      (2L, 2, 2, 0.0, 0.5),
+      (2L, 3, 1, 0.0, 1.0),
+      (3L, 2, 0, 0.0, 0.0),
+      (3L, 3, 0, 0.0, 0.0)))
+  }
+
+  test("bigramLmScores: add-one smoothed transition means; empty docs score zero") {
+    val df = Seq(
+      (1L, "a b"),
+      (2L, "a b"),
+      (3L, "a c"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    // unigrams a=3 b=2 c=1 -> V=3; bigrams (a,b)=2 (a,c)=1
+    val got = TextAnalysis.bigramLmScores(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1, 0.5, 0.5),           // (2+1)/(3+3)
+      (2L, 1, 0.5, 0.5),
+      (3L, 1, 2.0 / 6, (2.0 / 6) / 1), // (1+1)/(3+3)
+      (4L, 0, 0.0, 0.0)))
+  }
+
+  test("truncated-recall plumbing: identity truncation recovers the full top-k exactly") {
+    // slicing to the FULL dimension must give overlap k for every query —
+    // pins the join/count composition ss09 builds on the knn kernel
+    val q = emb.filter(col("vec_id") < 10)
+    val full = Similarity.cosineKnnKernel(emb, q, "vec_id", "embedding", k = 5)
+    val same = Similarity.cosineKnnKernel(
+      emb.withColumn("embedding", slice(col("embedding"), 1, 64)),
+      q.withColumn("embedding", slice(col("embedding"), 1, 64)),
+      "vec_id", "embedding", k = 5)
+    val ov = full.select("query_id", "corpus_id")
+      .join(same.select("query_id", "corpus_id"), Seq("query_id", "corpus_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(1))
+    assert(ov.length == 10 && ov.forall(_ == 5L))
+  }
+
   test("bpeMerges learns the classic es/est/lo/low sequence with lexicographic ties") {
     // Sennrich's worked example: vocab low:5 lower:2 newest:6 widest:3.
     // Round 1 ties (e,s)=9 with (s,t)=9 -> lexicographic 'e s' wins;

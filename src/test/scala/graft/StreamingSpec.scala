@@ -239,6 +239,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming bigram-LM scoring (stream-static model joins) equals batch scores") {
+    import graft.operators.TextAnalysis
+    val dir = Files.createTempDirectory("graft-bigram-stream").toString
+    val batch = Tables(spark, "/root/testdata/sf0.001").documents
+    batch.write.parquet(s"$dir/in")
+    // the model is trained in batch and served to the stream — the
+    // production shape: model tables static, scoring joins per batch
+    val model = TextAnalysis.bigramLmTrain(batch, "doc_id", "text")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = TextAnalysis.bigramLmScore(stream, "doc_id", "text", model)
+      .writeStream.outputMode("complete").format("memory").queryName("bigram_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bigram_stream").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    // streaming emits covered docs only (no left-join shell on a stream)
+    val want = TextAnalysis.bigramLmScore(batch, "doc_id", "text", model)
+      .filter(col("n_bigrams") > 0).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     val batch = Tables(spark, "/root/testdata/sf0.001").events.limit(200)
