@@ -409,4 +409,47 @@ object Similarity {
       .groupBy(col("id_b").as("removed_id"))
       .agg(min("id_a").as("kept_id"), max("sim").as("max_sim"), count(lit(1)).as("n_dups"))
   }
+
+  /** Embedding QC: per-label centroids and the vectors farthest from
+    * their own label's centroid — the standard screen for mislabeled
+    * or corrupt embeddings before they reach training.
+    *
+    * Determinism: centroids use the DECIMAL(28,14) per-cell mean (the
+    * Ivf pattern — exact decimal addition, so centroid bits are
+    * independent of partitioning); distances fold dimensions in a
+    * FIXED left-associative order and round to `roundTo`, the ss01
+    * policy the oracle mirrors with the same fold.
+    *
+    * Shape: centroid table is |labels|×d cells (an aggregation, never
+    * collected to the driver beyond the broadcast join Spark itself
+    * plans for a labels-sized dim table); distance is one map-side
+    * pass over the corpus; top-k via TakeOrdered. No corpus-sized
+    * state anywhere.
+    */
+  def centroidOutliers(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      roundTo: Int = 4
+  ): DataFrame = {
+    val cells = emb
+      .select(col(labelCol).as("lbl"), posexplode(col(vecCol).cast("array<double>")))
+      .groupBy("lbl", "pos")
+      .agg((sum(col("col").cast("decimal(28,14)")).cast("double") / count(lit(1))).as("m"))
+    val centroids = cells
+      .groupBy("lbl")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c"))
+    emb
+      .select(col(idCol), col(labelCol).as("lbl"), col(vecCol).cast("array<double>").as("v"))
+      .join(broadcast(centroids), Seq("lbl"))
+      .select(col(idCol), col("lbl").as(labelCol),
+        round(sqrt(aggregate(
+          zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x)), roundTo).as("dist"))
+      .orderBy(desc("dist"), col(idCol))
+      .limit(k)
+  }
 }

@@ -2830,6 +2830,34 @@ object TrainingData {
     }
   )
 
+  /** Embedding QC: the 20 vectors farthest from their own label's
+    * centroid — the mislabeled/corrupt-embedding screen. Centroids
+    * are DECIMAL(28,14)-exact per-cell means (the IVF policy), the
+    * distance folds dimensions left-associatively in both engines,
+    * and ROUND(,4) absorbs the residual ulps, so an inherently
+    * floating computation still hash-matches.
+    */
+  val ss10CentroidOutliers = Query(
+    "ss10_centroid_outliers",
+    Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            |          FROM embeddings),
+            |cells AS (SELECT label, i,
+            |    CAST(SUM(CAST(v[i] AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS m
+            |  FROM e, UNNEST(range(1, 65)) t(i) GROUP BY label, i),
+            |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cells GROUP BY label),
+            |d AS (SELECT vec_id, e.label,
+            |    ROUND(SQRT(list_reduce(list_prepend(0.0,
+            |      list_transform(range(1, 65), i -> (v[i] - c[i]) * (v[i] - c[i]))),
+            |      (a, x) -> a + x)), 4) AS dist
+            |  FROM e JOIN cent USING (label))
+            |SELECT vec_id, label, dist FROM d
+            |ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Similarity.centroidOutliers(t.embeddings, "vec_id", "embedding", "label", k = 20)
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -2848,6 +2876,7 @@ object TrainingData {
     dd10PrefixJaccard, td33SourceCap, td34RollingExact, td35CharDiversity,
     td36BudgetSelect, td37NegativeSamples, td38EpochShuffle, dd11IncrementalDedup,
     dd12SpanDedup, td39PrioritySample, dd13SpanRemoval, td40BpeMerges, td41BpeSegment,
-    td42DupNgrams, td43BigramLm, ss09TruncatedRecall, dd14QualityCanonical
+    td42DupNgrams, td43BigramLm, ss09TruncatedRecall, dd14QualityCanonical,
+    ss10CentroidOutliers
   )
 }

@@ -1216,6 +1216,20 @@ class OperatorsSpec extends SparkSpec {
     assert(ov.length == 10 && ov.forall(_ == 5L))
   }
 
+  test("centroidOutliers ranks by distance to own-label centroid, id-asc on ties") {
+    val df = Seq(
+      (1L, Seq(0f, 0f), 1),
+      (2L, Seq(0f, 0f), 1),
+      (3L, Seq(3f, 0f), 1),   // label-1 centroid (1,0): dists 1,1,2
+      (4L, Seq(10f, 10f), 2),
+      (5L, Seq(10f, 10f), 2)  // label-2 centroid: both dist 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(df, "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (3L, 1, 2.0), (1L, 1, 1.0), (2L, 1, 1.0), (4L, 2, 0.0), (5L, 2, 0.0)))
+  }
+
   test("bpeMerges learns the classic es/est/lo/low sequence with lexicographic ties") {
     // Sennrich's worked example: vocab low:5 lower:2 newest:6 widest:3.
     // Round 1 ties (e,s)=9 with (s,t)=9 -> lexicographic 'e s' wins;
