@@ -337,4 +337,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange"), s"priority computation must not shuffle:\n$p")
   }
+
+  test("dup-ngram stats shuffle only narrow (id, n, hash) keys — no doc-sized wire traffic") {
+    val t = Tables(spark, sf)
+    val p = plan(graft.operators.TextAnalysis.dupNgramStats(t.documents, "doc_id", "text", Seq(2, 3)))
+    // the text column must die at the scan: only the gram-hash explode
+    // survives into the exchanges
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = p.split("\n").filter(_.contains("Arguments: hashpartitioning"))
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
+      s"no exchange may carry the document text:\n$p")
+  }
+
+  test("centroid outliers broadcast the label-sized centroid table and TakeOrdered the top-k") {
+    val t = Tables(spark, sf)
+    val p = plan(graft.operators.Similarity.centroidOutliers(
+      t.embeddings, "vec_id", "embedding", "label", k = 20))
+    assert(p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("bigram-LM model tables aggregate partially before their exchanges (map-side combine)") {
+    val t = Tables(spark, sf)
+    val p = plan(graft.operators.TextAnalysis.bigramLmScores(t.documents, "doc_id", "text"))
+    // the vocab scalar rides a broadcast, never a shuffle of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), s"model counts must partial-aggregate:\n$p")
+  }
 }
