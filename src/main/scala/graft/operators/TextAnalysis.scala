@@ -318,6 +318,37 @@ object TextAnalysis {
     * broadcast when a side is small) plus one per-doc fold. The model
     * is itself an artifact a production run would persist and reuse.
     */
+  /** Corpus-novelty signal: per document, the fraction of its
+    * DISTINCT n-grams that appear in no other document — high for
+    * genuinely novel text, low for template/boilerplate families the
+    * per-doc repetition stats can't see. (The cross-document
+    * complement of [[dupNgramStats]].)
+    *
+    * Shape: per-doc distinct gram hashes (one native pass + one
+    * array_distinct, so a doc's internal repeats never hit the wire),
+    * one global (hash → doc count) aggregation, one join back on the
+    * 8-byte hash — all narrow keys; the global gram table stays
+    * distributed.
+    */
+  def novelGramStats(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import graft.functions.Sketches
+    val per = docs.select(col(idCol),
+      explode(array_distinct(Sketches.gramXxHashesAllCol(col(textCol), n))).as("h"))
+    val global = per.groupBy("h").agg(count(lit(1)).as("nd"))
+    val stats = per
+      .join(global, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).cast("int").as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).cast("int").as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_novel").cast("double") / col("n_grams")).as("novelty_frac"))
+  }
+
   /** The trained model artifact: unigram counts, bigram counts, and
     * the 1-row vocabulary size — persistable tables a production run
     * trains once and serves everywhere (including stream-side, see

@@ -2830,6 +2830,34 @@ object TrainingData {
     }
   )
 
+  /** Corpus-novelty: fraction of each document's distinct 3-grams
+    * found in no other document (engine counts 8-byte gram hashes,
+    * oracle counts the true gram strings — the dd12 verification
+    * shortcut). Integer counts + one division keep it exact.
+    */
+  val td44NovelNgrams = Query(
+    "td44_novel_ngrams",
+    Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w
+            |           FROM documents),
+            |d AS (SELECT doc_id, CAST(LEN(w) AS INT) AS nw, w FROM w),
+            |g AS (SELECT DISTINCT doc_id, list_aggregate(w[i:i+2], 'string_agg', ' ') AS s
+            |      FROM d, UNNEST(range(1, nw - 1)) t(i) WHERE nw >= 3),
+            |gl AS (SELECT s, COUNT(*) AS nd FROM g GROUP BY s),
+            |st AS (SELECT doc_id, COUNT(*) AS n_grams,
+            |         SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS n_novel
+            |       FROM g JOIN gl USING (s) GROUP BY doc_id)
+            |SELECT d2.doc_id, CAST(COALESCE(n_grams, 0) AS INT) AS n_grams,
+            |  CAST(COALESCE(n_novel, 0) AS INT) AS n_novel,
+            |  CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0::DOUBLE
+            |       ELSE CAST(n_novel AS DOUBLE) / n_grams END AS novelty_frac
+            |FROM documents d2 LEFT JOIN st USING (doc_id)
+            |ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      TextAnalysis.novelGramStats(t.documents, "doc_id", "text", n = 3).orderBy("doc_id")
+    }
+  )
+
   /** Embedding QC: the 20 vectors farthest from their own label's
     * centroid — the mislabeled/corrupt-embedding screen. Centroids
     * are DECIMAL(28,14)-exact per-cell means (the IVF policy), the
@@ -2877,6 +2905,6 @@ object TrainingData {
     td36BudgetSelect, td37NegativeSamples, td38EpochShuffle, dd11IncrementalDedup,
     dd12SpanDedup, td39PrioritySample, dd13SpanRemoval, td40BpeMerges, td41BpeSegment,
     td42DupNgrams, td43BigramLm, ss09TruncatedRecall, dd14QualityCanonical,
-    ss10CentroidOutliers
+    ss10CentroidOutliers, td44NovelNgrams
   )
 }

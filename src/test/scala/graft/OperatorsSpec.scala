@@ -1182,6 +1182,18 @@ class OperatorsSpec extends SparkSpec {
       (3L, 3, 0, 0.0, 0.0)))
   }
 
+  test("novelGramStats: cross-doc novelty over distinct 3-grams, zeros for short docs") {
+    val df = Seq(
+      (1L, "a b c d"),      // grams: abc, bcd
+      (2L, "x a b c"),      // grams: xab, abc -> abc shared with 1
+      (3L, "a b")           // too short
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.novelGramStats(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2, 1, 0.5), (2L, 2, 1, 0.5), (3L, 0, 0, 0.0)))
+  }
+
   test("bigramLmScores: add-one smoothed transition means; empty docs score zero") {
     val df = Seq(
       (1L, "a b"),
