@@ -816,4 +816,29 @@ object Dedup {
       .select(col("norm_fp"), col("n_docs").cast("int").as("n_docs"),
         col(idCol).as(s"kept_$idCol"), col("n_toks").as("kept_n_tokens"))
   }
+
+  /** Per-source duplication diagnostics from the exact-dup fingerprint
+    * ([[canonicalByQuality]]'s first-`prefixWords`-normalized-words
+    * key): documents, clusters, surplus copies, dup fraction. Shape:
+    * one map-side fingerprint pass, then a per-source
+    * COUNT(DISTINCT fp) aggregation — partial aggregation runs
+    * map-side and the final shuffle carries one row per source.
+    */
+  def sourceDupProfile(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      prefixWords: Int = 8
+  ): DataFrame = {
+    val norm = TextAnalysis.normalizeForDedup(col(textCol))
+    docs
+      .select(col(sourceCol).as("source"),
+        md5(array_join(slice(split(norm, " "), 1, prefixWords), " ")).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_clusters"))
+      .select(col("source"), col("n_docs"), col("n_clusters"),
+        (col("n_docs") - col("n_clusters")).as("n_dup_docs"),
+        ((col("n_docs") - col("n_clusters")).cast("double") / col("n_docs")).as("dup_frac"))
+  }
 }

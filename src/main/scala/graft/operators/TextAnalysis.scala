@@ -427,6 +427,52 @@ object TextAnalysis {
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     bigramLmScore(docs, idCol, textCol, bigramLmTrain(docs, idCol, textCol))
 
+  /** Okapi BM25 (k1=1.2, b=0.75) for a fixed query-term list over
+    * whitespace tokens: one row per document containing at least one
+    * query term — (doc_id, n_terms, bm25). The per-term scores fold
+    * in term order via the ordered-pair-sum kernel (left-associative
+    * IEEE adds, the reduction the DuckDB oracle replays), corpus
+    * statistics (avg doc length, doc count, per-term df) ride as
+    * broadcasts, and the only corpus-sized shuffles are the two
+    * tokenize-count aggregations. Requires >= 2 terms.
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]
+  ): DataFrame = {
+    require(terms.size >= 2, "bm25Scores needs at least two query terms")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val avgdl = dl.agg((sum("len").cast("double") / count(lit(1))).as("avgdl"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // term index for the ordered fold: CASE tok WHEN t0 THEN 0 ... ELSE n-1
+    val ti = terms.init.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, (t, i)) =>
+        Some(acc.fold(when(col("tok") === t, i.toLong))(_.when(col("tok") === t, i.toLong)))
+      }
+      .get.otherwise(terms.size - 1L)
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(broadcast(df_), "tok")
+      .crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), ti.as("ti"),
+        ((((col("tf") * 2.2).cast("double")
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len") / col("avgdl")))))
+          * ((col("n_docs") - col("df")).cast("double") + 0.5)) / (col("df") + 0.5)).as("s"))
+    scored
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        graft.functions.VectorKernels.orderedPairSum(
+          collect_list(struct(col("ti"), col("s")))).as("bm25"))
+  }
+
   /** Apply a learned merge table ([[bpeMerges]]'s artifact) and count
     * the resulting subword segments per document. Pure map: the merge
     * rules arrive as literals (control-plane, like broadcast model

@@ -1267,29 +1267,7 @@ object TrainingData {
             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
-      val toks = t.documents
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
-      val avgdl = dl.agg((sum("len").cast("double") / count(lit(1))).as("avgdl"))
-      val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
-      val tf = toks.filter(col("tok").isin("data", "spark", "query"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val ti = when(col("tok") === "data", 0L).when(col("tok") === "spark", 1L).otherwise(2L)
-      val scored = tf
-        .join(dl, "doc_id")
-        .join(broadcast(df_), "tok")
-        .crossJoin(broadcast(avgdl))
-        .crossJoin(broadcast(nDocs))
-        .select(col("doc_id"), ti.as("ti"),
-          ((((col("tf") * 2.2).cast("double")
-            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len") / col("avgdl")))))
-            * ((col("n_docs") - col("df")).cast("double") + 0.5)) / (col("df") + 0.5)).as("s"))
-      scored
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_terms"),
-          graft.functions.VectorKernels.orderedPairSum(
-            collect_list(struct(col("ti"), col("s")))).as("bm25"))
+      TextAnalysis.bm25Scores(t.documents, "doc_id", "text", Seq("data", "spark", "query"))
         .orderBy(desc("bm25"), asc("doc_id"))
         .limit(20)
     }
@@ -2886,6 +2864,201 @@ object TrainingData {
     }
   )
 
+  /** Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    * (Cormack et al., SIGIR 2009): the BM25 top-50 for a fixed term
+    * query and the cosine top-50 around a fixed query vector each
+    * contribute 1/(60+rank); absence from a list contributes zero.
+    * Both candidate lists are k-bounded before the fusion join
+    * (TakeOrdered / per-query top-k kernel), so the full-outer join
+    * touches ≤ 100 rows however large the corpus. Ranks are integers
+    * and the fused score is two IEEE divisions plus one add, so the
+    * oracle pins the fusion bit-exactly.
+    */
+  val ss11RrfFusion = Query(
+    "ss11_rrf_fusion",
+    Some("""WITH toks AS (SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+            |             FROM documents),
+            |dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+            |avgdl AS (SELECT CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+            |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+            |       WHERE tok IN ('data', 'spark', 'query') GROUP BY doc_id, tok),
+            |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+            |scored AS (
+            |  SELECT tf.doc_id,
+            |    CASE tf.tok WHEN 'data' THEN 0 WHEN 'spark' THEN 1 ELSE 2 END AS ti,
+            |    (((tf.tf * 2.2::DOUBLE)
+            |        / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.len / avgdl.avgdl))))
+            |      * (CAST(n.n_docs - df.df AS DOUBLE) + 0.5)) / (df.df + 0.5) AS s
+            |  FROM tf JOIN dl USING (doc_id), avgdl, n JOIN df ON tf.tok = df.tok),
+            |agg AS (
+            |  SELECT doc_id,
+            |    list_reduce(list_prepend(0.0, list(s ORDER BY ti)), (a, x) -> a + x) AS bm25
+            |  FROM scored GROUP BY doc_id),
+            |lex AS (SELECT doc_id AS id, CAST(r AS INT) AS lex_rank FROM (
+            |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM agg)
+            |  WHERE r <= 50),
+            |vec AS (SELECT corpus_id AS id, CAST(r AS INT) AS vec_rank FROM (
+            |    SELECT c.vec_id AS corpus_id,
+            |      ROW_NUMBER() OVER (ORDER BY
+            |        ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+            |                                     CAST(c.embedding AS DOUBLE[])), 4) DESC,
+            |        c.vec_id) AS r
+            |    FROM embeddings q, embeddings c WHERE q.vec_id = 0 AND c.vec_id <> 0)
+            |  WHERE r <= 50),
+            |f AS (SELECT COALESCE(l.id, v.id) AS id,
+            |        CAST(COALESCE(l.lex_rank, 0) AS INT) AS lex_rank,
+            |        CAST(COALESCE(v.vec_rank, 0) AS INT) AS vec_rank,
+            |        COALESCE(1.0::DOUBLE / (60 + l.lex_rank), 0.0::DOUBLE)
+            |          + COALESCE(1.0::DOUBLE / (60 + v.vec_rank), 0.0::DOUBLE) AS rrf
+            |      FROM lex l FULL OUTER JOIN vec v ON l.id = v.id)
+            |SELECT id, lex_rank, vec_rank, rrf FROM f
+            |ORDER BY rrf DESC, id LIMIT 20""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val lexTop = TextAnalysis
+        .bm25Scores(t.documents, "doc_id", "text", Seq("data", "spark", "query"))
+        .orderBy(desc("bm25"), asc("doc_id")).limit(50)
+        .localCheckpoint() // 50 rows — the rank window below is k-bounded
+      val lex = lexTop.select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(desc("bm25"), asc("doc_id"))).as("lex_rank"))
+      val vec = Similarity
+        .cosineKnnKernel(t.embeddings, t.embeddings.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50)
+        .select(col("corpus_id").as("id"), col("rank").as("vec_rank"))
+      lex.join(vec, Seq("id"), "full_outer")
+        .select(col("id"),
+          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+          coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+          (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0))).as("rrf"))
+        .orderBy(desc("rrf"), asc("id"))
+        .limit(20)
+    }
+  )
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): per
+    * language, split documents into head/middle/tail thirds by
+    * bigram-LM predictability (td43's avg_p — higher = more fluent).
+    * The tertile cut values come from the buffer-free ranked-
+    * percentile operator (exact PERCENTILE_CONT semantics, no
+    * per-group buffers), then broadcast back against the scores: the
+    * bucket assignment is a map-side comparison, so the shape
+    * survives languages whose document counts dwarf a single task.
+    */
+  val td45PerplexityBuckets = Query(
+    "td45_perplexity_buckets",
+    Some("""WITH w AS (SELECT doc_id,
+            |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+            |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks
+            |FROM documents),
+            |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS w1, toks[i+1] AS w2
+            |        FROM w, UNNEST(range(1, LEN(toks))) t(i)),
+            |uni AS (SELECT toks[i] AS w1, COUNT(*) AS c1
+            |        FROM w, UNNEST(range(1, LEN(toks) + 1)) t(i) GROUP BY 1),
+            |big AS (SELECT w1, w2, COUNT(*) AS c2 FROM tok GROUP BY 1, 2),
+            |v AS (SELECT COUNT(*) AS vsz FROM uni),
+            |sc AS (SELECT tok.doc_id, tok.pos,
+            |         CAST(c2 + 1 AS DOUBLE) / (c1 + vsz) AS p
+            |       FROM tok JOIN big USING (w1, w2) JOIN uni USING (w1), v),
+            |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+            |          list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+            |                      (a, x) -> a + x) AS sum_p
+            |        FROM sc GROUP BY doc_id),
+            |sc2 AS (SELECT d.doc_id, d.lang,
+            |          CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0::DOUBLE
+            |               ELSE sum_p / n_bigrams END AS avg_p
+            |        FROM documents d LEFT JOIN agg USING (doc_id)),
+            |cuts AS (SELECT lang,
+            |           PERCENTILE_CONT(CAST(1 AS DOUBLE) / 3) WITHIN GROUP (ORDER BY avg_p) AS c33,
+            |           PERCENTILE_CONT(CAST(2 AS DOUBLE) / 3) WITHIN GROUP (ORDER BY avg_p) AS c67
+            |         FROM sc2 GROUP BY lang)
+            |SELECT doc_id, lang, avg_p,
+            |  CASE WHEN avg_p > c67 THEN 'head'
+            |       WHEN avg_p > c33 THEN 'middle'
+            |       ELSE 'tail' END AS bucket
+            |FROM sc2 JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val scores = TextAnalysis.bigramLmScores(t.documents, "doc_id", "text")
+        .join(t.documents.select("doc_id", "lang"), "doc_id")
+      val cuts = graft.operators.Quantiles
+        .rankedPercentiles(scores, "lang", "avg_p", Seq(1.0 / 3, 2.0 / 3))
+        .groupBy("lang")
+        .agg(max(when(col("p") < 0.5, col("value"))).as("c33"),
+          max(when(col("p") > 0.5, col("value"))).as("c67"))
+      scores.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("avg_p"),
+          when(col("avg_p") > col("c67"), "head")
+            .when(col("avg_p") > col("c33"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }
+  )
+
+  /** Video-shaped frame sampling over opaque payloads
+    * ([[Multimodal.sampleFrames]]): chunk each payload into 64-byte
+    * frames, keep every 2nd, and emit per-frame byte length + MD5
+    * (the raw frame stays binary Spark-side; the digest makes the
+    * plumbing oracle-checkable). Explode + byte-substring is map-only
+    * whole-stage codegen — no shuffle before the final order — which
+    * is the shape a real frame extractor must keep at 100 TB.
+    */
+  val mm04FrameSample = Query(
+    "mm04_frame_sample",
+    Some("""WITH m AS (SELECT doc_id AS media_id, text FROM documents WHERE strlen(text) > 0),
+            |f AS (SELECT media_id, CAST(i AS INT) AS frame_idx,
+            |        substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS frame
+            |      FROM m, UNNEST(range(0, CAST(CEIL(strlen(text) / 64.0) AS BIGINT))) t(i)
+            |      WHERE i % 2 = 0)
+            |SELECT media_id, frame_idx,
+            |  CAST(strlen(frame) AS BIGINT) AS n_frame_bytes,
+            |  MD5(frame) AS frame_md5
+            |FROM f ORDER BY media_id, frame_idx""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val media = Multimodal.asMediaBatch(t.documents, "doc_id", "text")
+      Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 2)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("n_frame_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("media_id", "frame_idx")
+    }
+  )
+
+  /** Per-source duplication profile — the diagnostic a curation run
+    * reads before choosing dedup strength: documents, exact-dup
+    * clusters (dd14's first-8-normalized-words fingerprint), surplus
+    * copies beyond each cluster's canonical, and the resulting dup
+    * fraction. Two hash-partitioned aggregations (per-doc fingerprint
+    * → per-source distinct count); nothing corpus-sized converges on
+    * fewer keys than there are sources.
+    */
+  val dd15ClusterProfile = Query(
+    "dd15_cluster_profile",
+    Some("""WITH b AS (SELECT doc_id, source,
+            |    TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+            |                        '\s+', ' ', 'g')) AS norm
+            |  FROM documents),
+            |k AS (SELECT doc_id, source,
+            |    MD5(list_aggregate(regexp_split_to_array(norm, ' ')[1:8],
+            |                       'string_agg', ' ')) AS fp
+            |  FROM b),
+            |s AS (SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_clusters
+            |      FROM k GROUP BY source)
+            |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+            |  CAST(n_clusters AS BIGINT) AS n_clusters,
+            |  CAST(n_docs - n_clusters AS BIGINT) AS n_dup_docs,
+            |  CAST(n_docs - n_clusters AS DOUBLE) / n_docs AS dup_frac
+            |FROM s ORDER BY source""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Dedup.sourceDupProfile(t.documents, "doc_id", "text", "source")
+        .orderBy("source")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -2905,6 +3078,7 @@ object TrainingData {
     td36BudgetSelect, td37NegativeSamples, td38EpochShuffle, dd11IncrementalDedup,
     dd12SpanDedup, td39PrioritySample, dd13SpanRemoval, td40BpeMerges, td41BpeSegment,
     td42DupNgrams, td43BigramLm, ss09TruncatedRecall, dd14QualityCanonical,
-    ss10CentroidOutliers, td44NovelNgrams
+    ss10CentroidOutliers, td44NovelNgrams,
+    ss11RrfFusion, td45PerplexityBuckets, mm04FrameSample, dd15ClusterProfile
   )
 }

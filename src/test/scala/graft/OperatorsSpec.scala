@@ -1294,6 +1294,64 @@ class OperatorsSpec extends SparkSpec {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("RRF fusion: contributions are exactly 1/(60+rank) per list, dual-hit docs outrank") {
+    val rows = graft.queries.TrainingData.ss11RrfFusion.build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (_, lexR, vecR, rrf) =>
+      val expect = (if (lexR > 0) 1.0 / (60 + lexR) else 0.0) +
+        (if (vecR > 0) 1.0 / (60 + vecR) else 0.0)
+      assert(rrf == expect, s"rrf must be the exact two-term sum, got $rrf vs $expect")
+    }
+    // sorted descending and any dual-hit doc beats the best single-list score it contains
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
+    rows.filter(r => r._2 > 0 && r._3 > 0).foreach { case (_, lexR, vecR, rrf) =>
+      assert(rrf > math.max(1.0 / (60 + lexR), 1.0 / (60 + vecR)))
+    }
+  }
+
+  test("perplexity buckets: per language, head avg_p strictly above middle strictly above tail") {
+    val rows = graft.queries.TrainingData.td45PerplexityBuckets.build(spark, sf)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      def band(b: String) = rs.filter(_._3 == b).map(_._2)
+      for {
+        hi <- Seq("head" -> band("head"), "middle" -> band("middle"))
+        lo = if (hi._1 == "head") band("middle") ++ band("tail") else band("tail")
+        if hi._2.nonEmpty && lo.nonEmpty
+      } assert(hi._2.min > lo.max,
+        s"$lang: ${hi._1} min ${hi._2.min} must exceed lower-band max ${lo.max}")
+    }
+  }
+
+  test("frame sampling: everyNth=1 frames reassemble the payload; everyNth=2 keeps even indices") {
+    import graft.operators.Multimodal
+    val payload = "x" * 150 // 3 frames of 64: [64, 64, 22]
+    val media = Multimodal.asMediaBatch(
+      Seq((1L, payload), (2L, "")).toDF("id", "t"), "id", "t")
+    val all = Multimodal.sampleFrames(media, 64, 1).orderBy("media_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), new String(r.getAs[Array[Byte]](2))))
+    assert(all.map(_._1).forall(_ == 1L), "empty payload must emit zero frames")
+    assert(all.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(all.map(_._3).mkString == payload, "frames must reassemble the payload exactly")
+    val sampled = Multimodal.sampleFrames(media, 64, 2).collect().map(_.getInt(1)).sorted
+    assert(sampled.toSeq == Seq(0, 2))
+  }
+
+  test("source dup profile counts surplus copies per source from the normalized prefix fp") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog today", "a"),
+      (2L, "the QUICK brown fox jumps over the lazy dog yesterday!", "a"), // same 8-word prefix
+      (3L, "completely different text body", "a"),
+      (4L, "solo doc", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceDupProfile(docs, "doc_id", "text", "source")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(("a", 3L, 2L, 1L, 1.0 / 3), ("b", 1L, 1L, 0L, 0.0)))
+  }
+
   test("MAD outliers: robust center flags the uniform tails, counts partition the groups") {
     val rows = graft.queries.Extras.x24MadOutliers.build(spark, sf).collect()
     assert(rows.length == 3) // returnflags A/N/R

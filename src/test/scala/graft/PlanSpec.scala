@@ -364,4 +364,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_count"), s"model counts must partial-aggregate:\n$p")
   }
+
+  test("RRF fusion joins two k-bounded lists — TakeOrdered lex side, no cartesian") {
+    val p = plan(TrainingData.ss11RrfFusion.build(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the BM25 candidate list must TakeOrdered, not global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("perplexity-bucket assignment broadcasts the per-language cut values (map-side compare)") {
+    val p = plan(TrainingData.td45PerplexityBuckets.build(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"tertile cuts must broadcast back against the scores:\n$p")
+  }
+
+  test("frame sampling is map-only until the final order (no hash exchange)") {
+    val t = Tables(spark, sf)
+    val p = plan(graft.operators.Multimodal.sampleFrames(
+      graft.operators.Multimodal.asMediaBatch(t.documents, "doc_id", "text"), 64, 2))
+    assert(!p.contains("hashpartitioning"),
+      s"explode + substring must not shuffle:\n$p")
+    assert(p.contains("Generate"), p)
+  }
+
+  test("source dup profile partial-aggregates the distinct-fp count before one per-source exchange") {
+    val t = Tables(spark, sf)
+    val p = plan(graft.operators.Dedup.sourceDupProfile(t.documents, "doc_id", "text", "source"))
+    assert(p.contains("partial_count"), s"count(distinct fp) must partial-aggregate:\n$p")
+    val exchanges = p.split("\n").filter(_.contains("Arguments: hashpartitioning"))
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
+      s"no exchange may carry the document text:\n$p")
+  }
 }
