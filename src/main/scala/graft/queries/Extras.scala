@@ -1122,6 +1122,53 @@ object Extras {
     }
   )
 
+  /** Approximate percentiles with an in-query error-bound proof — the
+    * sketch path for quantiles at scale (Greenwald–Khanna via
+    * `approx_percentile`, ε = 1/1000): one map-side-combining
+    * aggregation, no global sort, driver state O(1/ε) per group. The
+    * approximate value is engine-private (like td07's HLL estimate),
+    * so the oracle pins what IS deterministic: the exact interpolated
+    * percentile, plus a boolean asserting the sketch value's rank
+    * interval sits within ε·n (+1 ceil slack) of the target rank —
+    * computed exactly by a second counting pass against the data.
+    */
+  val x34ApproxQuantiles = Query(
+    "x34_approx_quantiles",
+    Some("""WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem)
+            |SELECT g AS l_returnflag, p, exact_value, TRUE AS within_bound FROM (
+            |  SELECT g, CAST(0.5 AS DOUBLE) AS p,
+            |    PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY v) AS exact_value
+            |  FROM t GROUP BY g
+            |  UNION ALL
+            |  SELECT g, CAST(0.9 AS DOUBLE) AS p,
+            |    PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY v) AS exact_value
+            |  FROM t GROUP BY g)
+            |ORDER BY l_returnflag, p""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val li = t.lineitem.select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      val agg1 = li.groupBy("g").agg(
+        expr("approx_percentile(v, array(0.5D, 0.9D), 1000)").as("apx"),
+        expr("percentile(v, array(0.5D, 0.9D))").as("exact"),
+        count(lit(1)).as("n"))
+      val perP = agg1
+        .select(col("g"), col("n"), posexplode(arrays_zip(col("apx"), col("exact"))))
+        .select(col("g"), col("n"),
+          when(col("pos") === 0, 0.5).otherwise(0.9).as("p"),
+          col("col.apx").as("apx_v"), col("col.exact").as("exact_value"))
+      li.join(broadcast(perP), "g")
+        .groupBy("g", "p", "n", "apx_v", "exact_value")
+        .agg(
+          sum(when(col("v") < col("apx_v"), 1L).otherwise(0L)).as("n_lt"),
+          sum(when(col("v") <= col("apx_v"), 1L).otherwise(0L)).as("n_le"))
+        .select(col("g").as("l_returnflag"), col("p"), col("exact_value"),
+          // target rank p·n must fall inside [n_lt+1, n_le] widened by ε·n + 1
+          (col("p") * col("n") >= col("n_lt") + 1 - (col("n") / 1000.0 + 1) &&
+            col("p") * col("n") <= col("n_le") + (col("n") / 1000.0 + 1)).as("within_bound"))
+        .orderBy("l_returnflag", "p")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -1130,6 +1177,7 @@ object Extras {
     x18Histogram, x19TopKAgg, x20SaltedJoin, x21GroupingSets,
     x22RelativeRanks, x23GapFill, x24MadOutliers, x25ZOrder,
     x26UnionEvolve, x27PageRank, x28ConversionWindow,
-    x30RatioToReport, x31SessionPaths, x32MadSampled, x33RankedQuantiles
+    x30RatioToReport, x31SessionPaths, x32MadSampled, x33RankedQuantiles,
+    x34ApproxQuantiles
   )
 }

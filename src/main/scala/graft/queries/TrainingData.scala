@@ -3059,6 +3059,76 @@ object TrainingData {
     }
   )
 
+  /** DSIR-style importance resampling (Xie et al. 2023, simplified to
+    * the engine's exact-replayable bigram LM): train one LM on the
+    * whole corpus and one on a target domain (source = 'src0'), score
+    * every document under both, and keep the top-50 by the
+    * target/corpus likelihood ratio — the "select data that looks
+    * like the domain you care about" primitive. No logarithms: the
+    * ratio of the two avg_p values is a single IEEE division, so the
+    * oracle replays the whole selection bit-exactly. Model tables are
+    * vocabulary-sized; the corpus streams through two stream-static-
+    * shaped joins per scoring pass.
+    */
+  val td46ImportanceResample = Query(
+    "td46_importance_resample",
+    Some("""WITH w AS (SELECT doc_id, source,
+            |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+            |       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks
+            |FROM documents),
+            |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS w1, toks[i+1] AS w2
+            |        FROM w, UNNEST(range(1, LEN(toks))) t(i)),
+            |uni AS (SELECT toks[i] AS w1, COUNT(*) AS c1
+            |        FROM w, UNNEST(range(1, LEN(toks) + 1)) t(i) GROUP BY 1),
+            |big AS (SELECT w1, w2, COUNT(*) AS c2 FROM tok GROUP BY 1, 2),
+            |v AS (SELECT COUNT(*) AS vsz FROM uni),
+            |tuni AS (SELECT toks[i] AS w1, COUNT(*) AS c1
+            |         FROM w, UNNEST(range(1, LEN(toks) + 1)) t(i)
+            |         WHERE source = 'src0' GROUP BY 1),
+            |tbig AS (SELECT tok.w1, tok.w2, COUNT(*) AS c2
+            |         FROM tok JOIN documents d USING (doc_id)
+            |         WHERE d.source = 'src0' GROUP BY 1, 2),
+            |tv AS (SELECT COUNT(*) AS vsz FROM tuni),
+            |csc AS (SELECT tok.doc_id, tok.pos,
+            |          CAST(c2 + 1 AS DOUBLE) / (c1 + vsz) AS p
+            |        FROM tok JOIN big USING (w1, w2) JOIN uni USING (w1), v),
+            |cagg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+            |           list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+            |                       (a, x) -> a + x) AS sum_p
+            |         FROM csc GROUP BY doc_id),
+            |tsc AS (SELECT tok.doc_id, tok.pos,
+            |          CAST(c2 + 1 AS DOUBLE) / (c1 + vsz) AS p
+            |        FROM tok JOIN tbig USING (w1, w2) JOIN tuni USING (w1), tv),
+            |tagg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+            |           list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+            |                       (a, x) -> a + x) AS sum_p
+            |         FROM tsc GROUP BY doc_id),
+            |f AS (SELECT d.doc_id,
+            |        CASE WHEN COALESCE(tagg.n_bigrams, 0) = 0 THEN 0.0::DOUBLE
+            |             ELSE tagg.sum_p / tagg.n_bigrams END AS target_p,
+            |        cagg.sum_p / cagg.n_bigrams AS corpus_p
+            |      FROM documents d
+            |      JOIN cagg ON d.doc_id = cagg.doc_id
+            |      LEFT JOIN tagg ON d.doc_id = tagg.doc_id)
+            |SELECT doc_id, target_p, corpus_p, target_p / corpus_p AS weight
+            |FROM f ORDER BY weight DESC, doc_id LIMIT 50""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val corpus = TextAnalysis.bigramLmScores(t.documents, "doc_id", "text")
+        .filter(col("n_bigrams") > 0)
+        .select(col("doc_id"), col("avg_p").as("corpus_p"))
+      val targetModel = TextAnalysis
+        .bigramLmTrain(t.documents.filter(col("source") === "src0"), "doc_id", "text")
+      val target = TextAnalysis.bigramLmScore(t.documents, "doc_id", "text", targetModel)
+        .select(col("doc_id"), col("avg_p").as("target_p"))
+      corpus.join(target, "doc_id")
+        .select(col("doc_id"), col("target_p"), col("corpus_p"),
+          (col("target_p") / col("corpus_p")).as("weight"))
+        .orderBy(desc("weight"), asc("doc_id"))
+        .limit(50)
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -3079,6 +3149,7 @@ object TrainingData {
     dd12SpanDedup, td39PrioritySample, dd13SpanRemoval, td40BpeMerges, td41BpeSegment,
     td42DupNgrams, td43BigramLm, ss09TruncatedRecall, dd14QualityCanonical,
     ss10CentroidOutliers, td44NovelNgrams,
-    ss11RrfFusion, td45PerplexityBuckets, mm04FrameSample, dd15ClusterProfile
+    ss11RrfFusion, td45PerplexityBuckets, mm04FrameSample, dd15ClusterProfile,
+    td46ImportanceResample
   )
 }

@@ -1352,6 +1352,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 3L, 2L, 1L, 1.0 / 3), ("b", 1L, 1L, 0L, 0.0)))
   }
 
+  test("importance resample: weight is exactly target_p/corpus_p, sorted, target-domain-favoring") {
+    val rows = graft.queries.TrainingData.td46ImportanceResample.build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 50)
+    rows.foreach { case (_, tp, cp, w) =>
+      assert(cp > 0.0)
+      assert(w == tp / cp, "weight must be the exact likelihood ratio")
+    }
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
+    // docs from the target domain score themselves well: the top of the
+    // ranking must contain at least one src0 doc
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.take(10).exists(r => srcOf(r._1) == "src0"),
+      "top-10 by target-likeness should surface target-domain docs")
+  }
+
+  test("approx quantiles: GK sketch rank error within epsilon*n for every group/percentile") {
+    val rows = graft.queries.Extras.x34ApproxQuantiles.build(spark, sf).collect()
+    assert(rows.length == 6) // 3 returnflags x 2 percentiles
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"sketch out of bound for ${r.getString(0)} p=${r.getDouble(1)}")
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+
   test("MAD outliers: robust center flags the uniform tails, counts partition the groups") {
     val rows = graft.queries.Extras.x24MadOutliers.build(spark, sf).collect()
     assert(rows.length == 3) // returnflags A/N/R

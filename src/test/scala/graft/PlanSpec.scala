@@ -387,6 +387,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
+  test("approx-quantile sketch aggregates without a global sort; the verify pass broadcasts") {
+    val p = plan(graft.queries.Extras.x34ApproxQuantiles.build(spark, sf))
+    assert(p.contains("ObjectHashAggregate"),
+      s"approx_percentile must run as a sketch aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the counting pass must broadcast the tiny per-(group,p) frame:\n$p")
+  }
+
   test("source dup profile partial-aggregates the distinct-fp count before one per-source exchange") {
     val t = Tables(spark, sf)
     val p = plan(graft.operators.Dedup.sourceDupProfile(t.documents, "doc_id", "text", "source"))
