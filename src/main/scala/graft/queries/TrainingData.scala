@@ -3129,6 +3129,78 @@ object TrainingData {
     }
   )
 
+  /** Session windows via Spark's BUILT-IN `session_window` (the
+    * streaming-capable path — the same expression works under
+    * `readStream` + watermark): 30-minute-gap sessions per user with
+    * window bounds and event counts. The oracle replays the identical
+    * semantics through the lag/flag/cumsum islands form (st01's
+    * machinery), pinning the built-in against first principles:
+    * window start = first event, end = last event + gap, events
+    * within the gap chain into one session.
+    */
+  val st03SessionWindow = Query(
+    "st03_session_window",
+    Some("""WITH lagged AS (
+            |  SELECT user_id, ts, event_id,
+            |    CASE WHEN LAG(ts) OVER w IS NULL
+            |         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+            |         THEN 1 ELSE 0 END AS new_s
+            |  FROM events
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            |sess AS (
+            |  SELECT user_id, ts,
+            |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+            |  FROM lagged)
+            |SELECT user_id, MIN(ts) AS start_ts,
+            |  MAX(ts) + INTERVAL 30 MINUTE AS end_ts, COUNT(*) AS n_events
+            |FROM sess GROUP BY user_id, session_num
+            |ORDER BY user_id, start_ts""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("start_ts"),
+          col("sw.end").as("end_ts"), col("n_events"))
+        .orderBy("user_id", "start_ts")
+    }
+  )
+
+  /** Semantic decontamination screen: every training embedding's
+    * nearest neighbour in the (small) benchmark/eval set, with a
+    * flagged boolean at cosine ≥ 0.99 — the "drop training docs that
+    * embed like the test set" primitive. The eval side is one block
+    * in the pair kernel, so the screen is effectively a broadcast
+    * map pass over the training corpus: no shuffle proportional to
+    * train×eval, no driver collect.
+    */
+  val dd16SemanticDecontam = Query(
+    "dd16_semantic_decontam",
+    Some("""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            |p AS (SELECT t.vec_id, e.vec_id AS eval_id,
+            |        ROUND(list_cosine_similarity(t.v, e.v), 4) AS sim
+            |      FROM b t, b e WHERE t.vec_id % 50 <> 0 AND e.vec_id % 50 = 0),
+            |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            |                                   ORDER BY sim DESC, eval_id) AS rn
+            |      FROM p)
+            |SELECT vec_id, eval_id AS nearest_eval_id, sim, sim >= 0.99 AS flagged
+            |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Similarity
+          .cosineKnnKernel(
+            t.embeddings.filter(col("vec_id") % 50 === 0),
+            t.embeddings.filter(col("vec_id") % 50 =!= 0),
+            "vec_id", "embedding", k = 1)
+          .select(col("query_id").as("vec_id"),
+            col("corpus_id").as("nearest_eval_id"), col("sim"),
+            (col("sim") >= 0.99).as("flagged")),
+        "vec_id")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -3150,6 +3222,6 @@ object TrainingData {
     td42DupNgrams, td43BigramLm, ss09TruncatedRecall, dd14QualityCanonical,
     ss10CentroidOutliers, td44NovelNgrams,
     ss11RrfFusion, td45PerplexityBuckets, mm04FrameSample, dd15ClusterProfile,
-    td46ImportanceResample
+    td46ImportanceResample, st03SessionWindow, dd16SemanticDecontam
   )
 }

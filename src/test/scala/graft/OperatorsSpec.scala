@@ -1378,6 +1378,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("semantic decontam screen: nearest eval vec and flag match brute force on known vectors") {
+    val eval = Seq((0L, Seq(1.0f, 0.0f)), (50L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Seq(0.8f, 0.6f)),   // cos vs e0 = 0.8, vs e50 = 0.6 → nearest 0, not flagged
+      (2L, Seq(0.01f, 0.9999f)) // cos vs e50 ≈ 0.9999 → flagged at 0.99
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.cosineKnnKernel(eval, train, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("corpus_id"), col("sim"), (col("sim") >= 0.99).as("flagged"))
+      .orderBy("query_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((1L, 0L, 0.8, false), (2L, 50L, 0.9999, true)))
+  }
+
   test("MAD outliers: robust center flags the uniform tails, counts partition the groups") {
     val rows = graft.queries.Extras.x24MadOutliers.build(spark, sf).collect()
     assert(rows.length == 3) // returnflags A/N/R
