@@ -3201,6 +3201,74 @@ object TrainingData {
     }
   )
 
+  /** Tokenizer fertility per language — subwords emitted per word
+    * under the learned BPE merge table (td40/td41's tokenizer), the
+    * standard "how well does this tokenizer fit this language" metric
+    * a multilingual pipeline reads before fixing a vocab. Integer
+    * subword/word sums per language make the ratio engine-exact. The
+    * corpus streams through the same map-only segmentation pass as
+    * td41; the only shuffle is the per-language sum.
+    */
+  val td47Fertility = Query(
+    "td47_fertility", {
+      val k = 8
+      val sb = new StringBuilder
+      sb ++= """WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+               |  FROM (SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS word
+               |        FROM documents)
+               |  WHERE word <> '' GROUP BY word),
+               |s0 AS MATERIALIZED (SELECT freq,
+               |  list_aggregate(regexp_split_to_array(word, ''), 'string_agg', ' ') AS sym
+               |  FROM w)""".stripMargin
+      for (i <- 1 to k) {
+        val prev = s"s${i - 1}"
+        sb ++= s""",
+                  |p$i AS MATERIALIZED (SELECT s[i] || ' ' || s[i+1] AS pair, SUM(freq) AS cnt
+                  |  FROM (SELECT freq, regexp_split_to_array(sym, ' ') AS s FROM $prev),
+                  |       UNNEST(range(1, LEN(s))) t(i)
+                  |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+        if (i < k)
+          sb ++= s""",
+                    |s$i AS MATERIALIZED (SELECT freq, REPLACE(sym, (SELECT pair FROM p$i),
+                    |  REPLACE((SELECT pair FROM p$i), ' ', '')) AS sym FROM $prev)""".stripMargin
+      }
+      sb ++= s""",
+                |mg AS MATERIALIZED (SELECT ${(1 to k).map(i =>
+                  s"(SELECT pair FROM p$i) AS p${i}p, " +
+                  s"(SELECT REPLACE(pair, ' ', '') FROM p$i) AS p${i}m").mkString(", ")}),
+                |d2 AS (SELECT doc_id, lang,
+                |  list_filter(regexp_split_to_array(TRIM(text), '\\s+'), wd -> wd <> '') AS ws
+                |  FROM documents)""".stripMargin
+      val applied = (1 to k).foldLeft(
+        "list_aggregate(regexp_split_to_array(wd, ''), 'string_agg', ' ')") {
+        (acc, i) => s"REPLACE($acc, p${i}p, p${i}m)"
+      }
+      sb ++= s"""
+                |SELECT lang, n_words, n_subwords,
+                |  CAST(n_subwords AS DOUBLE) / n_words AS fertility
+                |FROM (
+                |  SELECT lang, CAST(SUM(LEN(ws)) AS BIGINT) AS n_words,
+                |    CAST(SUM(COALESCE(list_aggregate(
+                |      list_transform(ws, wd -> LEN(regexp_split_to_array($applied, ' '))),
+                |      'sum'), 0)) AS BIGINT) AS n_subwords
+                |  FROM d2 CROSS JOIN mg GROUP BY lang)
+                |ORDER BY lang""".stripMargin
+      Some(sb.toString)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val m = TextAnalysis.bpeMerges(t.documents, "text", k = 8).orderBy("step")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeSegmentCounts(t.documents, "doc_id", "text", m)
+        .join(t.documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(sum("n_words").as("n_words"), sum("n_subwords").as("n_subwords"))
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          (col("n_subwords").cast("double") / col("n_words")).as("fertility"))
+        .orderBy("lang")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -3222,6 +3290,7 @@ object TrainingData {
     td42DupNgrams, td43BigramLm, ss09TruncatedRecall, dd14QualityCanonical,
     ss10CentroidOutliers, td44NovelNgrams,
     ss11RrfFusion, td45PerplexityBuckets, mm04FrameSample, dd15ClusterProfile,
-    td46ImportanceResample, st03SessionWindow, dd16SemanticDecontam
+    td46ImportanceResample, st03SessionWindow, dd16SemanticDecontam,
+    td47Fertility
   )
 }
