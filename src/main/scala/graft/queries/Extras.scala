@@ -1169,6 +1169,49 @@ object Extras {
     }
   )
 
+  /** Single-pass column profiling — the data-quality monitor shape:
+    * row count, null count, exact distinct count, min and max for
+    * each profiled column, computed in ONE aggregation over the scan
+    * (Spark plans the multi-column distinct via Expand, still one
+    * pass over the data + map-side partials) and unpivoted with
+    * `stack`. The oracle's three-branch UNION reads the table three
+    * times — the engine's one-scan form is the 100 TB difference.
+    */
+  val x35Profile = Query(
+    "x35_profile",
+    Some("""WITH c AS (
+            |  SELECT 'l_discount' AS col, COUNT(*) AS n,
+            |    COUNT(*) - COUNT(l_discount) AS n_null,
+            |    CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+            |    MIN(l_discount) AS min_v, MAX(l_discount) AS max_v FROM lineitem
+            |  UNION ALL
+            |  SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+            |    COUNT(DISTINCT l_extendedprice), MIN(l_extendedprice), MAX(l_extendedprice)
+            |  FROM lineitem
+            |  UNION ALL
+            |  SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+            |    COUNT(DISTINCT l_quantity), MIN(l_quantity), MAX(l_quantity) FROM lineitem)
+            |SELECT col, n, n_null, n_distinct, min_v, max_v FROM c ORDER BY col""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"mn_$c"),
+        max(col(c)).as(s"mx_$c")))
+      val one = t.lineitem.select(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols
+        .map(c => s"'$c', n - nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      one
+        .select(col("n"),
+          expr(s"stack(${cols.size}, $stackArgs) AS (col, n_null, n_distinct, min_v, max_v)"))
+        .select(col("col"), col("n"), col("n_null"), col("n_distinct"),
+          col("min_v"), col("max_v"))
+        .orderBy("col")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -1178,6 +1221,6 @@ object Extras {
     x22RelativeRanks, x23GapFill, x24MadOutliers, x25ZOrder,
     x26UnionEvolve, x27PageRank, x28ConversionWindow,
     x30RatioToReport, x31SessionPaths, x32MadSampled, x33RankedQuantiles,
-    x34ApproxQuantiles
+    x34ApproxQuantiles, x35Profile
   )
 }

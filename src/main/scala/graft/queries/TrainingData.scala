@@ -972,6 +972,29 @@ object TrainingData {
     }
   )
 
+  /** JSONL round trip — the LLM-corpus interchange format as a
+    * first-class source/sink: write the documents table as sharded
+    * JSON-lines, read it back under the pinned schema, and prove the
+    * cycle is lossless by oracle-comparing against the parquet
+    * original (string escaping, longs, every row). Shards write and
+    * scan in parallel; the explicit read schema skips Spark's
+    * whole-data inference pass — the difference between one scan and
+    * two at 100 TB.
+    */
+  val in05JsonlRoundtrip = Query(
+    "in05_jsonl_roundtrip",
+    Some("""SELECT doc_id, text, lang, source, n_chars
+            |FROM documents ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      t.documents.coalesce(4).write.mode("overwrite").json(tmp)
+      spark.read.schema(t.documents.schema).json(tmp)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }
+  )
+
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine
     * exceeds a tight threshold — semantic dedup over the embedding
     * column. Same broadcast-pair plan as the KNN; the threshold filter
@@ -3291,6 +3314,6 @@ object TrainingData {
     ss10CentroidOutliers, td44NovelNgrams,
     ss11RrfFusion, td45PerplexityBuckets, mm04FrameSample, dd15ClusterProfile,
     td46ImportanceResample, st03SessionWindow, dd16SemanticDecontam,
-    td47Fertility
+    td47Fertility, in05JsonlRoundtrip
   )
 }

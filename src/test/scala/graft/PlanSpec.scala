@@ -395,6 +395,15 @@ class PlanSpec extends SparkSpec {
       s"the counting pass must broadcast the tiny per-(group,p) frame:\n$p")
   }
 
+  test("column profiling reads the table ONCE (Expand multi-distinct, not per-column scans)") {
+    val p = plan(graft.queries.Extras.x35Profile.build(spark, sf))
+    // count scan NODES (the "(n) Scan parquet" detail headers), not the
+    // tree line + detail header pair every node prints
+    val scans = p.split("\n").count(l => l.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"profiling must be one pass over the data, found $scans scans:\n$p")
+    assert(p.contains("Expand"), s"multi-column distinct should plan via Expand:\n$p")
+  }
+
   test("source dup profile partial-aggregates the distinct-fp count before one per-source exchange") {
     val t = Tables(spark, sf)
     val p = plan(graft.operators.Dedup.sourceDupProfile(t.documents, "doc_id", "text", "source"))
