@@ -38,11 +38,16 @@ object Sessions {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   def local(cores: Int = 32, app: String = "graft"): SparkSession = {
+    // shuffle width defaults to the core count (right for the sf0.1
+    // harness); SPARK_GRAFT_SHUFFLE_PARTITIONS overrides it for
+    // larger local notches (sf10 holds ~100× rows per partition at
+    // 32, which spills — the one knob that must scale with data)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString)
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(app)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
