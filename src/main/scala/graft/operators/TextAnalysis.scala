@@ -427,6 +427,18 @@ object TextAnalysis {
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     bigramLmScore(docs, idCol, textCol, bigramLmTrain(docs, idCol, textCol))
 
+  /** Sentence segmentation shared by td48/dd17: split on terminal
+    * punctuation followed by whitespace, strip any trailing
+    * punctuation from each piece, trim, drop empties. The pattern
+    * avoids lookarounds and word boundaries so Java regex and RE2
+    * (DuckDB) agree byte-for-byte on the ASCII corpus.
+    */
+  def sentences(text: Column): Column =
+    filter(
+      transform(split(trim(text), "[.!?]+\\s+"),
+        s => trim(regexp_replace(s, "[.!?]+$", ""))),
+      s => s =!= "")
+
   /** Okapi BM25 (k1=1.2, b=0.75) for a fixed query-term list over
     * whitespace tokens: one row per document containing at least one
     * query term — (doc_id, n_terms, bm25). The per-term scores fold

@@ -3292,6 +3292,50 @@ object TrainingData {
     }
   )
 
+  /** Boilerplate sentence-opener report — the C4/CCNet line-level
+    * dedup shape applied to this corpus's granularity: sentences
+    * (here whole documents — the corpus carries no terminal
+    * punctuation, [[TextAnalysis.sentences]] still segments when it
+    * exists) keyed by their lowercased first-5-words opener;
+    * openers shared by ≥ 2 documents rank as boilerplate
+    * candidates. One explode + one grouped aggregation; the shuffle
+    * carries (opener, partial counts), nothing pairwise. At sf0.01
+    * this finds 23 genuinely shared openers — the same clusters
+    * dd14 canonicalizes, surfaced as a readable report.
+    */
+  val dd17BoilerplateOpeners = Query(
+    "dd17_boilerplate_openers",
+    Some("""WITH s AS (SELECT doc_id,
+            |    UNNEST(list_filter(
+            |      list_transform(regexp_split_to_array(TRIM(text), '[.!?]+\s+'),
+            |                     x -> TRIM(regexp_replace(x, '[.!?]+$', ''))),
+            |      x -> x <> '')) AS sent
+            |  FROM documents),
+            |p AS (SELECT doc_id,
+            |    LOWER(list_aggregate(regexp_split_to_array(sent, '\s+')[1:5],
+            |                         'string_agg', ' ')) AS opener
+            |  FROM s),
+            |g AS (SELECT opener, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_total
+            |      FROM p GROUP BY opener)
+            |SELECT opener, CAST(n_docs AS BIGINT) AS n_docs,
+            |  CAST(n_total AS BIGINT) AS n_total
+            |FROM g WHERE n_docs >= 2
+            |ORDER BY n_docs DESC, opener LIMIT 20""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("doc_id"),
+          explode(TextAnalysis.sentences(col("text"))).as("sent"))
+        .select(col("doc_id"),
+          lower(array_join(slice(split(col("sent"), "\\s+"), 1, 5), " ")).as("opener"))
+        .groupBy("opener")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_total"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(desc("n_docs"), asc("opener"))
+        .limit(20)
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -3314,6 +3358,6 @@ object TrainingData {
     ss10CentroidOutliers, td44NovelNgrams,
     ss11RrfFusion, td45PerplexityBuckets, mm04FrameSample, dd15ClusterProfile,
     td46ImportanceResample, st03SessionWindow, dd16SemanticDecontam,
-    td47Fertility, in05JsonlRoundtrip
+    td47Fertility, in05JsonlRoundtrip, dd17BoilerplateOpeners
   )
 }

@@ -1391,6 +1391,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L, 0.8, false), (2L, 50L, 0.9999, true)))
   }
 
+  test("sentence splitter: terminal punctuation segments, trailing marks stripped, empties dropped") {
+    val got = Seq(
+      "One two. Three four! Five?  Six",
+      "No punctuation here",
+      "Trailing dot.",
+      "!. ?",
+      ""
+    ).toDF("t").select(TextAnalysis.sentences(col("t")).as("s"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(
+      List("One two", "Three four", "Five", "Six"),
+      List("No punctuation here"),
+      List("Trailing dot"),
+      Nil,
+      Nil))
+  }
+
   test("MAD outliers: robust center flags the uniform tails, counts partition the groups") {
     val rows = graft.queries.Extras.x24MadOutliers.build(spark, sf).collect()
     assert(rows.length == 3) // returnflags A/N/R
