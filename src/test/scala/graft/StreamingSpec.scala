@@ -72,6 +72,55 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("stateful windowed agg RESUMES from the state store across restarts (exactly-once)") {
+    // the cron-driven contract under failure: a windowed aggregation
+    // checkpointed to disk, stopped, and restarted over newly-landed
+    // data must end bit-equal to one batch pass over everything —
+    // counts continue from recovered state, no double-counting of the
+    // first half, no loss of open windows.
+    val root = Files.createTempDirectory("graft-restart")
+    val events = Tables(spark, "/root/testdata/sf0.001").events
+      .select("ts", "event_type").localCheckpoint()
+    val half = events.count() / 2
+    import org.apache.spark.sql.expressions.Window
+    val numbered = events.withColumn("rn",
+      row_number().over(Window.orderBy("ts", "event_type")))
+    numbered.filter(col("rn") <= half).drop("rn")
+      .write.parquet(s"$root/in") // first tranche
+    val schema = spark.read.parquet(s"$root/in").schema
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$root/in")
+      val agg = stream
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName("restart_counts")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    runOnce() // first run: half the data, state lands in the checkpoint
+    numbered.filter(col("rn") > half).drop("rn")
+      .write.mode("append").parquet(s"$root/in") // second tranche arrives
+    runOnce() // restart from the same checkpoint
+
+    val got = spark.table("restart_counts")
+      .orderBy("bucket", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val want = events
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq,
+      "restarted stream must equal one batch pass over all data")
+  }
+
   test("streaming HLL registers per window equal the batch sketch (constant state per group)") {
     import graft.operators.ApproxDistinct
     val dir = Files.createTempDirectory("graft-hllstream").toString
