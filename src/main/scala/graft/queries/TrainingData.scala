@@ -3336,6 +3336,73 @@ object TrainingData {
     }
   )
 
+  /** The corpus-curation flow END TO END as ONE declarative plan —
+    * quality gate (td22's thresholds) → exact dedup keep-min-id
+    * (td01) → per-source cap by deterministic hash rank (td33's
+    * policy, cap 10) → train/val/test split assignment (td28's
+    * buckets) — proving the stages compose inside a single Catalyst
+    * plan (one pass over the corpus, gate and dedup pipelined before
+    * the two per-source/per-split hash stages) instead of running as
+    * four materialized jobs. The oracle chains the same four stages
+    * as CTEs over the identical fmix64 hash.
+    */
+  val td49CurationPipeline = Query(
+    "td49_curation_pipeline", {
+      val fold = foldSql("CAST(doc_id AS VARCHAR)")
+      val signed = toSignedSql(s"(${fmixSql(s"($fold)")})")
+      Some(
+        s"""WITH w AS (SELECT doc_id, text, source,
+           |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+           |       ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS toks
+           |FROM documents),
+           |f AS (SELECT doc_id, text, source,
+           |  LEN(toks) AS n_tokens,
+           |  CASE WHEN LEN(toks) > 0
+           |    THEN 1.0 - CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks)
+           |    ELSE 0.0 END AS rep,
+           |  CASE WHEN LENGTH(text) > 0
+           |    THEN CAST(LEN(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / LENGTH(text)
+           |    ELSE 0.0 END AS punct
+           |FROM w),
+           |kept AS (SELECT doc_id, text, source FROM f
+           |  WHERE NOT (n_tokens < 25 OR n_tokens > 1000000
+           |             OR rep > 0.65 OR punct > 0.3)),
+           |ded AS (SELECT doc_id, source FROM (
+           |    SELECT doc_id, source,
+           |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |    FROM kept) WHERE rn = 1),
+           |h AS MATERIALIZED (SELECT doc_id, source, $signed AS hv FROM ded),
+           |r AS (SELECT doc_id, source,
+           |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS INT)
+           |          AS rk,
+           |        ((hv % 100) + 100) % 100 AS b
+           |      FROM h)
+           |SELECT doc_id, source, rk,
+           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin)
+    },
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.MixedHash64.register(spark)
+      val t = Tables(spark, dir)
+      val (kept, _) = TextAnalysis.qualityFilter(t.documents, col("text"),
+        TextAnalysis.QualityThresholds(
+          minTokens = 25, maxTokens = 1000000,
+          maxRepetitionRatio = 0.65, maxPunctRatio = 0.3))
+      val deduped = Dedup.exactDedup(kept, "doc_id", Seq("text"))
+      val hv = graft.functions.MixedHash64(col("doc_id").cast("string"))
+      val w = Window.partitionBy("source").orderBy(hv, col("doc_id"))
+      deduped
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("source"), col("rk"),
+          when(pmod(hv, lit(100L)) < 80, "train")
+            .when(pmod(hv, lit(100L)) < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -3358,6 +3425,7 @@ object TrainingData {
     ss10CentroidOutliers, td44NovelNgrams,
     ss11RrfFusion, td45PerplexityBuckets, mm04FrameSample, dd15ClusterProfile,
     td46ImportanceResample, st03SessionWindow, dd16SemanticDecontam,
-    td47Fertility, in05JsonlRoundtrip, dd17BoilerplateOpeners
+    td47Fertility, in05JsonlRoundtrip, dd17BoilerplateOpeners,
+    td49CurationPipeline
   )
 }

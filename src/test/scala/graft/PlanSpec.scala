@@ -404,6 +404,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), s"multi-column distinct should plan via Expand:\n$p")
   }
 
+  test("curation pipeline composes gate→dedup→cap→split over ONE corpus scan") {
+    val p = plan(TrainingData.td49CurationPipeline.build(spark, sf))
+    val scans = p.split("\n").count(l => l.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"all four stages must pipeline over one scan, found $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("source dup profile partial-aggregates the distinct-fp count before one per-source exchange") {
     val t = Tables(spark, sf)
     val p = plan(graft.operators.Dedup.sourceDupProfile(t.documents, "doc_id", "text", "source"))
