@@ -37,12 +37,16 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", "2000") // AQE coalesces down
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
+  /** Shuffle width for local surfaces: the core count (right for the
+    * sf0.1 harness) unless SPARK_GRAFT_SHUFFLE_PARTITIONS overrides
+    * it for larger local notches. Shared by [[local]] and Bench so
+    * the knob cannot drift between the two session builders.
+    */
+  def shuffleWidth(default: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", default)
+
   def local(cores: Int = 32, app: String = "graft"): SparkSession = {
-    // shuffle width defaults to the core count (right for the sf0.1
-    // harness); SPARK_GRAFT_SHUFFLE_PARTITIONS overrides it for
-    // larger local notches (sf10 holds ~100× rows per partition at
-    // 32, which spills — the one knob that must scale with data)
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString)
+    val shuffle = shuffleWidth(cores.toString)
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")

@@ -796,16 +796,25 @@ object Dedup {
     * (a single exchange). Quality is an integer token count: the
     * argmax is exactly reproducible with no FP concerns.
     */
+  /** The exact-dup cluster key shared by [[canonicalByQuality]] and
+    * [[sourceDupProfile]]: md5 over the first `prefixWords`
+    * normalized words. One definition so the dd14/dd15 cross-query
+    * equivalence is structural, not coincidental.
+    */
+  private def prefixFingerprint(textCol: String, prefixWords: Int): Column = {
+    val norm = TextAnalysis.normalizeForDedup(col(textCol))
+    md5(array_join(slice(split(norm, " "), 1, prefixWords), " "))
+  }
+
   def canonicalByQuality(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       prefixWords: Int = 8
   ): DataFrame = {
-    val norm = TextAnalysis.normalizeForDedup(col(textCol))
     val base = docs.select(
       col(idCol),
-      md5(array_join(slice(split(norm, " "), 1, prefixWords), " ")).as("norm_fp"),
+      prefixFingerprint(textCol, prefixWords).as("norm_fp"),
       TextAnalysis.tokenCount(col(textCol)).as("n_toks"))
     val byFp = Window.partitionBy("norm_fp")
     val rank = byFp.orderBy(desc("n_toks"), col(idCol))
@@ -826,15 +835,13 @@ object Dedup {
     */
   def sourceDupProfile(
       docs: DataFrame,
-      idCol: String,
       textCol: String,
       sourceCol: String,
       prefixWords: Int = 8
   ): DataFrame = {
-    val norm = TextAnalysis.normalizeForDedup(col(textCol))
     docs
       .select(col(sourceCol).as("source"),
-        md5(array_join(slice(split(norm, " "), 1, prefixWords), " ")).as("fp"))
+        prefixFingerprint(textCol, prefixWords).as("fp"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_clusters"))
       .select(col("source"), col("n_docs"), col("n_clusters"),

@@ -446,7 +446,7 @@ object TextAnalysis {
     * IEEE adds, the reduction the DuckDB oracle replays), corpus
     * statistics (avg doc length, doc count, per-term df) ride as
     * broadcasts, and the only corpus-sized shuffles are the two
-    * tokenize-count aggregations. Requires >= 2 terms.
+    * tokenize-count aggregations.
     */
   def bm25Scores(
       docs: DataFrame,
@@ -454,7 +454,7 @@ object TextAnalysis {
       textCol: String,
       terms: Seq[String]
   ): DataFrame = {
-    require(terms.size >= 2, "bm25Scores needs at least two query terms")
+    require(terms.nonEmpty, "bm25Scores needs at least one query term")
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(split(trim(col(textCol)), "\\s+")).as("tok"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
@@ -464,11 +464,13 @@ object TextAnalysis {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     // term index for the ordered fold: CASE tok WHEN t0 THEN 0 ... ELSE n-1
+    // (a single-term query needs no CASE — every row is term 0)
     val ti = terms.init.zipWithIndex
       .foldLeft(Option.empty[Column]) { case (acc, (t, i)) =>
         Some(acc.fold(when(col("tok") === t, i.toLong))(_.when(col("tok") === t, i.toLong)))
       }
-      .get.otherwise(terms.size - 1L)
+      .map(_.otherwise(terms.size - 1L))
+      .getOrElse(lit(0L))
     val scored = tf
       .join(dl, "doc_id")
       .join(broadcast(df_), "tok")

@@ -981,13 +981,23 @@ object TrainingData {
     * whole-data inference pass — the difference between one scan and
     * two at 100 TB.
     */
+  // one JSONL staging dir per (JVM, sf dir): repeated builds (bench
+  // reruns, oracle runs) overwrite in place instead of accumulating a
+  // corpus copy in /tmp per call; the write itself still happens every
+  // build — it IS half the round trip being measured
+  private val jsonlDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val in05JsonlRoundtrip = Query(
     "in05_jsonl_roundtrip",
     Some("""SELECT doc_id, text, lang, source, n_chars
             |FROM documents ORDER BY doc_id""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      val tmp = jsonlDirs.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-jsonl")
+        p.toFile.deleteOnExit()
+        p.toString
+      })
       t.documents.coalesce(4).write.mode("overwrite").json(tmp)
       spark.read.schema(t.documents.schema).json(tmp)
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -3077,7 +3087,7 @@ object TrainingData {
             |FROM s ORDER BY source""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
-      Dedup.sourceDupProfile(t.documents, "doc_id", "text", "source")
+      Dedup.sourceDupProfile(t.documents, "text", "source")
         .orderBy("source")
     }
   )

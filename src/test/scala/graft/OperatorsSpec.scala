@@ -1346,7 +1346,7 @@ class OperatorsSpec extends SparkSpec {
       (3L, "completely different text body", "a"),
       (4L, "solo doc", "b")
     ).toDF("doc_id", "text", "source")
-    val got = Dedup.sourceDupProfile(docs, "doc_id", "text", "source")
+    val got = Dedup.sourceDupProfile(docs, "text", "source")
       .orderBy("source").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     assert(got.toSeq == Seq(("a", 3L, 2L, 1L, 1.0 / 3), ("b", 1L, 1L, 0L, 0.0)))

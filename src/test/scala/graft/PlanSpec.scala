@@ -366,9 +366,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("RRF fusion joins two k-bounded lists — TakeOrdered lex side, no cartesian") {
+    // assert the lex-side shape on the PRE-checkpoint frame: inside
+    // ss11 the candidate list sits behind localCheckpoint, which
+    // truncates lineage and would make these asserts vacuous
+    val t = Tables(spark, sf)
+    val lex = graft.operators.TextAnalysis
+      .bm25Scores(t.documents, "doc_id", "text", Seq("data", "spark", "query"))
+      .orderBy(desc("bm25"), asc("doc_id")).limit(50)
+    val pl = plan(lex)
+    assert(pl.contains("TakeOrderedAndProject"),
+      s"the BM25 candidate list must TakeOrdered, not global-sort:\n$pl")
+    assert(!pl.contains("CartesianProduct"), pl)
+    // and the fused query itself stays cartesian-free
     val p = plan(TrainingData.ss11RrfFusion.build(spark, sf))
-    assert(p.contains("TakeOrderedAndProject"),
-      s"the BM25 candidate list must TakeOrdered, not global-sort:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -413,7 +423,7 @@ class PlanSpec extends SparkSpec {
 
   test("source dup profile partial-aggregates the distinct-fp count before one per-source exchange") {
     val t = Tables(spark, sf)
-    val p = plan(graft.operators.Dedup.sourceDupProfile(t.documents, "doc_id", "text", "source"))
+    val p = plan(graft.operators.Dedup.sourceDupProfile(t.documents, "text", "source"))
     assert(p.contains("partial_count"), s"count(distinct fp) must partial-aggregate:\n$p")
     val exchanges = p.split("\n").filter(_.contains("Arguments: hashpartitioning"))
     assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
