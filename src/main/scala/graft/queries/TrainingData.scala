@@ -1005,6 +1005,30 @@ object TrainingData {
     }
   )
 
+  /** ORC round trip — the second columnar interchange format, through
+    * Spark's native ORC source/sink (predicate pushdown and column
+    * pruning work the same as parquet). DuckDB cannot read ORC, so
+    * like in05 the oracle pins losslessness by comparing the
+    * read-back against the parquet original.
+    */
+  val in06OrcRoundtrip = Query(
+    "in06_orc_roundtrip",
+    Some("""SELECT doc_id, text, lang, source, n_chars
+            |FROM documents ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val tmp = jsonlDirs.computeIfAbsent(s"orc:$dir", _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-orc")
+        p.toFile.deleteOnExit()
+        p.toString
+      })
+      t.documents.coalesce(4).write.mode("overwrite").orc(tmp)
+      spark.read.schema(t.documents.schema).orc(tmp)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }
+  )
+
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine
     * exceeds a tight threshold — semantic dedup over the embedding
     * column. Same broadcast-pair plan as the KNN; the threshold filter
@@ -3436,6 +3460,6 @@ object TrainingData {
     ss11RrfFusion, td45PerplexityBuckets, mm04FrameSample, dd15ClusterProfile,
     td46ImportanceResample, st03SessionWindow, dd16SemanticDecontam,
     td47Fertility, in05JsonlRoundtrip, dd17BoilerplateOpeners,
-    td49CurationPipeline
+    td49CurationPipeline, in06OrcRoundtrip
   )
 }
