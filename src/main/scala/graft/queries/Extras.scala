@@ -1212,6 +1212,117 @@ object Extras {
     }
   )
 
+  /** Rolling exact median over a bounded trailing window (7 daily
+    * points per event type) — the robust-smoothing shape for metric
+    * time series. Daily totals are lifted to exact integer cents
+    * (DECIMAL(12,2)·100), the trailing frame is collected as a ≤7-long
+    * array (bounded per row — scale-safe at any group size), sorted,
+    * and the median is computed with EXPLICIT interpolation arithmetic
+    * written identically in both engines: engine-native `median()`
+    * conventions differ in how they interpolate even counts
+    * ((a+b)/2 vs a+(b−a)/2 — a last-ulp hazard), so neither engine's
+    * builtin is used. One IEEE division on exact longs ⇒ bit-equal.
+    */
+  val x29RollingMedian = Query(
+    "x29_rolling_median",
+    Some("""WITH d AS (
+            |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+            |  FROM events GROUP BY 1, 2),
+            |w AS (
+            |  SELECT g, day,
+            |    list_sort(list(cents) OVER (PARTITION BY g ORDER BY day
+            |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS a
+            |  FROM d)
+            |SELECT g AS event_type, day, LEN(a) AS n,
+            |  CASE WHEN LEN(a) % 2 = 1 THEN CAST(a[(LEN(a) + 1) // 2] AS DOUBLE)
+            |       ELSE (a[LEN(a) // 2] + a[LEN(a) // 2 + 1]) / 2.0 END / 100.0
+            |    AS med_value
+            |FROM w ORDER BY event_type, day""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val d = t.events
+        .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
+        .agg((sum(col("value").cast("decimal(12,2)")) * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("g").orderBy("day").rowsBetween(-6, 0)
+      val a = sort_array(collect_list(col("cents")).over(w))
+      val n = size(a)
+      // Column `/` is double division — element_at needs int indices
+      val mid = ((n + 1) / 2).cast("int")
+      val lo = (n / 2).cast("int")
+      val med = when(n % 2 === 1, element_at(a, mid).cast("double"))
+        .otherwise((element_at(a, lo) + element_at(a, lo + 1)) / 2.0)
+      d.select(col("g").as("event_type"), col("day"),
+          n.cast("long").as("n"), (med / 100.0).as("med_value"))
+        .orderBy("event_type", "day")
+    }
+  )
+
+  /** Rolling OLS trend per event type: 7-day trailing regression of
+    * daily totals (exact integer cents) against the epoch-day index.
+    * The windowed extension of [[x17StatsMoments]]' rule — NEVER
+    * aggregate raw doubles for second moments. All five moment sums
+    * are windowed BIGINT sums of integral values (exact, order-
+    * insensitive), the closed-form slope/intercept run ONCE on the
+    * exact sums, and each is a single IEEE division — bit-equal
+    * across engines and under any partitioning. Frames are ROWS-
+    * bounded (≤7), so window state is constant per row at any scale.
+    */
+  val x36RollingRegression = Query(
+    "x36_rolling_regression",
+    Some("""WITH d AS (
+            |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+            |  FROM events GROUP BY 1, 2),
+            |x AS (
+            |  SELECT g, day, CAST(day - DATE '1970-01-01' AS BIGINT) AS xi, cents AS yi
+            |  FROM d),
+            |m AS (
+            |  SELECT g, day,
+            |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+            |    CAST(SUM(xi) OVER w AS BIGINT) AS sx,
+            |    CAST(SUM(yi) OVER w AS BIGINT) AS sy,
+            |    CAST(SUM(xi * xi) OVER w AS BIGINT) AS sxx,
+            |    CAST(SUM(xi * yi) OVER w AS BIGINT) AS sxy
+            |  FROM x
+            |  WINDOW w AS (PARTITION BY g ORDER BY day
+            |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+            |SELECT g AS event_type, day, n,
+            |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+            |    AS slope_cents,
+            |  (CAST(sy AS DOUBLE) -
+            |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+            |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents
+            |FROM m WHERE n >= 2 ORDER BY event_type, day""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val d = t.events
+        .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
+        .agg((sum(col("value").cast("decimal(12,2)")) * 100).cast("long").as("cents"))
+        .select(col("g"), col("day"),
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("xi"),
+          col("cents").as("yi"))
+      val w = Window.partitionBy("g").orderBy("day").rowsBetween(-6, 0)
+      val m = d.select(col("g"), col("day"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("xi")).over(w).as("sx"),
+        sum(col("yi")).over(w).as("sy"),
+        sum(col("xi") * col("xi")).over(w).as("sxx"),
+        sum(col("xi") * col("yi")).over(w).as("sxy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val slope = num / den
+      m.filter(col("n") >= 2)
+        .select(col("g").as("event_type"), col("day"), col("n"),
+          slope.as("slope_cents"),
+          ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("n").cast("double")).as("intercept_cents"))
+        .orderBy("event_type", "day")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -1220,7 +1331,7 @@ object Extras {
     x18Histogram, x19TopKAgg, x20SaltedJoin, x21GroupingSets,
     x22RelativeRanks, x23GapFill, x24MadOutliers, x25ZOrder,
     x26UnionEvolve, x27PageRank, x28ConversionWindow,
-    x30RatioToReport, x31SessionPaths, x32MadSampled, x33RankedQuantiles,
-    x34ApproxQuantiles, x35Profile
+    x29RollingMedian, x30RatioToReport, x31SessionPaths, x32MadSampled,
+    x33RankedQuantiles, x34ApproxQuantiles, x35Profile, x36RollingRegression
   )
 }

@@ -166,6 +166,38 @@ object StreamingIngest {
   ): DataFrame =
     graft.operators.Pq.encode(vectors, idCol, vecCol, model)
 
+  /** Stream-stream interval join — the streaming form of
+    * [[graft.queries.Extras.x28ConversionWindow]]'s attribution probe:
+    * pair each click with the purchases the same user makes within
+    * `horizon` afterwards, as both sides arrive. Both inputs carry
+    * watermarks and the join condition is an EQUI-join on user plus a
+    * bounded time range, so Spark can expire join state: a buffered
+    * click is dropped once the purchase watermark passes
+    * `click.ts + horizon`, and a buffered purchase once the click
+    * watermark passes its timestamp — state is (watermark + horizon) ×
+    * arrival rate, not the stream's history. An UNBOUNDED time
+    * condition here would grow state forever; the range predicate is
+    * what makes the join runnable over an unbounded firehose.
+    */
+  def attributionJoinStream(
+      clicks: DataFrame,     // (event_id, user_id, ts)
+      purchases: DataFrame,  // (user_id, ts)
+      horizon: String,       // e.g. "1 hour"
+      watermark: String
+  ): DataFrame = {
+    val c = clicks
+      .select(col("event_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"interval $horizon"))
+      .select(col("event_id"), col("c_user").as("user_id"), col("c_ts"), col("p_ts"))
+  }
+
   /** Native streaming sessionization via Spark's `session_window`
     * aggregation: state per (user, open session) is the running
     * aggregate only, windows merge as gaps fill in, and the watermark

@@ -152,6 +152,55 @@ class StreamingSpec extends SparkSpec {
     assert(em == ed)
   }
 
+  test("stream-stream interval join equals the batch attribution join across tranches") {
+    // clicks and purchases arrive as SEPARATE streams in two
+    // time-ordered tranches; a click landing in tranche 1 must still
+    // pair with its purchase landing in tranche 2, i.e. the join
+    // buffers state across micro-batches — and the final pair set must
+    // equal the batch interval join over everything.
+    val root = Files.createTempDirectory("graft-ssjoin")
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+      .select("event_id", "user_id", "ts", "event_type").localCheckpoint()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts")
+    val splitTs = ev.selectExpr("percentile(unix_micros(ts), 0.5)").first().getDouble(0)
+    def tranches(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+      df.filter(expr(s"unix_micros(ts) <= ${splitTs.toLong}"))
+        .write.parquet(path)
+      df.filter(expr(s"unix_micros(ts) > ${splitTs.toLong}"))
+        .write.mode("append").parquet(path)
+    }
+    tranches(clicks, s"$root/clicks")
+    tranches(purchases, s"$root/purch")
+    def src(path: String, sample: org.apache.spark.sql.DataFrame) =
+      spark.readStream.schema(sample.schema)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+    val joined = StreamingIngest.attributionJoinStream(
+      src(s"$root/clicks", clicks), src(s"$root/purch", purchases),
+      horizon = "1 hour", watermark = "2 hours")
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("ss_join")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join")
+      .orderBy("event_id", "p_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+    val want = clicks.alias("c")
+      .join(purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts")),
+        col("user_id") === col("p_user") &&
+          col("p_ts") > col("ts") && col("p_ts") <= col("ts") + expr("interval 1 hour"))
+      .select(col("event_id"), col("user_id"), col("ts").as("c_ts"), col("p_ts"))
+      .orderBy("event_id", "p_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+    assert(got.nonEmpty, "fixture must produce at least one attributed pair")
+    assert(got.toSeq == want.toSeq,
+      "stream-stream interval join must equal the batch interval join")
+  }
+
   test("streaming top-k per window equals the batch window ranking") {
     val dir = Files.createTempDirectory("graft-topk-stream").toString
     val batch = Tables(spark, "/root/testdata/sf0.001").events
