@@ -1323,6 +1323,61 @@ object Extras {
     }
   )
 
+  /** Association-rule mining over (user, day) baskets: which event
+    * types co-occur in the same user-day, with exact support /
+    * confidence / lift. The basket build is one distinct shuffle on
+    * the basket key, pair counting is a self-equi-join ON that key
+    * (items per basket are bounded by the event-type cardinality, so
+    * the join fans out per-basket-squared over a SMALL set — never
+    * row²), and the per-item supports are a broadcast. Every metric
+    * is integer counts with a single IEEE division at the end, so the
+    * comparison is exact.
+    */
+  val x37AssocRules = Query(
+    "x37_assoc_rules",
+    Some("""WITH items AS (
+            |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+            |  FROM events),
+            |nb AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, day FROM items)),
+            |sup AS (SELECT event_type, COUNT(*) AS s FROM items GROUP BY event_type),
+            |pairs AS (
+            |  SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_both
+            |  FROM items a JOIN items b
+            |    ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+            |  GROUP BY 1, 2)
+            |SELECT p.t1, p.t2, p.n_both,
+            |  CAST(p.n_both AS DOUBLE) / s1.s AS conf_fwd,
+            |  CAST(p.n_both AS DOUBLE) / s2.s AS conf_rev,
+            |  CAST(p.n_both * nb.n AS DOUBLE) / CAST(s1.s * s2.s AS DOUBLE) AS lift
+            |FROM pairs p JOIN sup s1 ON p.t1 = s1.event_type
+            |JOIN sup s2 ON p.t2 = s2.event_type, nb
+            |ORDER BY t1, t2""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val items = t.events
+        .select(col("user_id"), col("ts").cast("date").as("day"), col("event_type"))
+        .distinct()
+        .localCheckpoint() // three consumers: basket count, supports, pair join
+      val nBaskets = items.select("user_id", "day").distinct().count()
+      val sup = items.groupBy("event_type").agg(count(lit(1)).as("s"))
+      val pairs = items.alias("a")
+        .join(items.alias("b"),
+          col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(sup.select(col("event_type").as("t1"), col("s").as("s1"))), Seq("t1"))
+        .join(broadcast(sup.select(col("event_type").as("t2"), col("s").as("s2"))), Seq("t2"))
+        .select(col("t1"), col("t2"), col("n_both"),
+          (col("n_both").cast("double") / col("s1")).as("conf_fwd"),
+          (col("n_both").cast("double") / col("s2")).as("conf_rev"),
+          ((col("n_both") * nBaskets).cast("double") /
+            (col("s1") * col("s2")).cast("double")).as("lift"))
+        .orderBy("t1", "t2")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -1332,6 +1387,7 @@ object Extras {
     x22RelativeRanks, x23GapFill, x24MadOutliers, x25ZOrder,
     x26UnionEvolve, x27PageRank, x28ConversionWindow,
     x29RollingMedian, x30RatioToReport, x31SessionPaths, x32MadSampled,
-    x33RankedQuantiles, x34ApproxQuantiles, x35Profile, x36RollingRegression
+    x33RankedQuantiles, x34ApproxQuantiles, x35Profile, x36RollingRegression,
+    x37AssocRules
   )
 }

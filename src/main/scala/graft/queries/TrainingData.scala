@@ -2995,6 +2995,67 @@ object TrainingData {
     }
   )
 
+  /** Embedding-space clustering via the MUTUAL k-NN graph — the
+    * standard density-robust preprocessing for graph clustering: keep
+    * edge (a,b) only when a is in b's top-k AND b is in a's, then
+    * label nodes by connected component. Hub vectors that appear in
+    * everyone's neighbor list don't glue unrelated regions together
+    * the way a plain kNN graph lets them. The kNN lists come from the
+    * blocked kernel (corpus never broadcast, per-task memory = one
+    * block), the mutuality check is an equi-join on the reversed edge
+    * over the k-bounded lists (N·k rows, never N²), and components
+    * reuse the dd05 machinery. Cosine is symmetric in IEEE terms
+    * (dot/(n_a·n_b) — identical doubles both directions), so the
+    * mutual join needs no tolerance.
+    */
+  val ss12MutualKnn = Query(
+    "ss12_mutual_knn",
+    Some("""WITH RECURSIVE base AS (
+            |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            |p AS (
+            |  SELECT a.id AS qa, b.id AS qb,
+            |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+            |  FROM base a, base b WHERE a.id <> b.id),
+            |r AS (SELECT qa, qb,
+            |        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
+            |      FROM p),
+            |knn AS (SELECT qa, qb FROM r WHERE rk <= 3),
+            |mutual AS (
+            |  SELECT x.qa AS a, x.qb AS b FROM knn x
+            |  JOIN knn y ON x.qa = y.qb AND x.qb = y.qa WHERE x.qa < x.qb),
+            |edges AS (SELECT a AS src, b AS dst FROM mutual
+            |          UNION SELECT b, a FROM mutual),
+            |deg AS (SELECT src AS id, COUNT(*) AS mutual_degree FROM edges GROUP BY src),
+            |nodes AS (SELECT DISTINCT src AS id FROM edges),
+            |reach AS (
+            |  SELECT id, id AS r FROM nodes
+            |  UNION
+            |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+            |SELECT reach.id AS vec_id, MIN(reach.r) AS component,
+            |  MIN(deg.mutual_degree) AS mutual_degree
+            |FROM reach JOIN deg ON reach.id = deg.id
+            |GROUP BY reach.id ORDER BY vec_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val knn = Similarity
+        .cosineKnnKernel(t.embeddings, t.embeddings, "vec_id", "embedding", k = 3)
+        .select(col("query_id").as("a"), col("corpus_id").as("b"))
+        .localCheckpoint() // two consumers below (forward + reversed side)
+      val mutual = knn
+        .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+        .filter(col("a") < col("b"))
+      val edges = mutual.select(col("a").as("src"), col("b").as("dst"))
+        .localCheckpoint() // CC probe + degree both read it
+      val deg = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("mutual_degree"))
+      graft.operators.Graph.connectedComponents(edges)
+        .join(deg, Seq("id"))
+        .select(col("id").as("vec_id"), col("component"), col("mutual_degree"))
+        .orderBy("vec_id")
+    }
+  )
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): per
     * language, split documents into head/middle/tail thirds by
     * bigram-LM predictability (td43's avg_p — higher = more fluent).
@@ -3460,6 +3521,6 @@ object TrainingData {
     ss11RrfFusion, td45PerplexityBuckets, mm04FrameSample, dd15ClusterProfile,
     td46ImportanceResample, st03SessionWindow, dd16SemanticDecontam,
     td47Fertility, in05JsonlRoundtrip, dd17BoilerplateOpeners,
-    td49CurationPipeline, in06OrcRoundtrip
+    td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn
   )
 }

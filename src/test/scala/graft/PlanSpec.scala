@@ -421,6 +421,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("rolling window ops stay partitioned frames — no cartesian, bounded frame state") {
+    for (q <- Seq(graft.queries.Extras.x29RollingMedian,
+                  graft.queries.Extras.x36RollingRegression)) {
+      val p = plan(q.build(spark, sf))
+      assert(p.contains("Window"), s"${q.name} must plan as a Window:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"${q.name} must not degrade to a pair join:\n$p")
+      // the window is keyed by event_type — never a single global partition
+      assert(!p.contains("Exchange SinglePartition"),
+        s"${q.name} must not serialize into one task:\n$p")
+    }
+  }
+
+  test("association rules broadcast the item supports; the pair join keys on the basket") {
+    val p = plan(graft.queries.Extras.x37AssocRules.build(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"support joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair counting must stay an equi-join on (user, day):\n$p")
+  }
+
+  test("mutual-kNN graph never broadcasts or cartesians the corpus") {
+    val df = TrainingData.ss12MutualKnn.build(spark, sf)
+    df.collect() // finalize AQE so join strategies are visible
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"mutuality check must be an equi-join on the reversed edge:\n$p")
+  }
+
   test("source dup profile partial-aggregates the distinct-fp count before one per-source exchange") {
     val t = Tables(spark, sf)
     val p = plan(graft.operators.Dedup.sourceDupProfile(t.documents, "text", "source"))
