@@ -3441,6 +3441,67 @@ object TrainingData {
     * four materialized jobs. The oracle chains the same four stages
     * as CTEs over the identical fmix64 hash.
     */
+  /** Cross-source boilerplate-flow matrix: for every source pair, how
+    * many sentence OPENERS (dd17's lowercased first-5-words
+    * granularity) both emit — the exact "which sources share template
+    * text" diagnostic that tells a curation pipeline where a
+    * cross-source dedup/boilerplate pass will pay off. Complements
+    * [[dd15ClusterProfile]] (within-source surplus) and td23 (KMV
+    * approximate overlap): this one is EXACT and pairwise. Full-text
+    * fingerprints were measured NEVER to cross sources in this corpus
+    * — the opener granularity is where cross-source sharing lives.
+    * Shape: explode + one distinct shuffle on (source, opener), a
+    * self-equi-join on the opener (fan-out bounded by per-opener
+    * source counts, never corpus²), per-source distinct-opener totals
+    * broadcast back for the share ratios.
+    */
+  val td48CrossSourceDups = Query(
+    "td48_cross_source_dups",
+    Some("""WITH s AS (SELECT source,
+            |    UNNEST(list_filter(
+            |      list_transform(regexp_split_to_array(TRIM(text), '[.!?]+\s+'),
+            |                     x -> TRIM(regexp_replace(x, '[.!?]+$', ''))),
+            |      x -> x <> '')) AS sent
+            |  FROM documents),
+            |f AS (SELECT DISTINCT source,
+            |    LOWER(list_aggregate(regexp_split_to_array(sent, '\s+')[1:5],
+            |                         'string_agg', ' ')) AS opener
+            |  FROM s),
+            |tot AS (SELECT source, COUNT(*) AS n FROM f GROUP BY source),
+            |p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_openers
+            |      FROM f a JOIN f b ON a.opener = b.opener AND a.source < b.source
+            |      GROUP BY 1, 2)
+            |SELECT p.src_a, p.src_b, p.shared_openers,
+            |  CAST(p.shared_openers AS DOUBLE) / ta.n AS share_a,
+            |  CAST(p.shared_openers AS DOUBLE) / tb.n AS share_b
+            |FROM p JOIN tot ta ON p.src_a = ta.source
+            |JOIN tot tb ON p.src_b = tb.source
+            |ORDER BY src_a, src_b""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val f = t.documents
+        .select(col("source"),
+          explode(TextAnalysis.sentences(col("text"))).as("sent"))
+        .select(col("source"),
+          lower(array_join(slice(split(col("sent"), "\\s+"), 1, 5), " ")).as("opener"))
+        .distinct()
+        .localCheckpoint() // consumed by totals and both join sides
+      val tot = f.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = f.alias("a")
+        .join(f.alias("b"),
+          col("a.opener") === col("b.opener") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared_openers"))
+      pairs
+        .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+        .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("shared_openers"),
+          (col("shared_openers").cast("double") / col("n_a")).as("share_a"),
+          (col("shared_openers").cast("double") / col("n_b")).as("share_b"))
+        .orderBy("src_a", "src_b")
+    }
+  )
+
   val td49CurationPipeline = Query(
     "td49_curation_pipeline", {
       val fold = foldSql("CAST(doc_id AS VARCHAR)")
@@ -3521,6 +3582,6 @@ object TrainingData {
     ss11RrfFusion, td45PerplexityBuckets, mm04FrameSample, dd15ClusterProfile,
     td46ImportanceResample, st03SessionWindow, dd16SemanticDecontam,
     td47Fertility, in05JsonlRoundtrip, dd17BoilerplateOpeners,
-    td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn
+    td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn, td48CrossSourceDups
   )
 }
