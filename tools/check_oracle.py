@@ -65,16 +65,18 @@ def main():
             print(f"FAIL {name}: no spark output", flush=True)
             n_fail += 1
             continue
+        def evaluate(c):
+            got = c.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+            gc = sorted(got.columns)
+            gr = c.execute(
+                f"SELECT {', '.join(gc)} FROM '{res_dir}/*.parquet'").fetchall()
+            exp = c.sql(sql)
+            ec = sorted(exp.columns)
+            er = c.execute(f"SELECT {', '.join(ec)} FROM ({sql})").fetchall()
+            return gc, gr, ec, er
         try:
-            got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
-            got_cols = sorted(got.columns)
-            got_rows = con.sql(
-                f"SELECT {', '.join(got_cols)} FROM '{res_dir}/*.parquet'").fetchall()
-            exp = con.sql(sql)
-            exp_cols = sorted(exp.columns)
             try:
-                exp_rows = con.execute(
-                    f"SELECT {', '.join(exp_cols)} FROM ({sql})").fetchall()
+                got_cols, got_rows, exp_cols, exp_rows = evaluate(con)
             except Exception as e:
                 # DuckDB's memory behavior is thread-count sensitive in
                 # BOTH directions at sf1: dd07's gram join spills to
@@ -83,16 +85,24 @@ def main():
                 # resource failure once at the flipped thread count, on
                 # a FRESH connection (the failed attempt leaves the
                 # buffer pool full; a retry on the same connection
-                # fails again even at the good thread count).
+                # fails again even at the good thread count). The MAIN
+                # connection is also rebuilt: an OOM'd buffer pool
+                # otherwise poisons every later query in the run
+                # ("Failed to allocate block of 8 bytes" cascades).
                 if not any(s in str(e) for s in ("Out of Memory", "No space left")):
                     raise
                 flipped = 32 if threads == 16 else 16
                 print(f"RETRY {name} at {flipped} threads: {e}", flush=True)
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = duckdb.connect()
+                setup(con, threads)
                 con2 = duckdb.connect()
                 try:
                     setup(con2, flipped)
-                    exp_rows = con2.execute(
-                        f"SELECT {', '.join(exp_cols)} FROM ({sql})").fetchall()
+                    got_cols, got_rows, exp_cols, exp_rows = evaluate(con2)
                 finally:
                     con2.close()
         except Exception as e:
