@@ -3011,7 +3011,8 @@ object TrainingData {
   val ss12MutualKnn = Query(
     "ss12_mutual_knn",
     Some("""WITH RECURSIVE base AS (
-            |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |  WHERE vec_id % 4 = 0),
             |p AS (
             |  SELECT a.id AS qa, b.id AS qb,
             |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
@@ -3037,8 +3038,13 @@ object TrainingData {
             |GROUP BY reach.id ORDER BY vec_id""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
+      // the deterministic %4 slice keeps the DuckDB replay inside an
+      // N²-row window it can actually sort (the full-corpus replay
+      // overspilled at sf1); the KERNEL is corpus-size-agnostic —
+      // blocked, never broadcast — and ss01/dd04 cover its full-N use
+      val vecs = t.embeddings.filter(col("vec_id") % 4 === 0)
       val knn = Similarity
-        .cosineKnnKernel(t.embeddings, t.embeddings, "vec_id", "embedding", k = 3)
+        .cosineKnnKernel(vecs, vecs, "vec_id", "embedding", k = 3)
         .select(col("query_id").as("a"), col("corpus_id").as("b"))
         .localCheckpoint() // two consumers below (forward + reversed side)
       val mutual = knn
