@@ -3062,6 +3062,99 @@ object TrainingData {
     }
   )
 
+  /** Triangle counting + local clustering coefficients over the
+    * symmetrized k-NN embedding graph — the third graph-analytics
+    * family beside connected components (dd05) and PageRank (x27),
+    * and the structural QC for embedding spaces: high clustering =
+    * tight semantic neighborhoods, low = hub-dominated noise. The
+    * scale trick is DEGREE-ORDERED ORIENTATION (each undirected edge
+    * points from its lower-(degree,id) endpoint): every node's
+    * out-degree is then O(√m)-bounded, so the wedge self-join on the
+    * apex never fans out on hubs the way a naive (a<b) orientation
+    * does. Wedges close against the undirected edge set with one more
+    * equi-join; each triangle is found exactly once (at its unique
+    * minimum-order apex). All counts exact; the clustering
+    * coefficient is one IEEE division of exact integers.
+    */
+  val ss13KnnTriangles = Query(
+    "ss13_knn_triangles",
+    Some("""WITH base AS (
+            |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |  WHERE vec_id % 4 = 0),
+            |p AS (
+            |  SELECT a.id AS qa, b.id AS qb,
+            |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+            |  FROM base a, base b WHERE a.id <> b.id),
+            |r AS (SELECT qa, qb,
+            |        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
+            |      FROM p),
+            |knn AS (SELECT qa, qb FROM r WHERE rk <= 5),
+            |und AS (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
+            |deg AS (SELECT id, COUNT(*) AS d FROM (
+            |          SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+            |        GROUP BY id),
+            |o AS (SELECT
+            |        CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
+            |        CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst
+            |      FROM und JOIN deg da ON a = da.id JOIN deg db ON b = db.id),
+            |tri AS (SELECT o1.src AS t1, o1.dst AS t2, o2.dst AS t3
+            |        FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst
+            |        JOIN und e ON e.a = LEAST(o1.dst, o2.dst)
+            |                  AND e.b = GREATEST(o1.dst, o2.dst)),
+            |tn AS (SELECT id, COUNT(*) AS n_tri FROM (
+            |         SELECT t1 AS id FROM tri UNION ALL SELECT t2 FROM tri
+            |         UNION ALL SELECT t3 FROM tri)
+            |       GROUP BY id)
+            |SELECT d.id AS vec_id, CAST(d.d AS BIGINT) AS degree,
+            |  CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+            |  CASE WHEN d.d >= 2
+            |    THEN CAST(2 * COALESCE(tn.n_tri, 0) AS DOUBLE) / (d.d * (d.d - 1))
+            |    ELSE 0.0 END AS clustering
+            |FROM deg d LEFT JOIN tn ON d.id = tn.id
+            |ORDER BY vec_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val vecs = t.embeddings.filter(col("vec_id") % 4 === 0)
+      val und = Similarity
+        .cosineKnnKernel(vecs, vecs, "vec_id", "embedding", k = 5)
+        .select(least(col("query_id"), col("corpus_id")).as("a"),
+          greatest(col("query_id"), col("corpus_id")).as("b"))
+        .distinct()
+        .localCheckpoint() // consumed by deg, orientation, and the closing join
+      val deg = und.select(col("a").as("id"))
+        .union(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val withDeg = und
+        .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+      val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+      val o = withDeg.select(
+        when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"))
+        .localCheckpoint() // wedge self-join reads it twice
+      val tri = o.alias("o1")
+        .join(o.alias("o2"),
+          col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+        .select(col("o1.src").as("t1"), col("o1.dst").as("t2"), col("o2.dst").as("t3"))
+        .join(und,
+          col("a") === least(col("t2"), col("t3")) &&
+            col("b") === greatest(col("t2"), col("t3")))
+        .select("t1", "t2", "t3")
+      val tn = tri.select(col("t1").as("id"))
+        .union(tri.select(col("t2").as("id")))
+        .union(tri.select(col("t3").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      deg.join(tn, Seq("id"), "left")
+        .select(col("id").as("vec_id"), col("d").as("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("d") >= 2,
+            (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+              (col("d") * (col("d") - 1)))
+            .otherwise(0.0).as("clustering"))
+        .orderBy("vec_id")
+    }
+  )
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): per
     * language, split documents into head/middle/tail thirds by
     * bigram-LM predictability (td43's avg_p — higher = more fluent).
@@ -3588,6 +3681,7 @@ object TrainingData {
     ss11RrfFusion, td45PerplexityBuckets, mm04FrameSample, dd15ClusterProfile,
     td46ImportanceResample, st03SessionWindow, dd16SemanticDecontam,
     td47Fertility, in05JsonlRoundtrip, dd17BoilerplateOpeners,
-    td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn, td48CrossSourceDups
+    td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn, td48CrossSourceDups,
+    ss13KnnTriangles
   )
 }

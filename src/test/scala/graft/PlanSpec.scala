@@ -441,12 +441,14 @@ class PlanSpec extends SparkSpec {
       s"pair counting must stay an equi-join on (user, day):\n$p")
   }
 
-  test("mutual-kNN graph never broadcasts or cartesians the corpus") {
-    val df = TrainingData.ss12MutualKnn.build(spark, sf)
-    df.collect() // finalize AQE so join strategies are visible
-    val p = plan(df)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"mutuality check must be an equi-join on the reversed edge:\n$p")
+  test("mutual-kNN graph and triangle counting never broadcast or cartesian the corpus") {
+    for (q <- Seq(TrainingData.ss12MutualKnn, TrainingData.ss13KnnTriangles)) {
+      val df = q.build(spark, sf)
+      df.collect() // finalize AQE so join strategies are visible
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"${q.name}: graph joins must stay equi-joins:\n$p")
+    }
   }
 
   test("source dup profile partial-aggregates the distinct-fp count before one per-source exchange") {
