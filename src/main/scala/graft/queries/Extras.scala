@@ -1378,6 +1378,63 @@ object Extras {
     }
   )
 
+  /** CUSUM change-point detection per event type — the
+    * drift-monitoring complement to x36's rolling trend: the day
+    * where the cumulative deviation of daily totals from the series
+    * mean peaks is the classic single-change-point estimate. All
+    * arithmetic stays EXACT integers by scaling: dev_i = n·cents_i −
+    * total (BIGINT), S_k = Σ dev_i (a window cumsum), argmax |S_k|
+    * with the earliest-day tie-break — only the final reported peak
+    * converts to currency units with one IEEE division chain. The
+    * cumsum is per-type (partitioned window, never global), and the
+    * argmax is a window max + filter, not a sort of the series.
+    */
+  val x39CusumChangepoint = Query(
+    "x39_cusum_changepoint",
+    Some("""WITH d AS (
+            |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+            |  FROM events GROUP BY 1, 2),
+            |t AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            |        CAST(SUM(cents) AS BIGINT) AS total
+            |      FROM d GROUP BY g),
+            |s AS (SELECT d.g, d.day, t.n,
+            |        CAST(SUM(t.n * d.cents - t.total) OVER (
+            |          PARTITION BY d.g ORDER BY d.day
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+            |      FROM d JOIN t ON d.g = t.g),
+            |m AS (SELECT g, day, n, cusum,
+            |        MAX(ABS(cusum)) OVER (PARTITION BY g) AS peak
+            |      FROM s),
+            |c AS (SELECT g, n, peak, MIN(day) AS change_day FROM m
+            |      WHERE ABS(cusum) = peak GROUP BY g, n, peak)
+            |SELECT g AS event_type, change_day, n AS n_days,
+            |  CAST(peak AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS peak_dev
+            |FROM c ORDER BY event_type""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val d = t.events
+        .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
+        .agg((sum(col("value").cast("decimal(12,2)")) * 100).cast("long").as("cents"))
+      val tot = d.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("total"))
+      val wCum = Window.partitionBy("g").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val s = d.join(broadcast(tot), "g")
+        .withColumn("cusum",
+          sum(col("n") * col("cents") - col("total")).over(wCum).cast("long"))
+      val m = s.withColumn("peak", max(abs(col("cusum"))).over(Window.partitionBy("g")))
+      m.filter(abs(col("cusum")) === col("peak"))
+        .groupBy("g", "n", "peak")
+        .agg(min("day").as("change_day"))
+        .select(col("g").as("event_type"), col("change_day"),
+          col("n").as("n_days"),
+          (col("peak").cast("double") / col("n").cast("double") / 100.0).as("peak_dev"))
+        .orderBy("event_type")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -1388,6 +1445,6 @@ object Extras {
     x26UnionEvolve, x27PageRank, x28ConversionWindow,
     x29RollingMedian, x30RatioToReport, x31SessionPaths, x32MadSampled,
     x33RankedQuantiles, x34ApproxQuantiles, x35Profile, x36RollingRegression,
-    x37AssocRules
+    x37AssocRules, x39CusumChangepoint
   )
 }
