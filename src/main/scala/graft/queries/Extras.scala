@@ -1435,6 +1435,75 @@ object Extras {
     }
   )
 
+  /** Trailing EWMA anomaly screen per event type (α = 1/2 over the
+    * previous ≤7 daily totals) — the online-monitoring complement to
+    * x39's retrospective CUSUM. The halving weights are encoded as
+    * INTEGER powers of two (64·lag1 + 32·lag2 + … + 1·lag7 over exact
+    * cents), so the weighted numerator and the present-lag weight sum
+    * are BIGINTs; the EWMA and relative deviation each spend exactly
+    * one IEEE division, making the flag engine-exact with no summation
+    * -order hazard. The lag frame is a partitioned 7-row window —
+    * nothing global, nothing buffered beyond 7 longs per row.
+    */
+  val x40EwmaAnomaly = Query(
+    "x40_ewma_anomaly",
+    Some("""WITH d AS (
+            |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+            |  FROM events GROUP BY 1, 2),
+            |l AS (SELECT g, day, cents,
+            |        LAG(cents, 1) OVER w AS l1, LAG(cents, 2) OVER w AS l2,
+            |        LAG(cents, 3) OVER w AS l3, LAG(cents, 4) OVER w AS l4,
+            |        LAG(cents, 5) OVER w AS l5, LAG(cents, 6) OVER w AS l6,
+            |        LAG(cents, 7) OVER w AS l7
+            |      FROM d WINDOW w AS (PARTITION BY g ORDER BY day)),
+            |e AS (SELECT g, day, cents,
+            |        COALESCE(l1,0)*64 + COALESCE(l2,0)*32 + COALESCE(l3,0)*16 +
+            |        COALESCE(l4,0)*8 + COALESCE(l5,0)*4 + COALESCE(l6,0)*2 +
+            |        COALESCE(l7,0) AS num,
+            |        CASE WHEN l1 IS NULL THEN 0 ELSE 64 END +
+            |        CASE WHEN l2 IS NULL THEN 0 ELSE 32 END +
+            |        CASE WHEN l3 IS NULL THEN 0 ELSE 16 END +
+            |        CASE WHEN l4 IS NULL THEN 0 ELSE 8 END +
+            |        CASE WHEN l5 IS NULL THEN 0 ELSE 4 END +
+            |        CASE WHEN l6 IS NULL THEN 0 ELSE 2 END +
+            |        CASE WHEN l7 IS NULL THEN 0 ELSE 1 END AS den
+            |      FROM l)
+            |SELECT g AS event_type, day,
+            |  CAST(cents AS DOUBLE) / 100.0 AS actual,
+            |  CAST(num AS DOUBLE) / den / 100.0 AS ewma,
+            |  (CAST(cents AS DOUBLE) - CAST(num AS DOUBLE) / den)
+            |    / (CAST(num AS DOUBLE) / den) AS rel_dev,
+            |  ABS((CAST(cents AS DOUBLE) - CAST(num AS DOUBLE) / den)
+            |    / (CAST(num AS DOUBLE) / den)) > 0.25 AS anomaly
+            |FROM e WHERE den > 0
+            |ORDER BY event_type, day""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val d = t.events
+        .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
+        .agg((sum(col("value").cast("decimal(12,2)")) * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("g").orderBy("day")
+      val lags = (1 to 7).map(i => lag(col("cents"), i).over(w).as(s"l$i"))
+      val l = d.select(col("g") +: col("day") +: col("cents") +: lags: _*)
+      val weights = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L)
+      val num = (1 to 7).map(i => coalesce(col(s"l$i"), lit(0L)) * weights(i - 1))
+        .reduce(_ + _)
+      val den = (1 to 7).map(i => when(col(s"l$i").isNull, 0L).otherwise(weights(i - 1)))
+        .reduce(_ + _)
+      val e = l.withColumn("num", num).withColumn("den", den).filter(col("den") > 0)
+      val ewmaC = col("num").cast("double") / col("den")
+      val relDev = (col("cents").cast("double") - ewmaC) / ewmaC
+      e.select(col("g").as("event_type"), col("day"),
+        (col("cents").cast("double") / 100.0).as("actual"),
+        (ewmaC / 100.0).as("ewma"),
+        relDev.as("rel_dev"),
+        (abs(relDev) > 0.25).as("anomaly"))
+        .orderBy("event_type", "day")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -1445,6 +1514,6 @@ object Extras {
     x26UnionEvolve, x27PageRank, x28ConversionWindow,
     x29RollingMedian, x30RatioToReport, x31SessionPaths, x32MadSampled,
     x33RankedQuantiles, x34ApproxQuantiles, x35Profile, x36RollingRegression,
-    x37AssocRules, x39CusumChangepoint
+    x37AssocRules, x39CusumChangepoint, x40EwmaAnomaly
   )
 }

@@ -3658,6 +3658,146 @@ object TrainingData {
     }
   )
 
+  /** Batch face of the stream-stream attribution join: the catalog
+    * entry calls the SAME [[graft.streaming.StreamingIngest
+    * .attributionJoinStream]] the streaming pipeline uses — in batch
+    * mode the watermarks are no-ops and the bounded-range equi-join
+    * (user key + `p_ts ∈ (c_ts, c_ts+1h]`) is exactly the expirable-
+    * state condition StreamingSpec proves equal across tranche
+    * boundaries. One shuffle on user_id; the range predicate rides
+    * the join, never a cartesian.
+    */
+  val st04Attribution = Query(
+    "st04_attribution",
+    Some("""SELECT c.event_id, c.user_id, c.ts AS c_ts, p.ts AS p_ts
+            |FROM events c JOIN events p
+            |  ON c.user_id = p.user_id
+            | AND c.event_type = 'click' AND p.event_type = 'purchase'
+            | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            |ORDER BY c.event_id, p.ts""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val ev = t.events
+      graft.streaming.StreamingIngest.attributionJoinStream(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts"),
+        horizon = "1 hour", watermark = "2 hours")
+        .orderBy("event_id", "p_ts")
+    }
+  )
+
+  /** Link prediction over the kNN graph (same `vec_id % 4` slice and
+    * k=5 undirected edges as ss13): for every NON-adjacent pair with
+    * ≥2 common neighbours, the common-neighbour count and
+    * neighbourhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    * "these two documents should be linked" candidate generator for
+    * graph-based curation. The pair frame is a wedge self-join on the
+    * CENTER node (Σ_x deg(x)² pairs, never |V|²), adjacency is
+    * removed by an anti-join on the edge list, and every metric is
+    * integer counts with one IEEE division at the end — engine-exact.
+    */
+  val ss14LinkPrediction = Query(
+    "ss14_link_prediction",
+    Some("""WITH base AS (
+            |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |  WHERE vec_id % 4 = 0),
+            |p AS (
+            |  SELECT a.id AS qa, b.id AS qb,
+            |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+            |  FROM base a, base b WHERE a.id <> b.id),
+            |r AS (SELECT qa, qb,
+            |        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
+            |      FROM p),
+            |knn AS (SELECT qa, qb FROM r WHERE rk <= 5),
+            |und AS (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
+            |adj AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+            |deg AS (SELECT x AS id, COUNT(*) AS d FROM adj GROUP BY x),
+            |wedge AS (
+            |  SELECT a1.y AS u, a2.y AS v, COUNT(*) AS cn
+            |  FROM adj a1 JOIN adj a2 ON a1.x = a2.x AND a1.y < a2.y
+            |  GROUP BY 1, 2),
+            |cand AS (
+            |  SELECT w.u, w.v, w.cn FROM wedge w
+            |  LEFT JOIN und e ON e.a = w.u AND e.b = w.v
+            |  WHERE e.a IS NULL AND w.cn >= 2)
+            |SELECT c.u AS node_a, c.v AS node_b, CAST(c.cn AS BIGINT) AS common_neighbors,
+            |  CAST(c.cn AS DOUBLE) / (du.d + dv.d - c.cn) AS jaccard
+            |FROM cand c JOIN deg du ON c.u = du.id JOIN deg dv ON c.v = dv.id
+            |ORDER BY node_a, node_b""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val vecs = t.embeddings.filter(col("vec_id") % 4 === 0)
+      val und = Similarity
+        .cosineKnnKernel(vecs, vecs, "vec_id", "embedding", k = 5)
+        .select(least(col("query_id"), col("corpus_id")).as("a"),
+          greatest(col("query_id"), col("corpus_id")).as("b"))
+        .distinct()
+        .localCheckpoint() // consumed by adjacency (twice), anti-join
+      val adj = und.select(col("a").as("x"), col("b").as("y"))
+        .union(und.select(col("b").as("x"), col("a").as("y")))
+      val deg = adj.groupBy(col("x").as("id")).agg(count(lit(1)).as("d"))
+      val wedge = adj.alias("a1")
+        .join(adj.alias("a2"),
+          col("a1.x") === col("a2.x") && col("a1.y") < col("a2.y"))
+        .groupBy(col("a1.y").as("u"), col("a2.y").as("v"))
+        .agg(count(lit(1)).as("cn"))
+      val cand = wedge
+        .join(und, col("a") === col("u") && col("b") === col("v"), "left_anti")
+        .filter(col("cn") >= 2)
+      cand
+        .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+        .select(col("u").as("node_a"), col("v").as("node_b"),
+          col("cn").as("common_neighbors"),
+          (col("cn").cast("double") / (col("du") + col("dv") - col("cn")))
+            .as("jaccard"))
+        .orderBy("node_a", "node_b")
+    }
+  )
+
+  /** k-anonymity / l-diversity audit — the privacy screen a curation
+    * pipeline runs before releasing a slice keyed on quasi-identifiers
+    * (here: nation × market segment × 1000-unit balance band). Groups
+    * with k < 5 members are re-identification risks; l counts the
+    * distinct sensitive values (exact balance cents) inside each
+    * group. The band is an EXACT integer floor-division on decimal
+    * cents (never floor(double/1000) — negative balances and
+    * band-edge values must land identically in both engines), so the
+    * whole audit is one hash aggregate over integers.
+    */
+  val td50KAnonymity = Query(
+    "td50_k_anonymity",
+    Some("""WITH q AS (
+            |  SELECT c_nationkey, c_mktsegment,
+            |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+            |  FROM customer),
+            |b AS (SELECT c_nationkey, c_mktsegment, cents,
+            |        CAST((cents - ((cents % 100000 + 100000) % 100000)) // 100000
+            |             AS BIGINT) AS bal_band
+            |      FROM q)
+            |SELECT c_nationkey, c_mktsegment, bal_band,
+            |  COUNT(*) AS k_size,
+            |  CAST(COUNT(DISTINCT cents) AS BIGINT) AS l_div,
+            |  COUNT(*) < 5 AS risky
+            |FROM b GROUP BY 1, 2, 3
+            |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+        .withColumn("bal_band",
+          expr("(cents - pmod(cents, 100000L)) div 100000L"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("k_size"),
+          countDistinct(col("cents")).as("l_div"))
+        .withColumn("risky", col("k_size") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     td01ExactDedup, td02Fingerprint, td03Tokens, td04Quality, td05LangId,
     td06Jaccard, td07ApproxDistinct, dd01MinHash, dd02SimHash, dd03Rolling,
@@ -3682,6 +3822,6 @@ object TrainingData {
     td46ImportanceResample, st03SessionWindow, dd16SemanticDecontam,
     td47Fertility, in05JsonlRoundtrip, dd17BoilerplateOpeners,
     td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn, td48CrossSourceDups,
-    ss13KnnTriangles
+    ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity
   )
 }

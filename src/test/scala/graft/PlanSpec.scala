@@ -451,6 +451,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("link prediction wedges stay equi-joins on the center node; adjacency removal is anti") {
+    val df = TrainingData.ss14LinkPrediction.build(spark, sf)
+    df.collect() // finalize AQE so join strategies are visible
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"the wedge self-join must key on the shared neighbour, never |V|² pairs:\n$p")
+    assert(p.contains("LeftAnti"), s"non-adjacency must be a hash anti-join:\n$p")
+  }
+
+  test("attribution interval join is an equi-join on user with the range as post-condition") {
+    val p = plan(TrainingData.st04Attribution.build(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the time-range predicate must ride the user equi-join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)") ||
+      p.contains("EqualTo(event_type,click)"),
+      s"the click/purchase filters must push into the scan:\n$p")
+  }
+
+  test("EWMA anomaly screen is one partitioned lag frame over the daily aggregate") {
+    val p = plan(graft.queries.Extras.x40EwmaAnomaly.build(spark, sf))
+    assert(p.contains("Window"), s"the lag chain must plan as one Window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the frame is keyed by event_type — never one global task:\n$p")
+  }
+
+  test("k-anonymity audit is a single hash aggregate over integer quasi-identifiers") {
+    val p = plan(TrainingData.td50KAnonymity.build(spark, sf))
+    assert(p.contains("HashAggregate"), s"the audit must hash-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"no pair joins, no windows — one grouped pass:\n$p")
+  }
+
   test("source dup profile partial-aggregates the distinct-fp count before one per-source exchange") {
     val t = Tables(spark, sf)
     val p = plan(graft.operators.Dedup.sourceDupProfile(t.documents, "text", "source"))
