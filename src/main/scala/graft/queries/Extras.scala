@@ -1504,6 +1504,40 @@ object Extras {
     }
   )
 
+  /** Incremental aggregate maintenance proven equal to recompute: the
+    * engine path splits the fact table at a date boundary, computes
+    * each side's partial summary independently, and MERGES the
+    * partials ([[graft.operators.Incremental]]) — the oracle is the
+    * full-scan recompute, so a green row is the proof that
+    * `merge(partial(A), partial(B)) == partial(A ∪ B)` bit-exactly
+    * (integer counts, decimal sums, order-insensitive min/max). At
+    * 100 TB this is the difference between aggregating one day's
+    * partition and re-scanning the fact table nightly.
+    */
+  val x41IncrementalAgg = Query(
+    "x41_incremental_agg",
+    Some("""SELECT event_type,
+            |  CAST(COUNT(*) AS BIGINT) AS n_events,
+            |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+            |  MIN(CAST(ts AS DATE)) AS first_day,
+            |  MAX(CAST(ts AS DATE)) AS last_day
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (spark, dir) => {
+      import graft.operators.Incremental
+      val t = Tables(spark, dir)
+      val cut = lit("2024-01-16").cast("date")
+      val history = Incremental.partialSummary(
+        t.events.filter(col("ts").cast("date") < cut))
+      val delta = Incremental.partialSummary(
+        t.events.filter(col("ts").cast("date") >= cut))
+      Incremental.mergeSummaries(history, delta)
+        .select(col("event_type"), col("n_events"),
+          col("cents").cast("double").as("sum_value"),
+          col("first_day"), col("last_day"))
+        .orderBy("event_type")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -1514,6 +1548,6 @@ object Extras {
     x26UnionEvolve, x27PageRank, x28ConversionWindow,
     x29RollingMedian, x30RatioToReport, x31SessionPaths, x32MadSampled,
     x33RankedQuantiles, x34ApproxQuantiles, x35Profile, x36RollingRegression,
-    x37AssocRules, x39CusumChangepoint, x40EwmaAnomaly
+    x37AssocRules, x39CusumChangepoint, x40EwmaAnomaly, x41IncrementalAgg
   )
 }

@@ -1029,6 +1029,46 @@ object TrainingData {
     }
   )
 
+  /** Raw-media landing-zone scan via Spark's `binaryFile` source — the
+    * ingestion seam a multimodal corpus enters through: one row per
+    * blob with (path, length, content), no decode on the scan. The
+    * fixture stages every 10th document's bytes as loose files
+    * (executor-side writes, one pass), then the scan recovers the id
+    * from the filename and fingerprints the payload with sha2 — the
+    * dedup-ready manifest shape. The oracle recomputes length+sha256
+    * from the parquet original (ASCII corpus ⇒ chars == bytes),
+    * pinning the file round trip bit-exactly.
+    */
+  val in07BinaryScan = Query(
+    "in07_binary_scan",
+    Some("""SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+            |  sha256(text) AS sha
+            |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val tmp = jsonlDirs.computeIfAbsent(s"bin:$dir", _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-bin")
+        p.toFile.deleteOnExit()
+        p.toString
+      })
+      t.documents.filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      spark.read.format("binaryFile").load(s"$tmp/*.bin")
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          sha2(col("content"), 256).as("sha"))
+        .orderBy("doc_id")
+    }
+  )
+
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine
     * exceeds a tight threshold — semantic dedup over the embedding
     * column. Same broadcast-pair plan as the KNN; the threshold filter
@@ -3822,6 +3862,7 @@ object TrainingData {
     td46ImportanceResample, st03SessionWindow, dd16SemanticDecontam,
     td47Fertility, in05JsonlRoundtrip, dd17BoilerplateOpeners,
     td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn, td48CrossSourceDups,
-    ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity
+    ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity,
+    in07BinaryScan
   )
 }
