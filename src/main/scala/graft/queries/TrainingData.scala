@@ -1029,6 +1029,74 @@ object TrainingData {
     }
   )
 
+  /** Content-defined chunking dedup (LBFS/rsync-style, word-level):
+    * chunk boundaries fall where a word's rolling hash ≡ 0 (mod 8),
+    * so chunk edges move WITH the content — an insertion early in a
+    * document shifts fixed-window chunks (td29) everywhere, but CDC
+    * chunks re-synchronize at the next boundary word and the
+    * unchanged tail still dedups. Chunks are grouped by literal
+    * content across the corpus (the dd12 convention: the hash only
+    * PLACES boundaries, it never stands in for equality), and the
+    * per-doc dup ratio is integer counts with one final division.
+    * Shape: one map pass for hashes, a partitioned cumsum for chunk
+    * ids, one exchange on chunk text for the corpus-wide group.
+    */
+  val dd18CdcChunks = Query(
+    "dd18_cdc_chunks", {
+      val fold = foldSql("word")
+      Some(
+        s"""WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks
+           |  FROM documents WHERE LENGTH(TRIM(text)) > 0),
+           |t AS (SELECT doc_id, CAST(i AS INT) AS pos, toks[i] AS word
+           |      FROM w, UNNEST(range(1, LEN(toks) + 1)) r(i)),
+           |b AS (SELECT doc_id, pos, word,
+           |        CASE WHEN ($fold) % 8 = 0 THEN 1 ELSE 0 END AS bd
+           |      FROM t),
+           |c AS (SELECT doc_id, pos, word,
+           |        COALESCE(SUM(bd) OVER (PARTITION BY doc_id ORDER BY pos
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+           |      FROM b),
+           |chunks AS (SELECT doc_id, chunk_id,
+           |             string_agg(word, ' ' ORDER BY pos) AS chunk
+           |           FROM c GROUP BY doc_id, chunk_id),
+           |dup AS (SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(*) > 1)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           |  CAST(SUM(CASE WHEN d.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS dup_chunks,
+           |  CAST(SUM(CASE WHEN d.chunk IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*) AS dup_ratio
+           |FROM chunks ch LEFT JOIN dup d ON ch.chunk = d.chunk
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    },
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      RollingHash64.register(spark)
+      val t = Tables(spark, dir)
+      val words = t.documents
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos0", "word")))
+      val b = words.withColumn("bd",
+        when(pmod(RollingHash64(col("word")), lit(8L)) === 0, 1L).otherwise(0L))
+      val wPrev = Window.partitionBy("doc_id").orderBy("pos0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = b.withColumn("chunk_id", coalesce(sum(col("bd")).over(wPrev), lit(0L)))
+      val chunks = c.groupBy("doc_id", "chunk_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos0"), col("word")))),
+            s => s.getField("word")), " ").as("chunk"))
+      val dup = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select("chunk")
+      chunks.join(dup.withColumn("is_dup", lit(1L)), Seq("chunk"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+          (col("dup_chunks").cast("double") / col("n_chunks")).as("dup_ratio"))
+        .orderBy("doc_id")
+    }
+  )
+
   /** Raw-media landing-zone scan via Spark's `binaryFile` source — the
     * ingestion seam a multimodal corpus enters through: one row per
     * blob with (path, length, content), no decode on the scan. The
@@ -3863,6 +3931,6 @@ object TrainingData {
     td47Fertility, in05JsonlRoundtrip, dd17BoilerplateOpeners,
     td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn, td48CrossSourceDups,
     ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity,
-    in07BinaryScan
+    in07BinaryScan, dd18CdcChunks
   )
 }

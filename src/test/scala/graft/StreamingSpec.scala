@@ -525,4 +525,43 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(idxIds == Seq(1L, 2L, 3L, 5L))
   }
+
+  test("streamed summary maintenance (foreachBatch + Incremental.merge) equals recompute") {
+    // x41's pattern run the way production runs it: each micro-batch's
+    // partial summary merges into an on-disk summary table; after all
+    // tranches land, the maintained table must be BIT-equal to a full
+    // recompute over everything — per micro-batch cost is one
+    // delta-aggregate + a summary-sized merge, never a fact rescan.
+    import graft.operators.Incremental
+    val root = Files.createTempDirectory("graft-inc-sum")
+    val events = Tables(spark, "/root/testdata/sf0.001").events
+      .select("event_type", "ts", "value").localCheckpoint()
+    val cut = lit("2024-01-16").cast("date")
+    events.filter(col("ts").cast("date") < cut).coalesce(1)
+      .write.parquet(s"$root/in")
+    val schema = spark.read.parquet(s"$root/in").schema
+    def drain(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(s"$root/in")
+      StreamingIngest.runAvailableNow(src, s"$root/ckpt", (df, _) => {
+        val delta = Incremental.partialSummary(df)
+        val merged =
+          if (new java.io.File(s"$root/summary").exists())
+            Incremental.mergeSummaries(
+              spark.read.parquet(s"$root/summary"), delta)
+          else delta
+        val out = merged.localCheckpoint() // sever lineage from the pre-overwrite files
+        out.write.mode("overwrite").parquet(s"$root/summary")
+      })
+    }
+    drain()
+    events.filter(col("ts").cast("date") >= cut).coalesce(1)
+      .write.mode("append").parquet(s"$root/in")
+    drain()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_type", "n_events", "cents", "first_day", "last_day")
+      .orderBy("event_type").collect().map(_.toString).toSeq
+    assert(rows(spark.read.parquet(s"$root/summary")) ==
+      rows(Incremental.partialSummary(events)),
+      "maintained summary must equal the full recompute bit-exactly")
+  }
 }
