@@ -1538,6 +1538,72 @@ object Extras {
     }
   )
 
+  /** Deterministic bootstrap confidence intervals for a data-quality
+    * metric (mean value per event type): 64 hash-Bernoulli resamples,
+    * where bit b of each row's ONE mixed_hash64 is its membership
+    * coin for resample b (one hash per row, not per (row, resample) —
+    * 64× cheaper and the avalanche makes the bits independent coins).
+    * Each resample's mean is exact cents over an exact count with one
+    * IEEE division, and the 90% CI is ORDER STATISTICS of the 64
+    * means (4th / 61st), never interpolation, so the whole interval
+    * is engine-exact. Scale shape: the ×64 expansion is map-only and
+    * collapses immediately into a two-phase (group, b) aggregate —
+    * the shuffle carries 64 partial rows per task, not 64× the data;
+    * ranking 64 means per group is trivially bounded.
+    */
+  val x42BootstrapCi = Query(
+    "x42_bootstrap_ci", {
+      val fold = TrainingData.foldSql("CAST(event_id AS VARCHAR)")
+      Some(
+        s"""WITH r AS (SELECT event_id, event_type AS g,
+           |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           |  FROM events),
+           |h0 AS (SELECT event_id, g, cents, ($fold) AS u0 FROM r),
+           |h AS (SELECT g, cents, ${TrainingData.fmixSql("u0")} AS u FROM h0),
+           |k AS (SELECT g, cents, u, CAST(i AS BIGINT) AS b,
+           |        CAST(POWER(2, i) AS HUGEINT) AS p
+           |      FROM h, UNNEST(range(0, 64)) t(i)),
+           |m AS (SELECT g, b, CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS mean_b
+           |      FROM k WHERE (u // p) % 2 = 0 GROUP BY g, b),
+           |rk AS (SELECT g, b, mean_b,
+           |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY mean_b, b) AS rn
+           |       FROM m),
+           |f AS (SELECT g, CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS mean_value
+           |      FROM r GROUP BY g)
+           |SELECT f.g AS event_type, f.mean_value,
+           |  lo.mean_b AS ci_lo, hi.mean_b AS ci_hi
+           |FROM f JOIN rk lo ON lo.g = f.g AND lo.rn = 4
+           |JOIN rk hi ON hi.g = f.g AND hi.rn = 61
+           |ORDER BY event_type""".stripMargin)
+    },
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.MixedHash64.register(spark)
+      val t = Tables(spark, dir)
+      val r = t.events.select(col("event_id"), col("event_type").as("g"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+        .localCheckpoint() // consumed by the resample expansion AND the full mean
+      val k = r
+        .withColumn("h", graft.functions.MixedHash64(col("event_id").cast("string")))
+        .select(col("g"), col("cents"), col("h"),
+          explode(sequence(lit(0L), lit(63L))).as("b"))
+      // bit b of the one per-row hash is the membership coin for
+      // resample b — >>> keeps the shift logical on the signed long
+      val m = k.filter(expr("((h >>> b) & 1) = 0"))
+        .groupBy("g", "b")
+        .agg((sum(col("cents")).cast("double") / count(lit(1)) / 100.0).as("mean_b"))
+      val rk = m.withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy("mean_b", "b")))
+      val full = r.groupBy("g")
+        .agg((sum(col("cents")).cast("double") / count(lit(1)) / 100.0).as("mean_value"))
+      full
+        .join(rk.filter(col("rn") === 4).select(col("g"), col("mean_b").as("ci_lo")), Seq("g"))
+        .join(rk.filter(col("rn") === 61).select(col("g"), col("mean_b").as("ci_hi")), Seq("g"))
+        .select(col("g").as("event_type"), col("mean_value"), col("ci_lo"), col("ci_hi"))
+        .orderBy("event_type")
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -1548,6 +1614,7 @@ object Extras {
     x26UnionEvolve, x27PageRank, x28ConversionWindow,
     x29RollingMedian, x30RatioToReport, x31SessionPaths, x32MadSampled,
     x33RankedQuantiles, x34ApproxQuantiles, x35Profile, x36RollingRegression,
-    x37AssocRules, x39CusumChangepoint, x40EwmaAnomaly, x41IncrementalAgg
+    x37AssocRules, x39CusumChangepoint, x40EwmaAnomaly, x41IncrementalAgg,
+    x42BootstrapCi
   )
 }
