@@ -1604,6 +1604,89 @@ object Extras {
     }
   )
 
+  /** Deterministic permutation test — is the click/purchase mean-value
+    * gap significant? The observed difference of means is compared
+    * against 64 random relabelings, where bit b of each row's single
+    * mixed_hash64 decides whether that row's group flips in permuted
+    * world b (x42's one-hash-many-coins scheme). Group sums/counts
+    * stay exact integers; each mean spends one IEEE division, the
+    * diff one subtraction, and the p-value is a count over 64 — the
+    * whole test is engine-exact, no RNG state anywhere. Scale shape:
+    * the ×64 expansion collapses into a 64-row aggregate with map-side
+    * partials; the observed row broadcasts back over it.
+    */
+  val x43PermutationTest = Query(
+    "x43_permutation_test", {
+      val fold = TrainingData.foldSql("CAST(event_id AS VARCHAR)")
+      Some(
+        s"""WITH r0 AS (SELECT event_id, event_type = 'click' AS is_a,
+           |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           |  FROM events WHERE event_type IN ('click', 'purchase')),
+           |h0 AS (SELECT event_id, is_a, cents, ($fold) AS u0 FROM r0),
+           |h AS (SELECT is_a, cents, ${TrainingData.fmixSql("u0")} AS u FROM h0),
+           |obs AS (SELECT
+           |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+           |    CAST(SUM(CASE WHEN is_a THEN cents ELSE 0 END) AS DOUBLE)
+           |      / SUM(CASE WHEN is_a THEN 1 ELSE 0 END) / 100.0 AS mean_a,
+           |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE cents END) AS DOUBLE)
+           |      / SUM(CASE WHEN is_a THEN 0 ELSE 1 END) / 100.0 AS mean_b
+           |  FROM h),
+           |k AS (SELECT is_a, cents, u, CAST(i AS BIGINT) AS b,
+           |        CAST(POWER(2, i) AS HUGEINT) AS p
+           |      FROM h, UNNEST(range(0, 64)) t(i)),
+           |f AS (SELECT b, cents,
+           |        is_a <> ((u // p) % 2 = 1) AS perm_a
+           |      FROM k),
+           |perm AS (SELECT b,
+           |    CAST(SUM(CASE WHEN perm_a THEN cents ELSE 0 END) AS DOUBLE)
+           |      / SUM(CASE WHEN perm_a THEN 1 ELSE 0 END) / 100.0
+           |    - CAST(SUM(CASE WHEN perm_a THEN 0 ELSE cents END) AS DOUBLE)
+           |      / SUM(CASE WHEN perm_a THEN 0 ELSE 1 END) / 100.0 AS diff_b
+           |  FROM f GROUP BY b)
+           |SELECT o.n_a, o.n_b, o.mean_a, o.mean_b,
+           |  o.mean_a - o.mean_b AS obs_diff,
+           |  CAST(SUM(CASE WHEN ABS(diff_b) >= ABS(o.mean_a - o.mean_b)
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           |  CAST(SUM(CASE WHEN ABS(diff_b) >= ABS(o.mean_a - o.mean_b)
+           |           THEN 1 ELSE 0 END) AS DOUBLE) / 64.0 AS p_value
+           |FROM perm, obs o
+           |GROUP BY o.n_a, o.n_b, o.mean_a, o.mean_b""".stripMargin)
+    },
+    (spark, dir) => {
+      graft.functions.MixedHash64.register(spark)
+      val t = Tables(spark, dir)
+      val r = t.events
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), (col("event_type") === "click").as("is_a"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+        .withColumn("h", graft.functions.MixedHash64(col("event_id").cast("string")))
+        .localCheckpoint() // consumed by the observed stats AND the 64 permutations
+      def meanOf(cond: org.apache.spark.sql.Column) =
+        sum(when(cond, col("cents")).otherwise(0L)).cast("double") /
+          sum(when(cond, 1L).otherwise(0L)) / 100.0
+      val obs = r.agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"),
+        meanOf(col("is_a")).as("mean_a"),
+        meanOf(!col("is_a")).as("mean_b"))
+      val k = r.select(col("is_a"), col("cents"), col("h"),
+        explode(sequence(lit(0L), lit(63L))).as("b"))
+        .withColumn("perm_a", col("is_a") =!= expr("((h >>> b) & 1) = 1"))
+      val perm = k.groupBy("b")
+        .agg((meanOf(col("perm_a")) - meanOf(!col("perm_a"))).as("diff_b"))
+      perm.crossJoin(broadcast(obs))
+        .groupBy("n_a", "n_b", "mean_a", "mean_b")
+        .agg(
+          sum(when(abs(col("diff_b")) >= abs(col("mean_a") - col("mean_b")), 1L)
+            .otherwise(0L)).as("n_extreme"))
+        .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+          (col("mean_a") - col("mean_b")).as("obs_diff"),
+          col("n_extreme"),
+          (col("n_extreme").cast("double") / 64.0).as("p_value"))
+    }
+  )
+
   val all: Seq[Query] = Seq(
     x01Rollup, x02Percentiles, x03Pivot, x04StringAgg, x05FullOuter,
     x06AsOf, dd05DedupGroups, x07RangeJoin, x08Cube, x09WindowSuite,
@@ -1615,6 +1698,6 @@ object Extras {
     x29RollingMedian, x30RatioToReport, x31SessionPaths, x32MadSampled,
     x33RankedQuantiles, x34ApproxQuantiles, x35Profile, x36RollingRegression,
     x37AssocRules, x39CusumChangepoint, x40EwmaAnomaly, x41IncrementalAgg,
-    x42BootstrapCi
+    x42BootstrapCi, x43PermutationTest
   )
 }

@@ -3865,6 +3865,79 @@ object TrainingData {
     }
   )
 
+  /** Community detection over the kNN graph by synchronous label
+    * propagation (2 unrolled rounds, the x27 convention): every node
+    * starts as its own label; each round it adopts the most frequent
+    * label among its neighbours, ties to the SMALLEST label — the
+    * deterministic form of LPA (Raghavan et al. 2007). One equi-join
+    * + grouped count + per-node argmax per round: no corpus
+    * broadcast, no |V|² pairs, and the per-round state is one label
+    * per node. Complements connected components (dd05: reachability)
+    * with density-sensitive clusters on the SAME edge frame.
+    */
+  val ss15LabelProp = Query(
+    "ss15_label_prop",
+    Some("""WITH base AS (
+            |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |  WHERE vec_id % 4 = 0),
+            |p AS (
+            |  SELECT a.id AS qa, b.id AS qb,
+            |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+            |  FROM base a, base b WHERE a.id <> b.id),
+            |r AS (SELECT qa, qb,
+            |        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
+            |      FROM p),
+            |knn AS (SELECT qa, qb FROM r WHERE rk <= 5),
+            |und AS (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
+            |adj AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+            |l0 AS (SELECT DISTINCT x AS node, x AS label FROM adj),
+            |c1 AS (SELECT adj.x, l0.label, COUNT(*) AS cnt
+            |       FROM adj JOIN l0 ON adj.y = l0.node GROUP BY 1, 2),
+            |s1 AS (SELECT x, label,
+            |         ROW_NUMBER() OVER (PARTITION BY x ORDER BY cnt DESC, label) AS rn
+            |       FROM c1),
+            |l1 AS (SELECT x AS node, label FROM s1 WHERE rn = 1),
+            |c2 AS (SELECT adj.x, l1.label, COUNT(*) AS cnt
+            |       FROM adj JOIN l1 ON adj.y = l1.node GROUP BY 1, 2),
+            |s2 AS (SELECT x, label,
+            |         ROW_NUMBER() OVER (PARTITION BY x ORDER BY cnt DESC, label) AS rn
+            |       FROM c2),
+            |l2 AS (SELECT x AS node, label FROM s2 WHERE rn = 1),
+            |sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+            |       FROM l2 GROUP BY label)
+            |SELECT l2.node AS vec_id, l2.label AS community, sz.community_size
+            |FROM l2 JOIN sz USING (label) ORDER BY vec_id""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val vecs = t.embeddings.filter(col("vec_id") % 4 === 0)
+      val und = Similarity
+        .cosineKnnKernel(vecs, vecs, "vec_id", "embedding", k = 5)
+        .select(least(col("query_id"), col("corpus_id")).as("a"),
+          greatest(col("query_id"), col("corpus_id")).as("b"))
+        .distinct()
+      val adj = und.select(col("a").as("x"), col("b").as("y"))
+        .union(und.select(col("b").as("x"), col("a").as("y")))
+        .localCheckpoint() // joined once per round + seeds l0
+      def step(labels: org.apache.spark.sql.DataFrame) = {
+        val cnt = adj
+          .join(labels.select(col("node").as("y"), col("label")), Seq("y"))
+          .groupBy("x", "label").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("x").orderBy(desc("cnt"), asc("label"))
+        cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("x").as("node"), col("label"))
+      }
+      val l0 = adj.select(col("x").as("node")).distinct()
+        .withColumn("label", col("node"))
+      val l2 = step(step(l0))
+      val sz = l2.groupBy("label").agg(count(lit(1)).as("community_size"))
+      l2.join(sz, Seq("label"))
+        .select(col("node").as("vec_id"), col("label").as("community"),
+          col("community_size"))
+        .orderBy("vec_id")
+    }
+  )
+
   /** k-anonymity / l-diversity audit — the privacy screen a curation
     * pipeline runs before releasing a slice keyed on quasi-identifiers
     * (here: nation × market segment × 1000-unit balance band). Groups
@@ -3931,6 +4004,6 @@ object TrainingData {
     td47Fertility, in05JsonlRoundtrip, dd17BoilerplateOpeners,
     td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn, td48CrossSourceDups,
     ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity,
-    in07BinaryScan, dd18CdcChunks
+    in07BinaryScan, dd18CdcChunks, ss15LabelProp
   )
 }

@@ -483,6 +483,25 @@ class PlanSpec extends SparkSpec {
       s"no pair joins, no windows — one grouped pass:\n$p")
   }
 
+  test("label propagation rounds stay equi-joins with per-node argmax windows") {
+    val df = TrainingData.ss15LabelProp.build(spark, sf)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"each LPA round must join labels by node key, never pair the corpus:\n$p")
+  }
+
+  test("resampling stats collapse the x64 expansion map-side (partial agg before exchange)") {
+    for (q <- Seq(graft.queries.Extras.x42BootstrapCi,
+                  graft.queries.Extras.x43PermutationTest)) {
+      val p = plan(q.build(spark, sf))
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"${q.name}: the per-(group,b) sums must partial-aggregate before shuffling:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name}: only the 1-row observed frame may broadcast:\n$p")
+    }
+  }
+
   test("source dup profile partial-aggregates the distinct-fp count before one per-source exchange") {
     val t = Tables(spark, sf)
     val p = plan(graft.operators.Dedup.sourceDupProfile(t.documents, "text", "source"))
