@@ -354,6 +354,59 @@ object Similarity {
       .select("query_id", "corpus_id", "sim", "rank")
   }
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB 2007): instead of paying for
+    * more hash tables, each query ALSO probes the buckets reached by
+    * flipping each single signature bit — one table + (bits+1) probes
+    * buys the recall that plain LSH needs several whole index copies
+    * for, at 1/tables the index memory. The corpus is bucketed ONCE;
+    * only the query side fans out, and what fans out is the NARROW
+    * (id, table, bucket) row — ×(bits+1) on 24-byte keys, never on
+    * vectors. Candidates then rescore exactly like [[lshKnn]].
+    */
+  def lshKnnMultiProbe(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 12,
+      tables: Int = 1,
+      roundTo: Int = 4
+  ): DataFrame = {
+    import graft.functions.VectorKernels
+    val base = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("v_norm", sqrt(VectorKernels.vecDot(col("v"), col("v"))))
+      .localCheckpoint()
+    val buckets = (0 until tables).map { t =>
+      base.select(col("id"), lit(t).as("table_id"),
+        VectorKernels.hyperplaneSig(col("v"), bits, seed = t).as("bucket"))
+    }.reduce(_ union _)
+    // identity probe + one per flipped bit
+    val probeSet = array(
+      col("bucket") +: (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val probes = buckets.select(col("id"), col("table_id"),
+      explode(probeSet).as("bucket"))
+    val cand = probes.alias("a")
+      .join(buckets.alias("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val pairs = cand
+      .join(base.select(col("id").as("query_id"), col("v").as("qv"), col("v_norm").as("qn")), "query_id")
+      .join(base.select(col("id").as("corpus_id"), col("v").as("cv"), col("v_norm").as("cn")), "corpus_id")
+      .select(
+        col("query_id"), col("corpus_id"),
+        round(VectorKernels.vecDot(col("qv"), col("cv")) /
+          (col("qn") * col("cn")), roundTo).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("corpus_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+
   /** Scalar int8 quantization of an embedding (4×–8× storage cut for
     * ANN corpora — the standard compression lever before PQ):
     * per-vector absmax scale, q_i = round(x_i·127/amax). Every step is

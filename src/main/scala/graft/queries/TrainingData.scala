@@ -470,6 +470,55 @@ object TrainingData {
     }
   )
 
+  /** Multi-probe LSH ANN — ss02's recall knob turned the OTHER way:
+    * one hash table whose queries also probe every single-bit-flip
+    * neighbour bucket (Lv et al. 2007), trading a ×(bits+1) fan-out
+    * of 24-byte probe keys for (tables−1) whole index copies. The
+    * oracle replays the identity probe + the 8 XOR probes and the
+    * exact rescore; only the query side fans out, asserted in the
+    * shared PlanSpec convention (narrow keys through the self-join).
+    */
+  val ss16MultiprobeLsh = Query(
+    "ss16_multiprobe_lsh", {
+      val (bits, dim, k) = (8, 64, 3)
+      def signDot(v: String, signs: Seq[Double]): String =
+        signs.zipWithIndex.map { case (s, i) =>
+          s"$v[${i + 1}] * ${if (s > 0) "1.0" else "-1.0"}"
+        }.mkString(" + ")
+      val bucketExpr =
+        Similarity.hyperplaneSigns(bits, 0, dim).zipWithIndex.map { case (signs, j) =>
+          s"(CASE WHEN ${signDot("v", signs)} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      val normTerms = (1 to dim).map(i => s"v[$i] * v[$i]").mkString(" + ")
+      val pairDot = (1 to dim).map(i => s"a.v[$i] * b.v[$i]").mkString(" + ")
+      Some(
+        s"""WITH b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |base AS (SELECT id, v, SQRT($normTerms) AS v_norm FROM b0),
+           |tabled AS (SELECT id, v, v_norm, $bucketExpr AS bucket FROM base),
+           |probes AS (
+           |  SELECT id, bucket FROM tabled
+           |  UNION ALL
+           |  SELECT id, xor(bucket, CAST(POWER(2, j) AS BIGINT))
+           |  FROM tabled, UNNEST(range(0, $bits)) t(j)),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS query_id, b.id AS corpus_id,
+           |    ROUND(($pairDot) / (a.v_norm * b.v_norm), 4) AS sim
+           |  FROM probes pa JOIN tabled b
+           |    ON pa.bucket = b.bucket AND pa.id <> b.id
+           |  JOIN base a ON a.id = pa.id)
+           |SELECT query_id, corpus_id, sim, CAST(r AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+           |  FROM pairs) WHERE r <= $k ORDER BY query_id, rank""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Similarity.lshKnnMultiProbe(t.embeddings, "vec_id", "embedding",
+          k = 3, bits = 8, tables = 1),
+        "query_id", "rank")
+    }
+  )
+
   /** IVF ANN (k-means coarse quantizer + probe search) — the
     * beyond-LSH scale path. Training is deterministic (decimal-exact
     * centroid means, smallest-id init), so the oracle replays the
@@ -4004,6 +4053,6 @@ object TrainingData {
     td47Fertility, in05JsonlRoundtrip, dd17BoilerplateOpeners,
     td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn, td48CrossSourceDups,
     ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity,
-    in07BinaryScan, dd18CdcChunks, ss15LabelProp
+    in07BinaryScan, dd18CdcChunks, ss15LabelProp, ss16MultiprobeLsh
   )
 }

@@ -173,6 +173,27 @@ class OperatorsSpec extends SparkSpec {
     a.keySet.intersect(b.keySet).foreach(k => assert(a(k) == b(k)))
   }
 
+  test("multi-probe LSH: 1 table + bit-flip probes recalls at least as much as 1 plain table") {
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity
+        .bruteForceKnn(emb, emb, "vec_id", "embedding", k = 3)
+        .select("query_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a = ann.select("query_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      a.count(brute).toDouble / brute.size
+    }
+    val plain = recallOf(
+      Similarity.lshKnn(emb, "vec_id", "embedding", k = 3, bits = 4, tables = 1))
+    val multi = recallOf(
+      Similarity.lshKnnMultiProbe(emb, "vec_id", "embedding", k = 3, bits = 4, tables = 1))
+    // the probe set strictly contains the identity probe, so the
+    // candidate set (and hence recall) can only grow
+    assert(multi >= plain, s"multi-probe $multi < plain $plain")
+    assert(multi > 0.4 && multi > plain,
+      s"multi-probe recall@3 = $multi should beat the single-probe $plain on this fixture")
+  }
+
   // ── text analysis ─────────────────────────────────────────────────
   test("langId kernel equals the declarative regex form on the corpus and edge cases") {
     val onCorpus = docs
