@@ -42,8 +42,18 @@ def main():
     # threads stream it in 30 s. Override via GRAFT_ORACLE_THREADS.
     threads = int(os.environ.get("GRAFT_ORACLE_THREADS", 16))
 
+    # explicit memory cap (GRAFT_ORACLE_MEM overrides): DuckDB's
+    # default budget is 80% of RAM and ignores what the OS already
+    # holds — at sf1 the heavy window replays then die on process-level
+    # allocation failure ("Failed to allocate block of 8 bytes"
+    # cascades) that no in-process retry survives. A hard cap makes
+    # DuckDB spill to temp_directory or abort the QUERY cleanly
+    # instead of taking the process down.
+    mem = os.environ.get("GRAFT_ORACLE_MEM", "48GB")
+
     def setup(c, n_threads):
         c.execute(f"SET threads TO {n_threads}")
+        c.execute(f"SET memory_limit='{mem}'")
         c.execute(f"SET temp_directory='{out_dir}/duckdb_spill'")
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
