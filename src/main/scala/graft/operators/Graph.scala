@@ -184,4 +184,55 @@ object Graph {
     }
     r.select("id", "r")
   }
+
+  /** Personalized PageRank (Haveliwala 2002): the teleport mass lands
+    * only on the SEED set instead of uniformly, so ranks measure
+    * relevance TO that cohort — the "recommend suppliers for these
+    * customers" primitive. Same deterministic two-level ordered fold,
+    * same one-edge-join-per-iteration shape as [[pageRank]]; the seed
+    * set is a DataFrame (may be huge at 100 TB — it joins by id, it
+    * is never collected or broadcast as a literal). Dangling mass is
+    * dropped, matching [[pageRank]]'s convention, so oracles replay
+    * the same closed form.
+    */
+  def personalizedPageRank(
+      edges: DataFrame, seeds: DataFrame, iters: Int,
+      damping: Double = 0.85, teleport: Double = 0.15,
+      foldBuckets: Int = 1024): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val sd = seeds.select(col("id").cast("long")).distinct().withColumn("is_seed", lit(1L))
+    val nd = nodes
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .join(sd, Seq("id"), "left")
+      .localCheckpoint()
+    val nS = nd.agg(sum(coalesce(col("is_seed"), lit(0L))).as("scnt"))
+    val seedMass = when(col("is_seed") === 1L, lit(1.0) / col("scnt")).otherwise(lit(0.0d))
+    var r = nd.crossJoin(broadcast(nS))
+      .select(col("id"), seedMass.as("r"), col("outdeg"), col("is_seed"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r.select(col("id").as("src"), (col("r") / col("outdeg")).as("contrib")), "src")
+        .select(col("dst"), col("src"), col("contrib"))
+      val partial = contrib
+        .groupBy(col("dst"), pmod(col("src"), lit(foldBuckets.toLong)).as("bkt"))
+        .agg(graft.functions.VectorKernels.orderedPairSum(
+          collect_list(struct(col("src").cast("long"), col("contrib")))).as("sb"))
+      val s = partial
+        .groupBy("dst")
+        .agg(graft.functions.VectorKernels.orderedPairSum(
+          collect_list(struct(col("bkt").cast("long"), col("sb")))).as("s"))
+      r = nd
+        .join(s.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(nS))
+        .select(col("id"),
+          (lit(teleport) * coalesce(col("is_seed"), lit(0L)) / col("scnt") +
+            lit(damping) * coalesce(col("s"), lit(0.0d))).as("r"),
+          col("outdeg"), col("is_seed"))
+        .localCheckpoint() // keep the iterated plan flat
+    }
+    r.select("id", "r")
+  }
 }

@@ -1538,6 +1538,65 @@ object Extras {
     }
   )
 
+  /** Personalized PageRank over the x27 customer–supplier bipartite
+    * graph: the teleport mass lands only on a seed cohort (customer
+    * nodes with id ≡ 0 mod 64), ranking suppliers BY RELEVANCE TO
+    * THOSE CUSTOMERS — the graph-recommendation primitive. The oracle
+    * unrolls both iterations with the same two-level (src mod 1024,
+    * src)-ordered fold as x27, plus the seed-indicator teleport term
+    * written in the identical (0.15·ind)/|S| association order.
+    */
+  val x44PersonalizedPagerank = Query(
+    "x44_personalized_pagerank", {
+      def foldOrdered(listExpr: String) =
+        s"list_reduce(list_prepend(0.0, $listExpr), (a, x) -> a + x)"
+      def iterate(prev: String, i: Int) =
+        s"""c$i AS (SELECT e.dst, e.src, $prev.r / deg.outdeg AS contrib
+           |       FROM edges e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src),
+           |p$i AS (SELECT dst, src % 1024 AS bkt,
+           |         ${foldOrdered(s"list(contrib ORDER BY src)")} AS sb
+           |       FROM c$i GROUP BY dst, src % 1024),
+           |s$i AS (SELECT dst, ${foldOrdered(s"list(sb ORDER BY bkt)")} AS s
+           |       FROM p$i GROUP BY dst),
+           |r$i AS (SELECT nodes.id,
+           |         (0.15 * (CASE WHEN nodes.id % 64 = 0 THEN 1 ELSE 0 END))
+           |           / (SELECT scnt FROM ns)
+           |         + 0.85 * COALESCE(s$i.s, 0.0) AS r
+           |       FROM nodes LEFT JOIN s$i ON nodes.id = s$i.dst)""".stripMargin
+      Some(
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |ns AS (SELECT COUNT(*) AS scnt FROM nodes WHERE id % 64 = 0),
+           |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT id,
+           |         CASE WHEN id % 64 = 0 THEN 1.0 / (SELECT scnt FROM ns)
+           |              ELSE 0.0 END AS r
+           |       FROM nodes),
+           |${iterate("r0", 1)},
+           |${iterate("r1", 2)}
+           |SELECT id, r FROM r2 WHERE id % 2 = 1 AND r > 0
+           |ORDER BY r DESC, id LIMIT 20""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val e0 = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .filter(col("id") % 64 === 0)
+      Graph.personalizedPageRank(edges, seeds, iters = 2)
+        .filter(col("id") % 2 === 1 && col("r") > 0)
+        .orderBy(desc("r"), asc("id"))
+        .limit(20)
+    }
+  )
+
   /** Deterministic bootstrap confidence intervals for a data-quality
     * metric (mean value per event type): 64 hash-Bernoulli resamples,
     * where bit b of each row's ONE mixed_hash64 is its membership
@@ -1698,6 +1757,6 @@ object Extras {
     x29RollingMedian, x30RatioToReport, x31SessionPaths, x32MadSampled,
     x33RankedQuantiles, x34ApproxQuantiles, x35Profile, x36RollingRegression,
     x37AssocRules, x39CusumChangepoint, x40EwmaAnomaly, x41IncrementalAgg,
-    x42BootstrapCi, x43PermutationTest
+    x42BootstrapCi, x43PermutationTest, x44PersonalizedPagerank
   )
 }
