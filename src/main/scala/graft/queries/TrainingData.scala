@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Functions, RollingHash64}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal plumbing) + ingestion scalar ops, instantiated
@@ -942,6 +942,80 @@ object TrainingData {
       Query.checkpointSort(
         Multimodal.phashPairs(t.documents, "doc_id", "text", maxHamming = 12),
         "id_a", "id_b")
+    }
+  )
+
+  /** Canonical media dedup — the actionable form of mm03: resolve the
+    * pHash near-dup pairs into groups (connected components), keep
+    * the smallest doc_id as canonical, and report the bytes each
+    * non-canonical copy would reclaim — the media mirror of dd14's
+    * quality-canonical text dedup. Pair discovery is mm03's banded
+    * equi-join; the closure is the bounded-probe CC; the byte ledger
+    * is one join back to the metadata, never the payloads. Like
+    * ss12, the catalog row runs on a deterministic `doc_id % 4`
+    * slice for the ORACLE's benefit: DuckDB's recursive-CTE closure
+    * materializes |component|² reach rows and cannot finish against
+    * the full sf1 replica cliques, while the engine-side CC is the
+    * bounded-probe loop (full-N pair coverage lives in mm03).
+    */
+  val mm05MediaCanonical = Query(
+    "mm05_media_canonical",
+    Some("""WITH RECURSIVE px AS (
+            |  SELECT doc_id,
+            |    list_transform(range(0, 63), j ->
+            |      ord(substr(text, CAST(1 + (j * strlen(text)) // 63 AS INT), 1))) AS p
+            |  FROM documents WHERE strlen(text) > 0 AND doc_id % 4 = 0),
+            |ph AS (
+            |  SELECT doc_id,
+            |    CAST(list_sum(list_transform(range(0, 63), j ->
+            |      CASE WHEN p[CAST(j AS INT) + 1] * 63 > list_sum(p)
+            |           THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END)) AS BIGINT) AS h
+            |  FROM px),
+            |banded AS (
+            |  SELECT doc_id, CAST(b AS INT) AS band_idx,
+            |    (h >> CAST(16 * b AS INT)) & 65535 AS band_key
+            |  FROM ph, UNNEST(range(0, 4)) t(b)),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            |  FROM banded a JOIN banded b
+            |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            |   AND a.doc_id < b.doc_id),
+            |pairs AS (
+            |  SELECT id_a, id_b FROM cand
+            |  JOIN ph pa ON id_a = pa.doc_id JOIN ph pb ON id_b = pb.doc_id
+            |  WHERE bit_count(xor(pa.h, pb.h)) <= 12),
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            |          UNION SELECT id_b, id_a FROM pairs),
+            |nodes AS (SELECT DISTINCT src AS id FROM edges),
+            |reach AS (
+            |  SELECT id, id AS r FROM nodes
+            |  UNION
+            |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+            |comp AS (SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+            |sz AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS group_size
+            |       FROM comp GROUP BY canonical_id)
+            |SELECT c.doc_id, c.canonical_id, sz.group_size,
+            |  c.doc_id = c.canonical_id AS is_canonical,
+            |  CAST(CASE WHEN c.doc_id = c.canonical_id THEN 0 ELSE d.n_chars END
+            |       AS BIGINT) AS reclaimable_bytes
+            |FROM comp c JOIN sz USING (canonical_id)
+            |JOIN documents d ON d.doc_id = c.doc_id
+            |ORDER BY c.doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val docs = t.documents.filter(col("doc_id") % 4 === 0)
+      val pairs = Multimodal.phashPairs(docs, "doc_id", "text", maxHamming = 12)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comp = Graph.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component").as("canonical_id"))
+      val sz = comp.groupBy("canonical_id").agg(count(lit(1)).as("group_size"))
+      comp.join(sz, Seq("canonical_id"))
+        .join(t.documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .select(col("doc_id"), col("canonical_id"), col("group_size"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"),
+          when(col("doc_id") === col("canonical_id"), 0L)
+            .otherwise(col("n_chars")).cast("long").as("reclaimable_bytes"))
+        .orderBy("doc_id")
     }
   )
 
@@ -4053,6 +4127,7 @@ object TrainingData {
     td47Fertility, in05JsonlRoundtrip, dd17BoilerplateOpeners,
     td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn, td48CrossSourceDups,
     ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity,
-    in07BinaryScan, dd18CdcChunks, ss15LabelProp, ss16MultiprobeLsh
+    in07BinaryScan, dd18CdcChunks, ss15LabelProp, ss16MultiprobeLsh,
+    mm05MediaCanonical
   )
 }
