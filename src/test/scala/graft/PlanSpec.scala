@@ -502,6 +502,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("personalized PageRank keeps the seed set distributed (joined by id, never collected)") {
+    // the final frame is post-localCheckpoint (iterations materialize
+    // eagerly), so inspect the FIRST iteration's un-checkpointed plan:
+    // the seed join must be a hash join on id and |S| a 1-row broadcast
+    val t = Tables(spark, sf)
+    val e0 = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = edges.select(col("src").as("id")).distinct().filter(col("id") % 64 === 0)
+    val p = plan(graft.operators.Graph.personalizedPageRank(edges, seeds, iters = 1))
+    assert(!p.contains("CartesianProduct"),
+      s"seed teleport must ride the rank frame, never pair the graph:\n$p")
+  }
+
+  test("media canonical dedup joins metadata by id — payload columns never shuffle") {
+    val df = TrainingData.mm05MediaCanonical.build(spark, sf)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"pair discovery must stay banded:\n$p")
+    val exchanges = p.split("\n").filter(_.contains("Arguments: hashpartitioning"))
+    assert(exchanges.forall(!_.contains("text#")),
+      s"no exchange may carry the media payload:\n$p")
+  }
+
   test("source dup profile partial-aggregates the distinct-fp count before one per-source exchange") {
     val t = Tables(spark, sf)
     val p = plan(graft.operators.Dedup.sourceDupProfile(t.documents, "text", "source"))
