@@ -945,6 +945,94 @@ object TrainingData {
     }
   )
 
+  /** T5-style span corruption (Raffel et al. 2020) — the pretraining
+    * target builder: tokens are grouped into 3-token blocks, a block
+    * is masked iff the mixed hash of (doc, block) ≡ 0 mod 7 (~14%
+    * corruption, fully deterministic, no RNG state), the corrupted
+    * input replaces each masked block with a numbered sentinel and
+    * the target pairs each sentinel with the text it hides. Blocked
+    * (rather than greedy) span placement keeps every step map-side
+    * expressible — one hash per block, one partitioned cumsum for
+    * sentinel numbers, ordered aggs for the two strings — so both
+    * engines replay it exactly.
+    */
+  val td51SpanCorruption = Query(
+    "td51_span_corruption", {
+      val fold = foldSql("CONCAT(doc_id, '_', b)")
+      Some(
+        s"""WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks
+           |  FROM documents WHERE LENGTH(TRIM(text)) > 0),
+           |t AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS word,
+           |        CAST((i - 1) // 3 AS BIGINT) AS b
+           |      FROM w, UNNEST(range(1, LEN(toks) + 1)) r(i)),
+           |h0 AS (SELECT DISTINCT doc_id, b FROM t),
+           |h1 AS (SELECT doc_id, b, ($fold) AS u0 FROM h0),
+           |h2 AS (SELECT doc_id, b, ${fmixSql("u0")} AS u FROM h1),
+           |h3 AS (SELECT doc_id, b, ${toSignedSql("u")} AS s FROM h2),
+           |h AS (SELECT doc_id, b,
+           |        ((s % 7) + 7) % 7 = 0 AS masked FROM h3),
+           |sn AS (SELECT doc_id, b, masked,
+           |         CASE WHEN masked THEN
+           |           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, masked ORDER BY b)
+           |                AS BIGINT) - 1
+           |         END AS k
+           |       FROM h),
+           |j AS (SELECT t.doc_id, t.pos, t.word, t.b, sn.masked, sn.k,
+           |        t.pos = t.b * 3 AS block_start
+           |      FROM t JOIN sn ON t.doc_id = sn.doc_id AND t.b = sn.b)
+           |SELECT doc_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           |  COALESCE(string_agg(
+           |    CASE WHEN NOT masked THEN word
+           |         WHEN block_start THEN '<extra_id_' || k || '>' END,
+           |    ' ' ORDER BY pos), '') AS corrupted,
+           |  COALESCE(string_agg(
+           |    CASE WHEN masked THEN
+           |      CASE WHEN block_start THEN '<extra_id_' || k || '> ' || word
+           |           ELSE word END END,
+           |    ' ' ORDER BY pos), '') AS target
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    },
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.MixedHash64.register(spark)
+      val t = Tables(spark, dir)
+      val words = t.documents
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
+        .withColumn("b", expr("pos div 3"))
+      val blocks = words.select("doc_id", "b").distinct()
+        .withColumn("masked",
+          pmod(graft.functions.MixedHash64(
+            concat(col("doc_id").cast("string"), lit("_"), col("b").cast("string"))),
+            lit(7L)) === 0)
+      val wk = Window.partitionBy("doc_id", "masked").orderBy("b")
+      val sn = blocks.withColumn("k",
+        when(col("masked"), row_number().over(wk).cast("long") - 1))
+      val j = words.join(sn, Seq("doc_id", "b"))
+        .withColumn("block_start", col("pos") === col("b") * 3)
+      val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
+      j.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+          coalesce(array_join(expr("filter(" +
+            "transform(array_sort(collect_list(struct(pos, " +
+            "  CASE WHEN NOT masked THEN word " +
+            "       WHEN block_start THEN concat('<extra_id_', k, '>') END AS v))), " +
+            "s -> s.v), x -> x IS NOT NULL)"), " "), lit("")).as("corrupted"),
+          coalesce(array_join(expr("filter(" +
+            "transform(array_sort(collect_list(struct(pos, " +
+            "  CASE WHEN masked THEN " +
+            "    CASE WHEN block_start THEN concat('<extra_id_', k, '> ', word) " +
+            "         ELSE word END END AS v))), " +
+            "s -> s.v), x -> x IS NOT NULL)"), " "), lit("")).as("target"))
+        .orderBy("doc_id")
+    }
+  )
+
   /** Canonical media dedup — the actionable form of mm03: resolve the
     * pHash near-dup pairs into groups (connected components), keep
     * the smallest doc_id as canonical, and report the bytes each
@@ -4128,6 +4216,6 @@ object TrainingData {
     td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn, td48CrossSourceDups,
     ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity,
     in07BinaryScan, dd18CdcChunks, ss15LabelProp, ss16MultiprobeLsh,
-    mm05MediaCanonical
+    mm05MediaCanonical, td51SpanCorruption
   )
 }
