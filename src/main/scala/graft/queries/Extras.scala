@@ -1597,6 +1597,110 @@ object Extras {
     }
   )
 
+  /** Decile lift table — rank users by total spend, split into ten
+    * equal-count bins, report each bin's share and cumulative share
+    * of revenue: the "top 10% of users drive X% of spend"
+    * concentration report. NTILE over a UNIQUE (spend, user) order is
+    * deterministic in both engines; revenue stays exact cents until
+    * the two final per-bin divisions; the cumulative sum runs over
+    * ten rows. Scale note: the NTILE runs over the USER aggregate
+    * (cardinality ≪ events) but is still one global window task — at
+    * a billion users swap it for the rank-arithmetic form
+    * `operators.Quantiles` already provides (x33's buffer-free path);
+    * the report shape and oracle are unchanged.
+    */
+  val x45DecileLift = Query(
+    "x45_decile_lift",
+    Some("""WITH u AS (
+            |  SELECT user_id,
+            |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+            |  FROM events GROUP BY user_id),
+            |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total, COUNT(*) AS n FROM u),
+            |d AS (SELECT user_id, cents,
+            |        CAST(NTILE(10) OVER (ORDER BY cents DESC, user_id) AS INT) AS decile
+            |      FROM u),
+            |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+            |        CAST(SUM(cents) AS BIGINT) AS bin_cents
+            |      FROM d GROUP BY decile),
+            |c AS (SELECT decile, n_users, bin_cents,
+            |        CAST(SUM(bin_cents) OVER (ORDER BY decile
+            |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            |      FROM g)
+            |SELECT decile, n_users,
+            |  CAST(bin_cents AS DOUBLE) / 100.0 AS revenue,
+            |  CAST(bin_cents AS DOUBLE) / t.total AS share,
+            |  CAST(cum_cents AS DOUBLE) / t.total AS cum_share
+            |FROM c, t ORDER BY decile""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val u = t.events.groupBy("user_id")
+        .agg((sum(col("value").cast("decimal(12,2)")) * 100).cast("long").as("cents"))
+      val tot = u.agg(sum("cents").cast("long").as("total"), count(lit(1)).as("n"))
+      val d = u.withColumn("decile",
+        ntile(10).over(Window.orderBy(desc("cents"), asc("user_id"))))
+      val g = d.groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum("cents").cast("long").as("bin_cents"))
+      val c = g.withColumn("cum_cents",
+        sum("bin_cents").over(Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      c.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_users"),
+          (col("bin_cents").cast("double") / 100.0).as("revenue"),
+          (col("bin_cents").cast("double") / col("total")).as("share"),
+          (col("cum_cents").cast("double") / col("total")).as("cum_share"))
+        .orderBy("decile")
+    }
+  )
+
+  /** Multi-touch attribution credit: for every purchase, the FIRST
+    * and LAST click by the same user in the preceding hour — the two
+    * standard single-touch credit models side by side, plus the
+    * candidate count a position-based model would weight. The probe
+    * is the same equi-join-on-user + bounded-range shape as
+    * st04/x28; first/last are arg-min/arg-max via min/max over a
+    * (ts, id) struct — no per-purchase sort, map-side combinable,
+    * deterministic because the id breaks timestamp ties.
+    */
+  val x46AttributionCredit = Query(
+    "x46_attribution_credit",
+    Some("""WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+            |          FROM events WHERE event_type = 'purchase'),
+            |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+            |      FROM events WHERE event_type = 'click'),
+            |j AS (SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.c_ts,
+            |        ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY c.c_ts, c.c_id) AS rf,
+            |        ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY c.c_ts DESC, c.c_id DESC) AS rl,
+            |        COUNT(*) OVER (PARTITION BY p.p_id) AS n_clicks
+            |      FROM p JOIN c ON p.user_id = c.user_id
+            |        AND c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR)
+            |SELECT f.p_id, f.user_id, f.p_ts,
+            |  CAST(f.n_clicks AS BIGINT) AS n_clicks,
+            |  f.c_id AS first_click, l.c_id AS last_click
+            |FROM (SELECT * FROM j WHERE rf = 1) f
+            |JOIN (SELECT p_id, c_id FROM j WHERE rl = 1) l USING (p_id)
+            |ORDER BY p_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val ev = t.events
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") < col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("interval 1 hour"))
+        .groupBy("p_id", "user_id", "p_ts")
+        .agg(count(lit(1)).as("n_clicks"),
+          min(struct(col("c_ts"), col("c_id"))).getField("c_id").as("first_click"),
+          max(struct(col("c_ts"), col("c_id"))).getField("c_id").as("last_click"))
+        .select("p_id", "user_id", "p_ts", "n_clicks", "first_click", "last_click")
+        .orderBy("p_id")
+    }
+  )
+
   /** Deterministic bootstrap confidence intervals for a data-quality
     * metric (mean value per event type): 64 hash-Bernoulli resamples,
     * where bit b of each row's ONE mixed_hash64 is its membership
@@ -1757,6 +1861,7 @@ object Extras {
     x29RollingMedian, x30RatioToReport, x31SessionPaths, x32MadSampled,
     x33RankedQuantiles, x34ApproxQuantiles, x35Profile, x36RollingRegression,
     x37AssocRules, x39CusumChangepoint, x40EwmaAnomaly, x41IncrementalAgg,
-    x42BootstrapCi, x43PermutationTest, x44PersonalizedPagerank
+    x42BootstrapCi, x43PermutationTest, x44PersonalizedPagerank,
+    x45DecileLift, x46AttributionCredit
   )
 }
