@@ -1597,6 +1597,61 @@ object Extras {
     }
   )
 
+  /** Holt linear-trend smoothing (double exponential, α = β = 1/2)
+    * per event type — the forecasting complement to x40's EWMA: level
+    * and trend evolve by the classic coupled recurrences, initialized
+    * as l₁ = y₁, b₁ = y₂ − y₁. The recurrence is inherently
+    * sequential, so BOTH engines run it as the same left fold over
+    * the day-ordered daily totals (Spark `aggregate` HOF vs DuckDB
+    * `list_reduce`, identical arithmetic per step ⇒ bit-equal
+    * doubles); the fold state is two doubles and the series is one
+    * group's daily aggregate — per-group work is days-sized, never
+    * events-sized, and groups fold in parallel.
+    */
+  val x47HoltTrend = Query(
+    "x47_holt_trend",
+    Some("""WITH d AS (
+            |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+            |  FROM events GROUP BY 1, 2),
+            |arr AS (SELECT g, COUNT(*) AS n,
+            |          list(CAST(cents AS DOUBLE) / 100.0 ORDER BY day) AS ys
+            |        FROM d GROUP BY g),
+            |f AS (SELECT g, n,
+            |        list_reduce(
+            |          list_prepend([ys[1], ys[2] - ys[1]],
+            |            list_transform(ys[3:], y -> [y])),
+            |          (acc, x) -> [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+            |                       0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+            |                         + 0.5 * acc[2]]) AS lb
+            |      FROM arr WHERE n >= 2)
+            |SELECT g AS event_type, CAST(n AS BIGINT) AS n_days,
+            |  lb[1] AS level, lb[2] AS trend, lb[1] + lb[2] AS forecast
+            |FROM f ORDER BY event_type""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val d = t.events
+        .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
+        .agg((sum(col("value").cast("decimal(12,2)")) * 100).cast("long").as("cents"))
+      val arr = d.groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(struct(col("day"),
+            (col("cents").cast("double") / 100.0).as("y")))).as("s"))
+        .filter(col("n") >= 2)
+        .withColumn("ys", expr("transform(s, x -> x.y)"))
+      arr.withColumn("lb", expr(
+        """aggregate(slice(ys, 3, greatest(size(ys) - 2, 0)),
+          |  array(ys[0], ys[1] - ys[0]),
+          |  (acc, y) -> array(0.5d * y + 0.5d * (acc[0] + acc[1]),
+          |                    0.5d * ((0.5d * y + 0.5d * (acc[0] + acc[1])) - acc[0])
+          |                      + 0.5d * acc[1]))""".stripMargin))
+        .select(col("g").as("event_type"), col("n").as("n_days"),
+          expr("lb[0]").as("level"), expr("lb[1]").as("trend"),
+          expr("lb[0] + lb[1]").as("forecast"))
+        .orderBy("event_type")
+    }
+  )
+
   /** Decile lift table — rank users by total spend, split into ten
     * equal-count bins, report each bin's share and cumulative share
     * of revenue: the "top 10% of users drive X% of spend"
@@ -1862,6 +1917,6 @@ object Extras {
     x33RankedQuantiles, x34ApproxQuantiles, x35Profile, x36RollingRegression,
     x37AssocRules, x39CusumChangepoint, x40EwmaAnomaly, x41IncrementalAgg,
     x42BootstrapCi, x43PermutationTest, x44PersonalizedPagerank,
-    x45DecileLift, x46AttributionCredit
+    x45DecileLift, x46AttributionCredit, x47HoltTrend
   )
 }
