@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Streaming observability — the event-time counterpart of
+  * `ops.MetricsRecorder` (Q32's run-metrics capture): a
+  * `StreamingQueryListener` that snapshots every micro-batch's
+  * progress — rows read, processing time, state-store size, rows
+  * dropped by the watermark — into an appendable stats table. This is
+  * the table an operator actually watches at 100 TB/day: state growth
+  * says whether watermarks bound memory, `rowsDroppedByWatermark`
+  * says whether lateness allowances are wrong, batch duration vs
+  * trigger interval says whether the stream keeps up.
+  */
+final case class BatchStat(
+    ts: Timestamp,
+    queryName: String,
+    batchId: Long,
+    numInputRows: Long,
+    batchDurationMs: Long,
+    stateRows: Long,
+    stateBytes: Long,
+    rowsDroppedByWatermark: Long
+)
+
+final class StreamMetricsRecorder(spark: SparkSession, path: String) {
+  private val buf = ArrayBuffer.empty[BatchStat]
+
+  private val listener = new StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      buf.synchronized {
+        val p = e.progress
+        val (sRows, sBytes, dropped) = Option(p.stateOperators)
+          .map(_.foldLeft((0L, 0L, 0L)) { (acc, so) =>
+            (acc._1 + so.numRowsTotal, acc._2 + so.memoryUsedBytes,
+              acc._3 + so.numRowsDroppedByWatermark)
+          }).getOrElse((0L, 0L, 0L))
+        buf += BatchStat(
+          new Timestamp(System.currentTimeMillis()),
+          Option(p.name).getOrElse(p.id.toString),
+          p.batchId,
+          p.numInputRows,
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L),
+          sRows, sBytes, dropped)
+      }
+  }
+
+  def start(): Unit = spark.streams.addListener(listener)
+  def stop(): Unit = spark.streams.removeListener(listener)
+
+  def snapshots: Seq[BatchStat] = buf.synchronized(buf.toSeq)
+
+  def flush(): Unit = buf.synchronized {
+    if (buf.nonEmpty) {
+      import spark.implicits._
+      spark.createDataset(buf.toSeq).write.mode(SaveMode.Append).parquet(path)
+      buf.clear()
+    }
+  }
+}

@@ -526,6 +526,40 @@ class StreamingSpec extends SparkSpec {
     assert(idxIds == Seq(1L, 2L, 3L, 5L))
   }
 
+  test("stream metrics recorder snapshots per-batch progress and state size to a stats table") {
+    import graft.streaming.StreamMetricsRecorder
+    val root = Files.createTempDirectory("graft-smetrics")
+    val batch = Tables(spark, "/root/testdata/sf0.001").events
+    batch.write.parquet(s"$root/in")
+    val schema = spark.read.parquet(s"$root/in").schema
+    val rec = new StreamMetricsRecorder(spark, s"$root/stats")
+    rec.start()
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8").parquet(s"$root/in")
+      val agg = StreamingIngest.windowedCounts(stream, "ts", "1 hour", "10 minutes")
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("smetrics_counts")
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.processAllAvailable()
+      // listener events are delivered asynchronously on the bus
+      var waited = 0
+      while (rec.snapshots.isEmpty && waited < 100) { Thread.sleep(100); waited += 1 }
+      q.stop()
+    } finally rec.stop()
+    val snaps = rec.snapshots
+    assert(snaps.nonEmpty, "at least one micro-batch progress snapshot")
+    assert(snaps.map(_.numInputRows).sum == batch.count(),
+      s"snapshots must account for every input row: $snaps")
+    assert(snaps.exists(_.stateRows > 0),
+      s"the windowed aggregation must report state-store rows: $snaps")
+    rec.flush()
+    val persisted = spark.read.parquet(s"$root/stats")
+    assert(persisted.count() == snaps.size,
+      "flush must persist exactly the captured snapshots")
+    assert(rec.snapshots.isEmpty, "flush drains the buffer")
+  }
+
   test("streamed summary maintenance (foreachBatch + Incremental.merge) equals recompute") {
     // x41's pattern run the way production runs it: each micro-batch's
     // partial summary merges into an on-disk summary table; after all
