@@ -1597,6 +1597,130 @@ object Extras {
     }
   )
 
+  /** Anomaly consensus — the production monitoring pattern of running
+    * SEVERAL detectors and alerting on agreement: per (type, day),
+    * x40's trailing-EWMA deviation flag, x39's CUSUM change-day flag,
+    * and a 2σ z-score flag whose mean/σ come from exact integer
+    * moments (x17's rule — decimal-lifted sums, one closed form, so
+    * σ is bit-reproducible under any partitioning), with a majority
+    * (≥2 of 3) consensus column. One daily aggregate feeds all three
+    * detectors: lag frame, per-type cumsum + argmax, and a broadcast
+    * moment row — no method rescans the events.
+    */
+  val x48AnomalyConsensus = Query(
+    "x48_anomaly_consensus",
+    Some("""WITH d AS (
+            |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+            |  FROM events GROUP BY 1, 2),
+            |l AS (SELECT g, day, cents,
+            |        LAG(cents, 1) OVER w AS l1, LAG(cents, 2) OVER w AS l2,
+            |        LAG(cents, 3) OVER w AS l3, LAG(cents, 4) OVER w AS l4,
+            |        LAG(cents, 5) OVER w AS l5, LAG(cents, 6) OVER w AS l6,
+            |        LAG(cents, 7) OVER w AS l7
+            |      FROM d WINDOW w AS (PARTITION BY g ORDER BY day)),
+            |e AS (SELECT g, day, cents,
+            |        COALESCE(l1,0)*64 + COALESCE(l2,0)*32 + COALESCE(l3,0)*16 +
+            |        COALESCE(l4,0)*8 + COALESCE(l5,0)*4 + COALESCE(l6,0)*2 +
+            |        COALESCE(l7,0) AS num,
+            |        CASE WHEN l1 IS NULL THEN 0 ELSE 64 END +
+            |        CASE WHEN l2 IS NULL THEN 0 ELSE 32 END +
+            |        CASE WHEN l3 IS NULL THEN 0 ELSE 16 END +
+            |        CASE WHEN l4 IS NULL THEN 0 ELSE 8 END +
+            |        CASE WHEN l5 IS NULL THEN 0 ELSE 4 END +
+            |        CASE WHEN l6 IS NULL THEN 0 ELSE 2 END +
+            |        CASE WHEN l7 IS NULL THEN 0 ELSE 1 END AS den
+            |      FROM l),
+            |ew AS (SELECT g, day,
+            |         den > 0 AND ABS((CAST(cents AS DOUBLE) - CAST(num AS DOUBLE) / den)
+            |           / (CAST(num AS DOUBLE) / den)) > 0.25 AS ewma_flag
+            |       FROM e),
+            |t AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            |        CAST(SUM(cents) AS BIGINT) AS total,
+            |        SUM(cents * cents) AS sumsq
+            |      FROM d GROUP BY g),
+            |s AS (SELECT d.g, d.day,
+            |        CAST(SUM(t.n * d.cents - t.total) OVER (
+            |          PARTITION BY d.g ORDER BY d.day
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+            |      FROM d JOIN t ON d.g = t.g),
+            |m AS (SELECT g, day, cusum,
+            |        MAX(ABS(cusum)) OVER (PARTITION BY g) AS peak FROM s),
+            |cday AS (SELECT g, MIN(day) AS change_day FROM m
+            |         WHERE ABS(cusum) = peak GROUP BY g),
+            |z AS (SELECT d.g, d.day,
+            |        ABS(CAST(d.cents AS DOUBLE) - CAST(t.total AS DOUBLE) / t.n)
+            |          > 2.0 * SQRT(CAST(t.n * t.sumsq - t.total * t.total AS DOUBLE)
+            |                       / t.n / t.n) AS z_flag
+            |      FROM d JOIN t ON d.g = t.g)
+            |SELECT d.g AS event_type, d.day,
+            |  ew.ewma_flag, d.day = cday.change_day AS cusum_flag, z.z_flag,
+            |  CAST(CASE WHEN ew.ewma_flag THEN 1 ELSE 0 END +
+            |       CASE WHEN d.day = cday.change_day THEN 1 ELSE 0 END +
+            |       CASE WHEN z.z_flag THEN 1 ELSE 0 END AS INT) AS votes,
+            |  (CASE WHEN ew.ewma_flag THEN 1 ELSE 0 END +
+            |   CASE WHEN d.day = cday.change_day THEN 1 ELSE 0 END +
+            |   CASE WHEN z.z_flag THEN 1 ELSE 0 END) >= 2 AS consensus
+            |FROM d JOIN ew ON d.g = ew.g AND d.day = ew.day
+            |JOIN cday ON d.g = cday.g
+            |JOIN z ON d.g = z.g AND d.day = z.day
+            |ORDER BY 1, 2""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val d = t.events
+        .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
+        .agg((sum(col("value").cast("decimal(12,2)")) * 100).cast("long").as("cents"))
+        .localCheckpoint() // feeds the lag frame, the moments, and the cumsum
+      val w = Window.partitionBy("g").orderBy("day")
+      val lags = (1 to 7).map(i => lag(col("cents"), i).over(w).as(s"l$i"))
+      val weights = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L)
+      val lagged = d.select(col("g") +: col("day") +: col("cents") +: lags: _*)
+      val num = (1 to 7).map(i => coalesce(col(s"l$i"), lit(0L)) * weights(i - 1))
+        .reduce(_ + _)
+      val den = (1 to 7).map(i => when(col(s"l$i").isNull, 0L).otherwise(weights(i - 1)))
+        .reduce(_ + _)
+      val ewmaC = num.cast("double") / den
+      // `when` evaluates its branch lazily; a bare `den > 0 && …/den`
+      // still executes the division on den = 0 rows and ANSI throws
+      val ew = lagged.select(col("g"), col("day"),
+        when(den > 0,
+          abs((col("cents").cast("double") - ewmaC) / ewmaC) > 0.25)
+          .otherwise(false).as("ewma_flag"))
+      val dec = col("cents").cast("decimal(19,0)")
+      val mom = d.groupBy("g").agg(
+        count(lit(1)).as("n"), sum("cents").cast("long").as("total"),
+        sum(dec * dec).as("sumsq"))
+      val wCum = Window.partitionBy("g").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cus = d.join(broadcast(mom.select("g", "n", "total")), "g")
+        .withColumn("cusum",
+          sum(col("n") * col("cents") - col("total")).over(wCum).cast("long"))
+      val cday = cus
+        .withColumn("peak", max(abs(col("cusum"))).over(Window.partitionBy("g")))
+        .filter(abs(col("cusum")) === col("peak"))
+        .groupBy("g").agg(min("day").as("change_day"))
+      val sigma = sqrt((col("n").cast("decimal(19,0)") * col("sumsq") -
+        col("total").cast("decimal(19,0)") * col("total").cast("decimal(19,0)"))
+        .cast("double") / col("n") / col("n"))
+      val z = d.join(broadcast(mom), "g")
+        .select(col("g"), col("day"),
+          (abs(col("cents").cast("double") - col("total").cast("double") / col("n"))
+            > lit(2.0) * sigma).as("z_flag"))
+      val votes =
+        when(col("ewma_flag"), 1).otherwise(0) +
+          when(col("day") === col("change_day"), 1).otherwise(0) +
+          when(col("z_flag"), 1).otherwise(0)
+      d.join(ew, Seq("g", "day"))
+        .join(broadcast(cday), Seq("g"))
+        .join(z, Seq("g", "day"))
+        .select(col("g").as("event_type"), col("day"),
+          col("ewma_flag"), (col("day") === col("change_day")).as("cusum_flag"),
+          col("z_flag"), votes.cast("int").as("votes"), (votes >= 2).as("consensus"))
+        .orderBy("event_type", "day")
+    }
+  )
+
   /** Holt linear-trend smoothing (double exponential, α = β = 1/2)
     * per event type — the forecasting complement to x40's EWMA: level
     * and trend evolve by the classic coupled recurrences, initialized
@@ -1917,6 +2041,6 @@ object Extras {
     x33RankedQuantiles, x34ApproxQuantiles, x35Profile, x36RollingRegression,
     x37AssocRules, x39CusumChangepoint, x40EwmaAnomaly, x41IncrementalAgg,
     x42BootstrapCi, x43PermutationTest, x44PersonalizedPagerank,
-    x45DecileLift, x46AttributionCredit, x47HoltTrend
+    x45DecileLift, x46AttributionCredit, x47HoltTrend, x48AnomalyConsensus
   )
 }
