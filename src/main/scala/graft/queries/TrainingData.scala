@@ -1033,6 +1033,65 @@ object TrainingData {
     }
   )
 
+  /** Preference-pair construction (DPO/RLHF data prep): within each
+    * source, pair the i-th most lexically diverse document with the
+    * i-th least diverse one (k pairs, margin > 0 required) — the
+    * deterministic "chosen vs rejected" builder a preference-tuning
+    * pipeline runs over quality signals. The score is an exact
+    * distinct/total token ratio (one division); ranks come from two
+    * opposite-direction windows with id tie-breaks, so the pairing
+    * is reproducible under any partitioning. Shape: one map pass for
+    * scores, two partitioned rank windows, one equi-join on
+    * (source, pair rank).
+    */
+  val td52PreferencePairs = Query(
+    "td52_preference_pairs",
+    Some("""WITH sc AS (
+            |  SELECT doc_id, source,
+            |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+            |         ELSE CAST(LEN(list_distinct(regexp_split_to_array(TRIM(text), '\s+')))
+            |                   AS DOUBLE)
+            |              / LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS score
+            |  FROM documents),
+            |hi AS (SELECT doc_id, source, score,
+            |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+            |           ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+            |       FROM sc),
+            |lo AS (SELECT doc_id, source, score,
+            |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+            |           ORDER BY score ASC, doc_id DESC) AS BIGINT) AS rk
+            |       FROM sc)
+            |SELECT hi.source, hi.rk AS pair_idx,
+            |  hi.doc_id AS chosen_id, lo.doc_id AS rejected_id,
+            |  hi.score AS chosen_score, lo.score AS rejected_score,
+            |  hi.score - lo.score AS margin
+            |FROM hi JOIN lo ON hi.source = lo.source AND hi.rk = lo.rk
+            |WHERE hi.rk <= 5 AND hi.score - lo.score > 0
+            |ORDER BY hi.source, pair_idx""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val toks = split(trim(col("text")), "\\s+")
+      val sc = t.documents.select(col("doc_id"), col("source"),
+        when(length(trim(col("text"))) === 0, 0.0)
+          .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+          .as("score"))
+        .localCheckpoint() // ranked twice (opposite directions)
+      val hi = sc.withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("score"), asc("doc_id"))).cast("long"))
+      val lo = sc.withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(asc("score"), desc("doc_id"))).cast("long"))
+      hi.alias("hi").filter(col("rk") <= 5)
+        .join(lo.alias("lo"), Seq("source", "rk"))
+        .filter(col("hi.score") - col("lo.score") > 0)
+        .select(col("source"), col("rk").as("pair_idx"),
+          col("hi.doc_id").as("chosen_id"), col("lo.doc_id").as("rejected_id"),
+          col("hi.score").as("chosen_score"), col("lo.score").as("rejected_score"),
+          (col("hi.score") - col("lo.score")).as("margin"))
+        .orderBy("source", "pair_idx")
+    }
+  )
+
   /** Canonical media dedup — the actionable form of mm03: resolve the
     * pHash near-dup pairs into groups (connected components), keep
     * the smallest doc_id as canonical, and report the bytes each
@@ -4216,6 +4275,6 @@ object TrainingData {
     td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn, td48CrossSourceDups,
     ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity,
     in07BinaryScan, dd18CdcChunks, ss15LabelProp, ss16MultiprobeLsh,
-    mm05MediaCanonical, td51SpanCorruption
+    mm05MediaCanonical, td51SpanCorruption, td52PreferencePairs
   )
 }
