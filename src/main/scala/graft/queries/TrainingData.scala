@@ -1033,6 +1033,66 @@ object TrainingData {
     }
   )
 
+  /** Dedup threshold tuning curve: how much of the corpus would each
+    * Jaccard cutoff flag? ONE exact 3-gram pair scan at the loosest
+    * cutoff (0.2) feeds all three thresholds — per threshold the pair
+    * count, the distinct flagged-doc count, and the flagged fraction
+    * (integer counts, one division) — the sweep an operator reads
+    * before fixing the pipeline's dedup aggressiveness. Never three
+    * scans: thresholds are filters over the same pair frame.
+    */
+  val td53ThresholdSweep = Query(
+    "td53_threshold_sweep",
+    Some("""WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            |       FROM words, UNNEST(range(1, LEN(w) - 1)) AS t(i)),
+            |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+            |cand AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+            |         FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+            |pairs AS MATERIALIZED (
+            |          SELECT a, b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+            |          FROM cand JOIN sizes sa ON a = sa.doc_id
+            |          JOIN sizes sb ON b = sb.doc_id
+            |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2),
+            |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            |th AS (SELECT UNNEST([0.2::DOUBLE, 0.5::DOUBLE, 0.8::DOUBLE]) AS threshold),
+            |fl AS (SELECT th.threshold, p.a, p.b FROM th JOIN pairs p ON p.jac >= th.threshold),
+            |agg AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            |        FROM fl GROUP BY threshold),
+            |docs AS (SELECT threshold,
+            |           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_flagged
+            |         FROM (SELECT threshold, a AS id FROM fl
+            |               UNION ALL SELECT threshold, b FROM fl)
+            |         GROUP BY threshold)
+            |SELECT th.threshold,
+            |  COALESCE(a2.n_pairs, 0) AS n_pairs,
+            |  COALESCE(d2.n_flagged, 0) AS n_flagged,
+            |  CAST(COALESCE(d2.n_flagged, 0) AS DOUBLE) / nd.n_docs AS frac_flagged
+            |FROM th LEFT JOIN agg a2 USING (threshold)
+            |LEFT JOIN docs d2 USING (threshold), nd
+            |ORDER BY th.threshold""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val pairs = Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.2)
+        .select(col("id_a").as("a"), col("id_b").as("b"), col("jaccard").as("jac"))
+        .localCheckpoint() // one scan, three threshold filters
+      val nDocs = t.documents.count()
+      val th = Seq(0.2, 0.5, 0.8)
+      val sweep = th.map { cut =>
+        val fl = pairs.filter(col("jac") >= cut)
+        val flagged = fl.select(col("a").as("id"))
+          .union(fl.select(col("b").as("id")))
+          .agg(countDistinct("id").as("n_flagged"))
+        fl.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(flagged)
+          .select(lit(cut).as("threshold"), col("n_pairs"),
+            col("n_flagged"),
+            (col("n_flagged").cast("double") / nDocs).as("frac_flagged"))
+      }.reduce(_ unionByName _)
+      sweep.orderBy("threshold")
+    }
+  )
+
   /** Preference-pair construction (DPO/RLHF data prep): within each
     * source, pair the i-th most lexically diverse document with the
     * i-th least diverse one (k pairs, margin > 0 required) — the
@@ -4275,6 +4335,7 @@ object TrainingData {
     td49CurationPipeline, in06OrcRoundtrip, ss12MutualKnn, td48CrossSourceDups,
     ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity,
     in07BinaryScan, dd18CdcChunks, ss15LabelProp, ss16MultiprobeLsh,
-    mm05MediaCanonical, td51SpanCorruption, td52PreferencePairs
+    mm05MediaCanonical, td51SpanCorruption, td52PreferencePairs,
+    td53ThresholdSweep
   )
 }
