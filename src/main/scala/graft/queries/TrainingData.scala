@@ -573,6 +573,53 @@ object TrainingData {
     (ctes, last)
   }
 
+  /** Filtered vector search — ANN under a metadata predicate (the
+    * vector-database "WHERE label = …" feature): the coarse model is
+    * trained on the FULL corpus, the index is restricted to the
+    * label's members, and each query's probe clusters are scanned
+    * post-filter — so rare labels simply surface fewer than k hits
+    * (the documented filtered-ANN caveat; raise nprobe to
+    * compensate). Reuses ss03's deterministic Lloyd replay verbatim
+    * plus one label equi-join in both engines.
+    */
+  val ss17FilteredAnn = Query(
+    "ss17_filtered_ann", {
+      val (dim, k, iters, nprobe, topK) = (64, 16, 3, 4, 3)
+      val dist = ivfDistSql(dim) _
+      def dot(a: String, b: String) = ivfDotSql(dim)(a, b)
+      def norm(v: String) = s"SQRT(${dot(v, v)})"
+      val (idxCtes, last) = ivfIdxCtes(dim, k, iters)
+      Some(
+        s"""WITH $idxCtes,
+           |lab AS (SELECT vec_id AS id FROM embeddings WHERE label = 3),
+           |q AS (SELECT id AS qid, v AS qv FROM b0 WHERE id < 50),
+           |probe AS (
+           |  SELECT qid, qv, c FROM (
+           |    SELECT q.qid, q.qv, $last.c, ROW_NUMBER() OVER (
+           |      PARTITION BY q.qid ORDER BY ${dist("q.qv", s"$last.cv")}, $last.c) AS rn
+           |    FROM q CROSS JOIN $last) WHERE rn <= $nprobe),
+           |pairs AS (
+           |  SELECT probe.qid AS query_id, idx.id AS corpus_id,
+           |    ROUND(${dot("probe.qv", "idx.v")} /
+           |          (${norm("probe.qv")} * ${norm("idx.v")}), 4) AS sim
+           |  FROM probe JOIN idx ON probe.c = idx.c AND idx.id <> probe.qid
+           |  JOIN lab ON idx.id = lab.id)
+           |SELECT query_id, corpus_id, sim, CAST(r AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+           |  FROM pairs) WHERE r <= $topK ORDER BY query_id, rank""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val model = graft.operators.Ivf.train(t.embeddings, "vec_id", "embedding", k = 16, iters = 3)
+      val indexed = graft.operators.Ivf.index(
+        t.embeddings.filter(col("label") === 3), "vec_id", "embedding", model)
+      graft.operators.Ivf
+        .search(indexed, t.embeddings.filter(col("vec_id") < 50), "vec_id", "embedding",
+          model, k = 3, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }
+  )
+
   val ss03IvfAnn = Query(
     "ss03_ivf_ann", {
       val (dim, k, iters, nprobe, topK) = (64, 16, 3, 4, 3)
@@ -4336,6 +4383,6 @@ object TrainingData {
     ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity,
     in07BinaryScan, dd18CdcChunks, ss15LabelProp, ss16MultiprobeLsh,
     mm05MediaCanonical, td51SpanCorruption, td52PreferencePairs,
-    td53ThresholdSweep
+    td53ThresholdSweep, ss17FilteredAnn
   )
 }
