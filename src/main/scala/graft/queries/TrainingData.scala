@@ -1514,6 +1514,57 @@ object TrainingData {
     }
   )
 
+  /** Manifest-driven corpus ingestion — the shard-list pattern every
+    * published corpus snapshot ships with (C4/Pile-style): a manifest
+    * records each shard's path and expected document count; the scan
+    * reads ONLY the manifest-listed paths, stamps shard provenance,
+    * and audits actual vs declared counts. The manifest is
+    * control-plane-small by contract (it lists shards, not rows); the
+    * shard reads scan in parallel with the pinned schema. The oracle
+    * recomputes the per-shard counts from the parquet original, so a
+    * green row proves the staged shards are complete and the audit
+    * arithmetic is honest.
+    */
+  val in08ManifestScan = Query(
+    "in08_manifest_scan",
+    Some("""SELECT CAST(doc_id % 3 AS BIGINT) AS shard_id,
+            |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(COUNT(*) AS BIGINT) AS manifest_n,
+            |  TRUE AS matches
+            |FROM documents GROUP BY doc_id % 3 ORDER BY shard_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val tmp = jsonlDirs.computeIfAbsent(s"manifest:$dir", _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-manifest")
+        p.toFile.deleteOnExit()
+        p.toString
+      })
+      val docs = t.documents.withColumn("shard_id", col("doc_id") % 3)
+      (0L to 2L).foreach { s =>
+        docs.filter(col("shard_id") === s).drop("shard_id")
+          .coalesce(1).write.mode("overwrite").json(s"$tmp/shard_$s")
+      }
+      val manifest = docs.groupBy("shard_id").agg(count(lit(1)).as("manifest_n"))
+        .withColumn("path", concat(lit(s"$tmp/shard_"), col("shard_id")))
+      manifest.coalesce(1).write.mode("overwrite").json(s"$tmp/manifest")
+      // the manifest is shard-count-sized by contract — collecting it
+      // is the control-plane step that names what to scan
+      val entries = spark.read
+        .schema("shard_id LONG, manifest_n LONG, path STRING")
+        .json(s"$tmp/manifest")
+        .collect()
+      val perShard = entries.map { e =>
+        spark.read.schema(t.documents.schema).json(e.getString(2))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit(e.getLong(0)).as("shard_id"), col("n_docs"),
+            lit(e.getLong(1)).as("manifest_n"))
+      }.reduce(_ unionByName _)
+      perShard
+        .withColumn("matches", col("n_docs") === col("manifest_n"))
+        .orderBy("shard_id")
+    }
+  )
+
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine
     * exceeds a tight threshold — semantic dedup over the embedding
     * column. Same broadcast-pair plan as the KNN; the threshold filter
@@ -4383,6 +4434,6 @@ object TrainingData {
     ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity,
     in07BinaryScan, dd18CdcChunks, ss15LabelProp, ss16MultiprobeLsh,
     mm05MediaCanonical, td51SpanCorruption, td52PreferencePairs,
-    td53ThresholdSweep, ss17FilteredAnn
+    td53ThresholdSweep, ss17FilteredAnn, in08ManifestScan
   )
 }
