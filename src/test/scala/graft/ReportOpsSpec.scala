@@ -293,10 +293,13 @@ class ReportOpsSpec extends SparkSpec {
     rec.start()
     try {
       spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
-      // listener delivery is async; poll briefly instead of reaching
-      // into the private listener bus
+      // listener delivery is async; poll BOTH listeners before
+      // unregistering — the query-execution event can still be queued
+      // on the bus after task metrics have already arrived (seen
+      // under heavy load: snapshots empty while bytesRead > 0)
       val deadline = System.currentTimeMillis() + 10000
-      while (rec.totalBytesRead == 0 && System.currentTimeMillis() < deadline)
+      while ((rec.totalBytesRead == 0 || rec.snapshots.isEmpty) &&
+        System.currentTimeMillis() < deadline)
         Thread.sleep(100)
     } finally rec.stop()
     assert(rec.totalBytesRead > 0)
