@@ -208,7 +208,13 @@ object Graph {
       .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .join(sd, Seq("id"), "left")
       .localCheckpoint()
-    val nS = nd.agg(sum(coalesce(col("is_seed"), lit(0L))).as("scnt"))
+    val nS = nd.agg(sum(coalesce(col("is_seed"), lit(0L))).as("scnt")).localCheckpoint()
+    // Fail fast on an empty (or graph-disjoint) seed cohort: scnt = 0
+    // would silently turn every teleport term into Infinity/NaN. The
+    // check reads the already-computed 1-row aggregate — control-plane.
+    val scnt = nS.head().getLong(0)
+    require(scnt > 0,
+      s"personalizedPageRank: seed set is empty or disjoint from the graph (scnt=$scnt)")
     val seedMass = when(col("is_seed") === 1L, lit(1.0) / col("scnt")).otherwise(lit(0.0d))
     var r = nd.crossJoin(broadcast(nS))
       .select(col("id"), seedMass.as("r"), col("outdeg"), col("is_seed"))

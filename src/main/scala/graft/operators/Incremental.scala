@@ -19,14 +19,17 @@ import org.apache.spark.sql.functions._
 object Incremental {
 
   /** One batch's partial summary: per group, mergeable components
-    * only. `cents` keeps the money sum exact (see Query.sumMoneySql).
+    * only. `sum_value_exact` keeps the money sum exact as
+    * DECIMAL(18,2) DOLLARS (per-value decimal casts, see
+    * Query.sumMoneySql) — NOT the integer-cents lift used by x40/x45/
+    * td50; don't union it with a cents frame.
     */
   def partialSummary(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)").as("cents"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_value_exact"),
         min(col("ts").cast("date")).as("first_day"),
         max(col("ts").cast("date")).as("last_day"))
 
@@ -39,7 +42,7 @@ object Incremental {
       .groupBy(col("event_type"))
       .agg(
         sum(col("n_events")).cast("long").as("n_events"),
-        sum(col("cents")).cast("decimal(18,2)").as("cents"),
+        sum(col("sum_value_exact")).cast("decimal(18,2)").as("sum_value_exact"),
         min(col("first_day")).as("first_day"),
         max(col("last_day")).as("last_day"))
 }

@@ -1476,7 +1476,7 @@ object Extras {
             |    / (CAST(num AS DOUBLE) / den) AS rel_dev,
             |  ABS((CAST(cents AS DOUBLE) - CAST(num AS DOUBLE) / den)
             |    / (CAST(num AS DOUBLE) / den)) > 0.25 AS anomaly
-            |FROM e WHERE den > 0
+            |FROM e WHERE den > 0 AND num <> 0
             |ORDER BY event_type, day""".stripMargin),
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1492,7 +1492,12 @@ object Extras {
         .reduce(_ + _)
       val den = (1 to 7).map(i => when(col(s"l$i").isNull, 0L).otherwise(weights(i - 1)))
         .reduce(_ + _)
-      val e = l.withColumn("num", num).withColumn("den", den).filter(col("den") > 0)
+      // num <> 0: a group whose present lags are all exactly 0 cents has
+      // EWMA 0 and no defined relative deviation — dropped in BOTH
+      // engines (Spark would emit Infinity/NaN, DuckDB NULL; neither is
+      // a useful screen row and they hash-mismatch).
+      val e = l.withColumn("num", num).withColumn("den", den)
+        .filter(col("den") > 0 && col("num") =!= 0)
       val ewmaC = col("num").cast("double") / col("den")
       val relDev = (col("cents").cast("double") - ewmaC) / ewmaC
       e.select(col("g").as("event_type"), col("day"),
@@ -1532,7 +1537,7 @@ object Extras {
         t.events.filter(col("ts").cast("date") >= cut))
       Incremental.mergeSummaries(history, delta)
         .select(col("event_type"), col("n_events"),
-          col("cents").cast("double").as("sum_value"),
+          col("sum_value_exact").cast("double").as("sum_value"),
           col("first_day"), col("last_day"))
         .orderBy("event_type")
     }
@@ -1609,7 +1614,7 @@ object Extras {
     */
   val x48AnomalyConsensus = Query(
     "x48_anomaly_consensus",
-    Some("""WITH d AS (
+    Some("""WITH d AS MATERIALIZED (
             |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
             |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
             |  FROM events GROUP BY 1, 2),
@@ -1632,10 +1637,11 @@ object Extras {
             |        CASE WHEN l7 IS NULL THEN 0 ELSE 1 END AS den
             |      FROM l),
             |ew AS (SELECT g, day,
-            |         den > 0 AND ABS((CAST(cents AS DOUBLE) - CAST(num AS DOUBLE) / den)
-            |           / (CAST(num AS DOUBLE) / den)) > 0.25 AS ewma_flag
+            |         den > 0 AND num <> 0
+            |           AND ABS((CAST(cents AS DOUBLE) - CAST(num AS DOUBLE) / den)
+            |             / (CAST(num AS DOUBLE) / den)) > 0.25 AS ewma_flag
             |       FROM e),
-            |t AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+            |t AS MATERIALIZED (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
             |        CAST(SUM(cents) AS BIGINT) AS total,
             |        SUM(cents * cents) AS sumsq
             |      FROM d GROUP BY g),
@@ -1682,9 +1688,11 @@ object Extras {
         .reduce(_ + _)
       val ewmaC = num.cast("double") / den
       // `when` evaluates its branch lazily; a bare `den > 0 && …/den`
-      // still executes the division on den = 0 rows and ANSI throws
+      // still executes the division on den = 0 rows and ANSI throws.
+      // num <> 0 guards the all-zero-lag EWMA (x40's rule): Spark's
+      // x/0.0 is NaN, DuckDB's is NULL — both collapse to false here.
       val ew = lagged.select(col("g"), col("day"),
-        when(den > 0,
+        when(den > 0 && num =!= 0,
           abs((col("cents").cast("double") - ewmaC) / ewmaC) > 0.25)
           .otherwise(false).as("ewma_flag"))
       val dec = col("cents").cast("decimal(19,0)")

@@ -3625,11 +3625,11 @@ object TrainingData {
             |        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
             |      FROM p),
             |knn AS (SELECT qa, qb FROM r WHERE rk <= 5),
-            |und AS (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
+            |und AS MATERIALIZED (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
             |deg AS (SELECT id, COUNT(*) AS d FROM (
             |          SELECT a AS id FROM und UNION ALL SELECT b FROM und)
             |        GROUP BY id),
-            |o AS (SELECT
+            |o AS MATERIALIZED (SELECT
             |        CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
             |        CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst
             |      FROM und JOIN deg da ON a = da.id JOIN deg db ON b = db.id),
@@ -4247,8 +4247,8 @@ object TrainingData {
             |        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
             |      FROM p),
             |knn AS (SELECT qa, qb FROM r WHERE rk <= 5),
-            |und AS (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
-            |adj AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+            |und AS MATERIALIZED (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
+            |adj AS MATERIALIZED (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
             |deg AS (SELECT x AS id, COUNT(*) AS d FROM adj GROUP BY x),
             |wedge AS (
             |  SELECT a1.y AS u, a2.y AS v, COUNT(*) AS cn
@@ -4316,8 +4316,8 @@ object TrainingData {
             |        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
             |      FROM p),
             |knn AS (SELECT qa, qb FROM r WHERE rk <= 5),
-            |und AS (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
-            |adj AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+            |und AS MATERIALIZED (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
+            |adj AS MATERIALIZED (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
             |l0 AS (SELECT DISTINCT x AS node, x AS label FROM adj),
             |c1 AS (SELECT adj.x, l0.label, COUNT(*) AS cnt
             |       FROM adj JOIN l0 ON adj.y = l0.node GROUP BY 1, 2),

@@ -61,10 +61,16 @@ object Drift {
           val num = st.lags.iterator.zipWithIndex
             .map { case (c, i) => c * weights(i) }.sum
           val den = weights.take(st.lags.length).sum
-          val ewmaC = num.toDouble / den
-          val relDev = (r.cents.toDouble - ewmaC) / ewmaC
-          out += DriftOut(group, r.day, r.cents.toDouble / 100.0,
-            ewmaC / 100.0, relDev, math.abs(relDev) > relThreshold)
+          // A zero EWMA (every present lag exactly 0 cents) has no
+          // defined relative deviation — emit nothing rather than
+          // Infinity/NaN, matching the x40 catalog row's num <> 0
+          // filter so stream/batch/oracle stay bit-equal.
+          if (num != 0L) {
+            val ewmaC = num.toDouble / den
+            val relDev = (r.cents.toDouble - ewmaC) / ewmaC
+            out += DriftOut(group, r.day, r.cents.toDouble / 100.0,
+              ewmaC / 100.0, relDev, math.abs(relDev) > relThreshold)
+          }
         }
         st = EwmaState((r.cents :: st.lags).take(7), epochDay)
       }

@@ -57,11 +57,20 @@ final class StreamMetricsRecorder(spark: SparkSession, path: String) {
 
   def snapshots: Seq[BatchStat] = buf.synchronized(buf.toSeq)
 
-  def flush(): Unit = buf.synchronized {
-    if (buf.nonEmpty) {
-      import spark.implicits._
-      spark.createDataset(buf.toSeq).write.mode(SaveMode.Append).parquet(path)
+  /** Snapshot-and-clear under the lock, write OUTSIDE it: the same
+    * lock serializes onQueryProgress, which runs on the shared
+    * listener-bus delivery thread — holding it across a parquet write
+    * job would stall event delivery to every other listener.
+    */
+  def flush(): Unit = {
+    val pending = buf.synchronized {
+      val s = buf.toSeq
       buf.clear()
+      s
+    }
+    if (pending.nonEmpty) {
+      import spark.implicits._
+      spark.createDataset(pending).write.mode(SaveMode.Append).parquet(path)
     }
   }
 }

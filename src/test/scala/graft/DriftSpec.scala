@@ -91,4 +91,28 @@ class DriftSpec extends SparkSpec {
     assert(next.size == 1 && next.head.ewma == expect / 100.0,
       s"state after the dropped replay must reflect only in-order days: $next")
   }
+
+  test("an all-zero-lag EWMA emits no screen row (no Infinity/NaN), state still advances") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def dt(day: String, cents: Long) =
+      Drift.DailyTotal("z", java.sql.Date.valueOf(day), cents)
+    val st = TestGroupState.create[Drift.EwmaState](
+      org.apache.spark.api.java.Optional.empty[Drift.EwmaState](),
+      GroupStateTimeout.NoTimeout(),
+      0L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    // two zero days, then a nonzero one: day 2 has lags=[0] -> EWMA 0,
+    // rel_dev undefined -> dropped (x40's num <> 0 rule); day 3 has
+    // lags=[0,0] -> still dropped; day 4 has lags=[500,0,0] -> emits
+    val out = Drift.onGroup(0.25)("z",
+      Iterator(dt("2024-01-01", 0L), dt("2024-01-02", 0L),
+        dt("2024-01-03", 500L), dt("2024-01-04", 600L)), st).toSeq
+    assert(out.map(_.day.toString) == Seq("2024-01-04"),
+      s"zero-EWMA days must be skipped, not emitted as Infinity/NaN: $out")
+    assert(!out.exists(r => r.rel_dev.isNaN || r.rel_dev.isInfinite),
+      s"no undefined deviations may escape: $out")
+    // lag state advanced through the skipped days: [500, 0, 0]
+    val expect = (500L * 64).toDouble / (64 + 32 + 16)
+    assert(out.head.ewma == expect / 100.0,
+      s"skipped days must still enter the lag state: $out")
+  }
 }

@@ -116,6 +116,29 @@ class GraphSpec extends SparkSpec {
     assert(got == r, "must replay the documented (src mod B, src) fold order bit-exactly")
   }
 
+  test("personalizedPageRank fails fast on an empty or graph-disjoint seed set") {
+    import graft.operators.Graph
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    // empty seeds: would otherwise put scnt = 0 under every teleport
+    // division and silently rank everything NaN/Infinity
+    val empty = Seq.empty[Long].toDF("id")
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, empty, iters = 1).collect()
+    }
+    assert(e1.getMessage.contains("seed set is empty"), e1.getMessage)
+    // seeds disjoint from the graph's node set are the same failure
+    val disjoint = Seq(99L, 100L).toDF("id")
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, disjoint, iters = 1).collect()
+    }
+    assert(e2.getMessage.contains("seed set is empty"), e2.getMessage)
+    // sanity: a valid seed still ranks
+    val ok = Graph.personalizedPageRank(edges, Seq(1L).toDF("id"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ok.values.forall(v => !v.isNaN && !v.isInfinite) && ok(1L) > 0)
+  }
+
   test("as-of join agrees with a naive per-row reference on random series") {
     val genCase = for {
       keys <- Gen.chooseNum(1, 4)

@@ -592,7 +592,7 @@ class StreamingSpec extends SparkSpec {
       .write.mode("append").parquet(s"$root/in")
     drain()
     def rows(df: org.apache.spark.sql.DataFrame) = df
-      .select("event_type", "n_events", "cents", "first_day", "last_day")
+      .select("event_type", "n_events", "sum_value_exact", "first_day", "last_day")
       .orderBy("event_type").collect().map(_.toString).toSeq
     assert(rows(spark.read.parquet(s"$root/summary")) ==
       rows(Incremental.partialSummary(events)),
