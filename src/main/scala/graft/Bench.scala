@@ -80,6 +80,7 @@ object Bench {
     /** Drop leftover localCheckpoint blocks so state can't accumulate
       * across queries and runs.
       */
+    var boundaries = 0
     def clearPersisted(): Unit = {
       // blocking: async unpersist lags behind checkpoint-heavy queries
       // (x27 creates ~6 checkpoint RDDs per run) and the backlog bleeds
@@ -91,10 +92,18 @@ object Bench {
       // first measured run of checkpoint-heavy queries (x27) otherwise
       // absorbs a full-heap GC of the previous queries' garbage — the
       // BENCH_r06 sf1 spread showed x27 max 82.7 s vs median 12.4 s.
-      // Only when checkpoint blocks were actually dropped: a GC after
-      // every one of ~1200 run boundaries would add minutes of dead
-      // wall-clock for the majority of queries that persist nothing.
-      if (dropped.nonEmpty) System.gc()
+      // When checkpoint blocks were dropped, always; otherwise every
+      // 24th boundary: broadcasts and shuffle files are cleaned by the
+      // ContextCleaner only after their references are COLLECTED, so a
+      // long GC-less stretch across ~1200 run boundaries builds a
+      // cleanup backlog (heap + shuffle dirs) that lands on whichever
+      // query finally triggers a full G1 pause mid-measurement — the
+      // BENCH_r07 x27/x33 sf1 spikes that targeted reruns never showed.
+      // ~50 proactive GCs across the whole bench is bounded dead time;
+      // an unscheduled 24 GB full collection inside a timed window is
+      // not.
+      boundaries += 1
+      if (dropped.nonEmpty || boundaries % 24 == 0) System.gc()
     }
 
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for targeted timing
@@ -112,6 +121,18 @@ object Bench {
         // log tail instead of killing an anonymous bench
         System.err.println(s"[bench] $name @ $dir")
         guarded(name)(fn(spark, dir).count()) // warmup: codegen + JIT + footers
+        // checkpoint-heavy queries (x27/x44-style iterated graph folds)
+        // get a SECOND warmup at this section's own scale: their first
+        // execution both JITs the fold kernels AND materializes multi-
+        // GB checkpoint blocks, and one warmup under that allocation
+        // pressure leaves the JIT profile cold enough that the first
+        // measured run can still spike ~2x (BENCH_r07 sf1 x27 max 27 s
+        // vs median 12 s; targeted reruns 1.10). Detected, not
+        // hardcoded: "leaves persisted RDDs behind" is the trait.
+        if (spark.sparkContext.getPersistentRDDs.nonEmpty) {
+          clearPersisted()
+          guarded(name)(fn(spark, dir).count())
+        }
         val times = (1 to runs).map { _ =>
           clearPersisted()
           guarded(name)(fn(spark, dir).count())

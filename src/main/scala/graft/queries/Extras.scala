@@ -149,6 +149,13 @@ object Extras {
             |GROUP BY id ORDER BY doc_id""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
+      // full posting self-join, NOT jaccardPairsPrefix: at this loose
+      // threshold (0.2) the prefix is 0.8n+1 grams and the candidate
+      // neighborhood is the ENTIRE corpus (measured at sf1: all 50k
+      // docs), so the prefix path's exact-verification join re-does the
+      // full posting join on top of its own overhead — measured 22.8 s
+      // vs 19.9 s at sf1. Prefix filtering pays at tight thresholds
+      // (dd10 at 0.5); see NOTES "round-8 dd05/td53".
       val pairs = Dedup
         .jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.2)
         .select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -1120,6 +1120,11 @@ object TrainingData {
             |ORDER BY th.threshold""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
+      // full posting self-join at the LOOSEST swept cutoff, NOT
+      // jaccardPairsPrefix: at t=0.2 the prefix keeps 80% of postings
+      // and the candidate neighborhood is the whole corpus (measured at
+      // sf1), so the prefix path is strictly slower (24.9 s vs 20.3 s).
+      // Every tighter threshold filters the same materialized frame.
       val pairs = Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.2)
         .select(col("id_a").as("a"), col("id_b").as("b"), col("jaccard").as("jac"))
         .localCheckpoint() // one scan, three threshold filters
