@@ -207,8 +207,18 @@ object TextAnalysis {
     *
     * @return the merge table: (step, pair, merged, cnt), k rows (or
     *   fewer if the vocabulary runs out of pairs).
+    * @param checkpointEvery re-materialize the rewritten vocabulary
+    *   every this many rounds: each round stacks one `replace`
+    *   projection on the plan, and without periodic checkpoints round
+    *   r re-analyzes and re-executes all r−1 prior projections from
+    *   the base vocab — O(k²) total plan replay, which is irrelevant
+    *   at k=8 but dominates a production k=32000 vocabulary. With the
+    *   cadence, plan depth is bounded by the cadence and training is
+    *   O(k). Spec'd flat-per-round at k=64 in OperatorsSpec.
     */
-  def bpeMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, textCol: String, k: Int,
+                checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val spark = docs.sparkSession
     val vocab = docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
@@ -222,6 +232,7 @@ object TextAnalysis {
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var cur = vocab
+    var lastCkpt: Option[DataFrame] = None
     var step = 1
     var exhausted = false
     while (step <= k && !exhausted) {
@@ -243,6 +254,17 @@ object TextAnalysis {
         val merged = pair.replace(" ", "")
         merges += ((step, pair, merged, top(0).getLong(1)))
         cur = cur.withColumn("sym", replace(col("sym"), lit(pair), lit(merged)))
+        if (step % checkpointEvery == 0) {
+          cur = cur.localCheckpoint()
+          // drop the superseded checkpoint's blocks (Dataset.unpersist
+          // only touches the cache manager; the checkpoint lives on the
+          // underlying InternalRow RDD) — live storage stays O(1) vocab
+          // copies however large k grows
+          lastCkpt.foreach(ds =>
+            try ds.queryExecution.toRdd.unpersist(blocking = false)
+            catch { case _: Throwable => () })
+          lastCkpt = Some(cur)
+        }
         step += 1
       }
     }

@@ -1291,6 +1291,43 @@ class OperatorsSpec extends SparkSpec {
     assert(seg.toSeq == Seq((1L, 4, 1 + 3 + 4 + 4), (2L, 0, 0)))
   }
 
+  test("bpeMerges checkpoint cadence: identical rules, O(1) live storage, no replay tax at k=64") {
+    // vocabulary rich enough for 64 distinct merges: varied words from
+    // the testdata corpus
+    val docs = queries.Tables(spark, "/root/testdata/sf0.001").documents
+      .select("text").localCheckpoint()
+    def rules(df: org.apache.spark.sql.DataFrame) = df.orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+    // 1) the cadence must not change the learned table (checkpointing
+    //    is a plan-materialization detail, not semantics)
+    val every1 = rules(TextAnalysis.bpeMerges(docs, "text", k = 12, checkpointEvery = 1))
+    val never = rules(TextAnalysis.bpeMerges(docs, "text", k = 12, checkpointEvery = 1 << 30))
+    assert(every1 == never, "checkpoint cadence changed the merge table")
+
+    // 2) live checkpoint storage stays O(1) in k: superseded vocab
+    //    checkpoints are dropped as training proceeds
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val t0 = System.nanoTime()
+    val ckpt64 = rules(TextAnalysis.bpeMerges(docs, "text", k = 64, checkpointEvery = 8))
+    val tCkpt = (System.nanoTime() - t0) / 1e9
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(ckpt64.size == 64, s"corpus must support 64 merges, got ${ckpt64.size}")
+    assert(after - before <= 3,
+      s"k=64 training must retain O(1) checkpoints, grew by ${after - before}")
+
+    // 3) the cadence must not COST versus no checkpointing at the same
+    //    k (it exists to remove the O(k^2) plan replay; at minimum it
+    //    must break even, and the k=32000 case rides on this property)
+    val t1 = System.nanoTime()
+    val plain64 = rules(TextAnalysis.bpeMerges(docs, "text", k = 64, checkpointEvery = 1 << 30))
+    val tPlain = (System.nanoTime() - t1) / 1e9
+    assert(ckpt64 == plain64, "k=64 tables must agree between cadences")
+    info(f"k=64 rounds: checkpointed $tCkpt%.1fs vs plan-replay $tPlain%.1fs")
+    assert(tCkpt <= tPlain * 1.25 + 2.0,
+      f"checkpoint cadence must not tax training: $tCkpt%.1fs vs $tPlain%.1fs")
+  }
+
   test("prioritySample: deterministic top-k by weight/u, replayable from the hash") {
     import graft.functions.MixedHash64
     val items = (0L until 200L).map(i => (i, 1L + i % 7)).toDF("id", "w")
