@@ -184,6 +184,95 @@ class RegistrySpec extends SparkSpec {
       s"live writer must rebase onto the slow commit, got $labels")
   }
 
+  test("fleet-concurrency stress: 8 writers x mixed ops keep the invariant and the version chain") {
+    // Property-style storm over FOUR independent instances (shared
+    // in-JVM lock only within an instance — cross-instance ordering is
+    // the marker CAS alone, as across driver processes) with random
+    // think-time injected between ops to scatter the interleavings
+    // around the grace-period window. Ops per thread is sized for CI
+    // wall-clock: every committed mutation is a full parquet
+    // write+rename+read cycle (~0.25 s), and the INVARIANTS are
+    // per-interleaving, not per-volume.
+    val dir = Files.createTempDirectory("graft-registry-stress").toString
+    val regs = IndexedSeq.fill(4)(new DatasetRegistry(spark, s"$dir/registry"))
+    val labels = IndexedSeq("A", "B", "C")
+    val dates = IndexedSeq(d, Date.valueOf("2025-04-02"))
+    val nThreads = 8
+    val opsPerThread = 10
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val inserted = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val deactivated = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val statusSet = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(1000 + t) // deterministic per thread
+        try (1 to opsPerThread).foreach { _ =>
+          val reg = regs(rnd.nextInt(regs.size))
+          Thread.sleep(rnd.nextInt(20).toLong)
+          rnd.nextInt(10) match {
+            case k if k < 6 || inserted.isEmpty => // 60% inserts
+              inserted.add(reg.insert(
+                dates(rnd.nextInt(dates.size)), labels(rnd.nextInt(labels.size)), 1, 1))
+            case k if k < 8 => // 20% status flips on a random known id
+              val ids = inserted.toArray(Array.empty[java.lang.Long])
+              val id = ids(rnd.nextInt(ids.length)).longValue
+              reg.setStatus(id, DatasetStatus.Empty)
+              statusSet.add(id)
+            case _ => // 20% explicit deactivations
+              val ids = inserted.toArray(Array.empty[java.lang.Long])
+              val id = ids(rnd.nextInt(ids.length)).longValue
+              reg.deactivate(id)
+              deactivated.add(id)
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"every op must commit through contention: $errors")
+
+    val rows = regs.head.load().collect()
+    val ids = inserted.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq
+    // no lost updates, no id collisions: ids are exactly 1..N
+    assert(rows.length == ids.length, s"${ids.length} inserts but ${rows.length} rows")
+    assert(rows.map(_.datasetid).sorted.toSeq == (1L to ids.length).toSeq,
+      "serialized id allocation must yield a dense 1..N chain")
+    assert(ids.sorted == (1L to ids.length).toSeq, "returned ids must be the same chain")
+    // trigger-grade invariant under every interleaving
+    for (((l, dt), g) <- rows.groupBy(r => (r.label, r.datasetdate)))
+      assert(g.count(_.isactive) <= 1, s"multiple actives for ($l, $dt)")
+    // nothing ever reactivates: an explicitly deactivated id stays closed
+    val byId = rows.map(r => r.datasetid -> r).toMap
+    deactivated.forEach { id =>
+      assert(!byId(id.longValue).isactive, s"deactivated $id came back active")
+      assert(byId(id.longValue).effthrudate.isDefined, s"deactivated $id has an open window")
+    }
+    // per key: the only possible active is the newest insert, and it IS
+    // active unless explicitly deactivated
+    val deact = deactivated.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSet
+    for (((l, dt), g) <- rows.groupBy(r => (r.label, r.datasetdate))) {
+      val maxId = g.map(_.datasetid).max
+      g.filter(_.isactive).foreach(a =>
+        assert(a.datasetid == maxId, s"active for ($l, $dt) is not the newest insert"))
+      if (!deact.contains(maxId))
+        assert(byId(maxId).isactive, s"newest insert $maxId for ($l, $dt) lost its active flag")
+    }
+    // displaced versions all carry a closed SCD-2 window
+    assert(rows.filterNot(_.isactive).forall(_.effthrudate.isDefined))
+    // the on-disk version chain is monotone and complete at the head:
+    // every retained commit marker above the prune watermark has its
+    // committed data directory, and both instances resolve the same head
+    val fsPath = new org.apache.hadoop.fs.Path(s"$dir/registry.versions")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(fsPath).map(_.getPath.getName)
+    val markers = names.collect { case s if s.startsWith("commit-") => s.stripPrefix("commit-").toLong }.sorted
+    val datas = names.collect { case s if s.startsWith("data-") => s.stripPrefix("data-").toLong }.toSet
+    assert(markers.nonEmpty && markers.takeRight(1).forall(datas.contains), "head must be committed")
+    assert(markers.takeRight(8).forall(datas.contains),
+      "retained tail of the version chain must be contiguous committed snapshots")
+    assert(regs(3).load().collect().map(_.datasetid).sorted.toSeq ==
+      rows.map(_.datasetid).sorted.toSeq, "all instances must resolve the same head")
+  }
+
   test("registry upgrades in place from a legacy bare-parquet table") {
     import org.apache.spark.sql.SaveMode
     val dir = Files.createTempDirectory("graft-registry-legacy").toString
