@@ -1,0 +1,134 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.DatasetStatus
+import graft.registry.DatasetRegistry
+
+/** The composed end-to-end curation pipeline — the full nightly loop
+  * the reference runs as `run_download_and_import.sh` →
+  * `generic_import.py:520-796` (watch a landing zone, import each
+  * delivery, register it, dedup against history, maintain indexes),
+  * extended with the curation/packing tail a training-data pipeline
+  * adds. One delivery = one call to [[processDelivery]]:
+  *
+  *  1. quality gate ([[TextAnalysis.qualityFilter]]) — junk never pays
+  *     sketch cost;
+  *  2. incremental dedup ingest ([[Dedup.ingestBatch]]): batch-internal
+  *     exact dedup, known-exact drop against the fingerprint index
+  *     (re-deliveries vanish here), near-dup candidates vs the LSH
+  *     index, append both indexes, auto-compaction once append debt
+  *     passes the threshold (the Q33 maintenance trigger);
+  *  3. registry version commit ([[DatasetRegistry.insert]], the Q27
+  *     protocol): a re-delivered (label, type, date) displaces its
+  *     sibling, and an all-duplicate delivery is marked Empty exactly
+  *     like the reference's `update_dataset_empty_status`;
+  *  4. survivors append to the curated store, stamped with their
+  *     registry datasetid.
+  *
+  * [[packAndAudit]] closes the loop: hash-sharded packing (scale-safe —
+  * no global row_number; the shard id is a deterministic mod of the
+  * dd03 document hash, replayable in SQL), a manifest of declared
+  * per-shard counts, and an audit that re-reads BOTH the shard store
+  * and the manifest and compares — the in08 shard-list contract, now at
+  * the end of a real pipeline instead of a fixture.
+  *
+  * Everything is order-robust where it must be: survivors and shard
+  * assignment depend only on (text, doc_id, delivery membership), so
+  * any interleaving of re-deliveries — including across stream restarts
+  * — produces the identical manifest (PipelineSpec proves stream-fed ==
+  * batch-fed bit-exactly).
+  */
+object CurationPipeline {
+
+  final case class Config(
+      workDir: String,
+      datasetdate: Date,
+      thresholds: TextAnalysis.QualityThresholds = TextAnalysis.QualityThresholds(
+        minTokens = 25, maxTokens = 1000000,
+        maxRepetitionRatio = 0.65, maxPunctRatio = 0.3),
+      shardSize: Long = 64L,
+      maxIndexFiles: Long = 48L,
+      nearDupThreshold: Double = 0.5
+  ) {
+    def lshPath: String = s"$workDir/lsh"
+    def fingerprintPath: String = s"$workDir/fp"
+    def curatedPath: String = s"$workDir/curated"
+    def shardsPath: String = s"$workDir/shards"
+    def manifestPath: String = s"$workDir/manifest"
+    def registryPath: String = s"$workDir/registry"
+  }
+
+  final case class DeliveryResult(
+      label: String,
+      datasetId: Long,
+      nFresh: Long,
+      nNearDupCandidates: Long,
+      compacted: Boolean)
+
+  /** Ingest one delivery batch (columns ⊇ doc_id, text, source). */
+  def processDelivery(
+      batch: DataFrame,
+      label: String,
+      registry: DatasetRegistry,
+      cfg: Config
+  ): DeliveryResult = {
+    val (kept, _) = TextAnalysis.qualityFilter(batch, col("text"), cfg.thresholds)
+    val ing = Dedup.ingestBatch(
+      kept, "doc_id", "text",
+      cfg.lshPath, cfg.fingerprintPath,
+      threshold = cfg.nearDupThreshold, maxFiles = cfg.maxIndexFiles)
+    val nFresh = ing.fresh.count()
+    // candidates are forced here so the index probe genuinely runs in
+    // the composition (they inform review queues downstream; exact
+    // re-deliveries are already gone via the fingerprint anti-join)
+    val nNear = ing.nearDups.count()
+    val id = registry.insert(cfg.datasetdate, label, datasettypeid = 1, datasourceid = 1)
+    if (nFresh == 0) registry.setStatus(id, DatasetStatus.Empty)
+    else
+      ing.fresh.select(col("doc_id"), col("text"), col("source"))
+        .withColumn("datasetid", lit(id))
+        .write.mode("append").parquet(cfg.curatedPath)
+    DeliveryResult(label, id, nFresh, nNear, ing.compacted)
+  }
+
+  /** Pack the curated store into hash-assigned shards, write the
+    * manifest, and audit declared vs actual counts with one scan of
+    * the shard store joined (full-outer — a shard missing from either
+    * side must surface, not vanish) against the re-read manifest.
+    *
+    * @return (shard_id, n_docs, manifest_n, matches), ordered.
+    */
+  def packAndAudit(spark: SparkSession, cfg: Config): DataFrame = {
+    graft.functions.MixedHash64.register(spark)
+    val curated = spark.read.parquet(cfg.curatedPath)
+      .select("doc_id", "text", "source")
+    val n = curated.count()
+    val nShards = math.max(1L, (n + cfg.shardSize - 1) / cfg.shardSize)
+    val sharded = curated.withColumn(
+      "shard_id",
+      pmod(graft.functions.MixedHash64(col("doc_id").cast("string")), lit(nShards)))
+      .localCheckpoint() // one computation feeds the store and the manifest
+    // one file per shard: repartition BY the partition column so the
+    // writer never fans each task out over every shard directory
+    sharded.repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(cfg.shardsPath)
+    sharded.groupBy("shard_id").agg(count(lit(1)).as("manifest_n"))
+      .coalesce(1).write.mode("overwrite").json(cfg.manifestPath)
+    val actual = spark.read.parquet(cfg.shardsPath)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    val declared = spark.read
+      .schema("shard_id LONG, manifest_n LONG").json(cfg.manifestPath)
+    actual
+      .join(declared, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("manifest_n"), lit(0L)).as("manifest_n"))
+      .withColumn("matches", col("n_docs") === col("manifest_n"))
+      .orderBy("shard_id")
+  }
+}

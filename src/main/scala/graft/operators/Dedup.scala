@@ -227,13 +227,21 @@ object Dedup {
       mode: String = "overwrite"
   ): Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
-    val sigs = df
-      .select(col(idCol).as("id"), minHashSignature(col(textCol), k, numHashes).as("sig"))
-      .where(size(col("sig")) > 0)
-      .localCheckpoint()
+    writeLshIndexSigs(
+      df.select(col(idCol).as("id"), minHashSignature(col(textCol), k, numHashes).as("sig"))
+        .where(size(col("sig")) > 0)
+        .localCheckpoint(),
+      path, bands, numHashes / bands, mode)
+  }
+
+  /** Index write from PRE-COMPUTED signatures (id, sig) — the shared
+    * tail of [[writeLshIndex]], exposed so [[ingestBatch]] can sketch
+    * each batch once and feed both the index probe and the append.
+    */
+  private def writeLshIndexSigs(
+      sigs: DataFrame, path: String, bands: Int, rowsPerBand: Int, mode: String): Unit = {
     sigs
-      .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("band"))
+      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
       .select(col("id"), col("band.band_idx"), col("band.band_key"))
       .repartition(col("band_idx"))
       .write.mode(mode).partitionBy("band_idx").parquet(s"$path/bands")
@@ -333,20 +341,32 @@ object Dedup {
       bands: Int = 16
   ): BatchIngest = {
     val spark = batch.sparkSession
+    require(numHashes % bands == 0, "numHashes must divide into bands")
     val bootstrap = !new java.io.File(fingerprintPath).exists()
     val deduped = exactDedup(batch, idCol, Seq(textCol))
+    // the batch is sketched ONCE; the same materialized signatures feed
+    // the index probe and the index append
+    def sigsOf(df: DataFrame) = df
+      .select(col(idCol).as("id"), minHashSignature(col(textCol), k, numHashes).as("sig"))
+      .where(size(col("sig")) > 0)
+      .localCheckpoint()
     if (bootstrap) {
       val fresh = deduped.localCheckpoint()
-      writeLshIndex(fresh, idCol, textCol, lshPath, k, numHashes, bands)
+      writeLshIndexSigs(sigsOf(fresh), lshPath, bands, numHashes / bands, mode = "overwrite")
       writeFingerprintIndex(fresh, Seq(textCol), fingerprintPath)
       BatchIngest(fresh, spark.emptyDataFrame
         .selectExpr("cast(null as long) id_new", "cast(null as long) id_old",
           "cast(null as double) est_jaccard").limit(0), compacted = false)
     } else {
       val fresh = dropKnownExact(deduped, Seq(textCol), fingerprintPath).localCheckpoint()
-      val cands = dedupAgainstIndex(
-        fresh, idCol, textCol, lshPath, k, numHashes, bands, threshold)
-      writeLshIndex(fresh, idCol, textCol, lshPath, k, numHashes, bands, mode = "append")
+      val sigs = sigsOf(fresh)
+      // materialized BEFORE the index append: the candidate plan reads
+      // the CURRENT index files, and step 4's compaction may delete
+      // them — a caller forcing a lazy nearDups after compaction would
+      // die on vanished parquet parts
+      val cands = dedupAgainstIndexSigs(sigs, lshPath, numHashes, bands, threshold)
+        .localCheckpoint()
+      writeLshIndexSigs(sigs, lshPath, bands, numHashes / bands, mode = "append")
       writeFingerprintIndex(fresh, Seq(textCol), fingerprintPath, mode = "append")
       val compacted = maybeCompactIndexes(
         spark, Some(lshPath), Some(fingerprintPath), maxFiles)
@@ -375,12 +395,25 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
-    val spark = newDf.sparkSession
     val newSigs = newDf
       .select(col(idCol).as("id"), minHashSignature(col(textCol), k, numHashes).as("sig"))
       .where(size(col("sig")) > 0)
       .localCheckpoint()
+    dedupAgainstIndexSigs(newSigs, path, numHashes, bands, threshold)
+  }
+
+  /** Index probe from PRE-COMPUTED batch signatures — the shared tail
+    * of [[dedupAgainstIndex]] (see [[writeLshIndexSigs]]).
+    */
+  private def dedupAgainstIndexSigs(
+      newSigs: DataFrame,
+      path: String,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double
+  ): DataFrame = {
+    val r = numHashes / bands
+    val spark = newSigs.sparkSession
     val newBanded = newSigs
       .select(col("id"), explode(lshBands(col("sig"), bands, r)).as("band"))
       .select(col("id").as("id_new"), col("band.band_idx"), col("band.band_key"))

@@ -1570,6 +1570,88 @@ object TrainingData {
     }
   )
 
+  // in09 pipeline state is rebuilt from scratch on every build (the
+  // registry/index/shard state is what the query exercises); the
+  // PREVIOUS build's work dir is deleted so bench reruns stay
+  // disk-bounded. The landing zone is staged once per sf dir.
+  private val e2eWorkDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The composed end-to-end curation pipeline as ONE verifiable row
+    * (operators.CurationPipeline — quality gate → incremental
+    * exact/LSH dedup ingest with auto-compaction → registry version
+    * commit → hash-sharded packing → manifest audit), fed four
+    * deliveries from a staged landing zone: shards 0, 1, 2 and then a
+    * RE-DELIVERY of shard 0, whose rows must all die in the
+    * fingerprint anti-join and leave only an Empty registry version
+    * behind. The oracle replays the externally-determined outcome —
+    * quality thresholds (td49's), first-delivery-wins exact dedup
+    * (delivery order = shard number, then doc_id), and the dd03-hash
+    * shard assignment — so a green row proves the COMPOSITION
+    * (including the re-delivery) preserved exactly the documents and
+    * counts it should, at any scale.
+    */
+  val in09CurationE2e = Query(
+    "in09_curation_e2e", {
+      val signed = toSignedSql(s"(${fmixSql(s"(${foldSql("CAST(doc_id AS VARCHAR)")})")})")
+      Some(
+        s"""WITH w AS (SELECT doc_id, text,
+           |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+           |       ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS toks
+           |FROM documents),
+           |f AS (SELECT doc_id, text,
+           |  LEN(toks) AS n_tokens,
+           |  CASE WHEN LEN(toks) > 0
+           |    THEN 1.0 - CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks)
+           |    ELSE 0.0 END AS rep,
+           |  CASE WHEN LENGTH(text) > 0
+           |    THEN CAST(LEN(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / LENGTH(text)
+           |    ELSE 0.0 END AS punct
+           |FROM w),
+           |kept AS (SELECT doc_id, text FROM f
+           |  WHERE NOT (n_tokens < 25 OR n_tokens > 1000000
+           |             OR rep > 0.65 OR punct > 0.3)),
+           |ded AS MATERIALIZED (SELECT doc_id FROM (
+           |    SELECT doc_id,
+           |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id % 3, doc_id) AS rn
+           |    FROM kept) WHERE rn = 1),
+           |ns AS (SELECT GREATEST(1, (COUNT(*) + 63) // 64) AS n_shards FROM ded),
+           |h AS (SELECT doc_id, $signed AS hv FROM ded),
+           |sh AS (SELECT ((hv % (SELECT n_shards FROM ns)) + (SELECT n_shards FROM ns))
+           |         % (SELECT n_shards FROM ns) AS shard_id FROM h)
+           |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(*) AS BIGINT) AS manifest_n, TRUE AS matches
+           |FROM sh GROUP BY shard_id ORDER BY shard_id""".stripMargin)
+    },
+    (spark, dir) => {
+      import graft.operators.CurationPipeline
+      val t = Tables(spark, dir)
+      val landing = jsonlDirs.computeIfAbsent(s"e2e:$dir", _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-e2e-landing")
+        p.toFile.deleteOnExit()
+        val docs = t.documents.withColumn("shard", col("doc_id") % 3)
+        (0L to 2L).foreach { s =>
+          docs.filter(col("shard") === s).drop("shard")
+            .coalesce(1).write.mode("overwrite").json(s"$p/shard_$s")
+        }
+        p.toString
+      })
+      val work = java.nio.file.Files.createTempDirectory("graft-e2e-work").toString
+      Option(e2eWorkDirs.put(dir, work)).foreach { prev =>
+        val fs = new org.apache.hadoop.fs.Path(prev)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(prev), true)
+      }
+      val cfg = CurationPipeline.Config(work, java.sql.Date.valueOf("2026-01-01"))
+      val reg = new graft.registry.DatasetRegistry(spark, cfg.registryPath)
+      Seq(0, 1, 2, 0).foreach { s => // 0 again = the re-delivery
+        val batch = spark.read.schema(t.documents.schema).json(s"$landing/shard_$s")
+        CurationPipeline.processDelivery(batch, s"shard_$s", reg, cfg)
+      }
+      CurationPipeline.packAndAudit(spark, cfg)
+    }
+  )
+
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine
     * exceeds a tight threshold — semantic dedup over the embedding
     * column. Same broadcast-pair plan as the KNN; the threshold filter
@@ -4439,6 +4521,6 @@ object TrainingData {
     ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity,
     in07BinaryScan, dd18CdcChunks, ss15LabelProp, ss16MultiprobeLsh,
     mm05MediaCanonical, td51SpanCorruption, td52PreferencePairs,
-    td53ThresholdSweep, ss17FilteredAnn, in08ManifestScan
+    td53ThresholdSweep, ss17FilteredAnn, in08ManifestScan, in09CurationE2e
   )
 }
