@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""Emit BENCHRATIO.md: per-query engine (Spark) vs oracle (DuckDB)
+seconds on the same parquet tables — the durable record of the
+campaign comparison that previously lived across wipeable .tmp logs.
+
+One invocation regenerates everything it needs:
+
+    python3 tools/bench_ratio.py /root/repo/.tmp/sf1
+
+  1. Spark side: runs `graft.Bench` at the given SF dir (medians over
+     --runs measured runs) unless --bench-json points at an existing
+     Bench line for that dir.
+  2. DuckDB side: times each `SparkEntry.oracleSql` query (sourced
+     from a Verify dump's oracle_sql.json; --oracle-json overrides,
+     otherwise `sbt runMain graft.Verify` produces one) once on the
+     same tables, with check_oracle's thread/memory discipline.
+  3. Writes BENCHRATIO.md (or --out) with per-query seconds, the
+     ratio, totals, and win counts.
+
+DuckDB timings are single-shot (its run-to-run variance is small and
+the campaign cost is dominated by the heavy replays); a query that
+errors or exceeds --oracle-timeout is recorded as such, not dropped.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_bench(sf_dir, runs):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_BENCH_RUNS=str(runs),
+               SPARK_GRAFT_SF1="0")
+    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       cwd="/root/repo", env=env, capture_output=True, text=True)
+    for line in reversed(r.stdout.splitlines()):
+        if '"metric"' in line:
+            return json.loads(line)
+    print(r.stdout[-3000:], r.stderr[-3000:])
+    sys.exit("bench produced no JSON line")
+
+
+def ensure_oracle_json(sf_dir, work_dir):
+    p = os.path.join(work_dir, "oracle_sql.json")
+    if not os.path.exists(p):
+        env = dict(os.environ, SPARK_GRAFT_CPUS="8", SPARK_GRAFT_SQL_ONLY="1")
+        r = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {work_dir}"],
+            cwd="/root/repo", env=env, capture_output=True, text=True)
+        if r.returncode != 0:
+            print(r.stdout[-3000:], r.stderr[-3000:])
+            sys.exit("verify failed")
+    return json.load(open(p))
+
+
+def duckdb_times(sf_dir, oracle, spill_dir, threads, mem):
+    import duckdb
+
+    def connect(n_threads):
+        c = duckdb.connect()
+        c.execute(f"SET threads TO {n_threads}")
+        c.execute(f"SET memory_limit='{mem}'")
+        c.execute(f"SET temp_directory='{spill_dir}'")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+            elif os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
+
+    con = connect(threads)
+    out = {}
+    for name, sql in sorted(oracle.items()):
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            out[name] = time.time() - t0
+        except Exception as e:
+            # same resource-retry discipline as check_oracle: flip the
+            # thread count on a fresh connection, rebuild the main one
+            if any(s in str(e) for s in ("Out of Memory", "No space left")):
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = connect(threads)
+                flipped = 32 if threads == 16 else 16
+                try:
+                    c2 = connect(flipped)
+                    t0 = time.time()
+                    c2.execute(sql).fetchall()
+                    out[name] = time.time() - t0
+                    c2.close()
+                except Exception as e2:
+                    out[name] = f"error: {type(e2).__name__}"
+            else:
+                out[name] = f"error: {type(e).__name__}"
+        print(f"[duckdb] {name}: {out[name] if isinstance(out[name], str) else '%.2fs' % out[name]}",
+              flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--bench-json", help="existing Bench JSON line file for sf_dir")
+    ap.add_argument("--oracle-json", help="existing oracle_sql.json (a Verify dump)")
+    ap.add_argument("--out", default="/root/repo/BENCHRATIO.md")
+    ap.add_argument("--work", default="/root/repo/.tmp/bench_ratio_work")
+    ap.add_argument("--threads", type=int, default=int(os.environ.get("GRAFT_ORACLE_THREADS", 16)))
+    ap.add_argument("--mem", default=os.environ.get("GRAFT_ORACLE_MEM", "48GB"))
+    a = ap.parse_args()
+    os.makedirs(a.work, exist_ok=True)
+
+    if a.bench_json:
+        bench = json.load(open(a.bench_json))
+    else:
+        bench = run_bench(a.sf_dir, a.runs)
+    spark = bench["queries"]
+
+    if a.oracle_json:
+        oracle = json.load(open(a.oracle_json))
+    else:
+        oracle = ensure_oracle_json(a.sf_dir, a.work)
+    oracle = {k: v for k, v in oracle.items() if k in spark}
+
+    duck = duckdb_times(a.sf_dir, oracle, f"{a.work}/duckdb_spill", a.threads, a.mem)
+
+    rows = []
+    for q in sorted(spark):
+        s = spark[q]
+        d = duck.get(q)
+        if isinstance(d, float) and s >= 0:
+            rows.append((q, s, d, d / s if s > 0 else float("inf")))
+        else:
+            rows.append((q, s, d, None))
+    ok = [r for r in rows if r[3] is not None]
+    s_tot = sum(r[1] for r in ok)
+    d_tot = sum(r[2] for r in ok)
+    wins = sum(1 for r in ok if r[1] < r[2])
+
+    with open(a.out, "w") as f:
+        f.write("# BENCHRATIO — engine (Spark) vs oracle (DuckDB), same queries, same parquet\n\n")
+        f.write(f"- SF dir: `{a.sf_dir}`  \n")
+        f.write(f"- Generated: {time.strftime('%Y-%m-%d %H:%M:%S')} by `tools/bench_ratio.py` "
+                f"(Spark = median of {bench.get('runs', '?')} runs at local[32]; "
+                f"DuckDB = single run, {a.threads} threads, {a.mem} cap)  \n")
+        f.write(f"- **Totals over {len(ok)} comparable queries: Spark {s_tot:.1f} s, "
+                f"DuckDB {d_tot:.1f} s — ratio {d_tot / s_tot:.2f}x; "
+                f"Spark outright faster on {wins}/{len(ok)}.**\n\n")
+        f.write("| query | spark s | duckdb s | duckdb/spark |\n|---|---|---|---|\n")
+        for q, s, d, ratio in sorted(rows, key=lambda r: -(r[3] or -1)):
+            ds = f"{d:.2f}" if isinstance(d, float) else (d or "—")
+            rs = f"{ratio:.2f}" if ratio is not None else "—"
+            f.write(f"| {q} | {s:.2f} | {ds} | {rs} |\n")
+    print(f"wrote {a.out}: Spark {s_tot:.1f}s vs DuckDB {d_tot:.1f}s over {len(ok)} queries")
+
+
+if __name__ == "__main__":
+    main()
