@@ -561,6 +561,44 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Exact n-gram decontamination (the GPT-3 appendix-C / PaLM
+    * protocol): flag TRAINING documents that share any word k-gram
+    * with an EVALUATION set, reporting per-doc overlap counts
+    * (distinct shared grams, distinct eval docs hit, contamination
+    * fraction) so callers can drop or audit the leaks. The exact-join
+    * complement of the Bloom probe (td16): that one is constant-
+    * memory but approximate; this one names the leaking eval docs.
+    *
+    * Scale shape: eval suites are fixed-size (benchmarks don't grow
+    * with the corpus), so the eval gram set is BROADCAST and the
+    * probe is a map-side hash join — no corpus-wide shuffle. Per-doc
+    * gram totals come from `size()` of the distinct-gram array before
+    * the explode, so only HIT rows (contaminated grams) ever reach
+    * the aggregation shuffle.
+    */
+  def ngramDecontam(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8
+  ): DataFrame = {
+    val evalGrams = eval.select(
+      col(idCol).as("eval_id"),
+      explode(graft.functions.Sketches.gramXxHashesCol(col(textCol), k)).as("h"))
+    train
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Sketches.gramXxHashesCol(col(textCol), k).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("n_grams"), explode(col("gs")).as("h"))
+      .join(broadcast(evalGrams), "h")
+      .groupBy("doc_id", "n_grams")
+      .agg(countDistinct(col("h")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .withColumn("contaminated_frac",
+        col("n_shared_grams").cast("double") / col("n_grams").cast("double"))
+      .select("doc_id", "n_grams", "n_shared_grams", "n_eval_docs", "contaminated_frac")
+  }
+
   /** Exact-Jaccard verification RESTRICTED to a candidate pair set —
     * the post-LSH step of the dedup pipeline. The shingle explode is
     * semi-joined down to documents that appear in some candidate pair

@@ -4041,6 +4041,44 @@ object TrainingData {
     }
   )
 
+  /** Exact n-gram decontamination (GPT-3 appendix C / PaLM): training
+    * docs sharing any word 8-gram with the eval slice, with per-doc
+    * counts of distinct leaked grams and distinct eval docs hit. The
+    * exact-join complement of td16's Bloom probe (approximate,
+    * constant-memory) and dd16's embedding screen (semantic): this
+    * one names the leaks. Eval gram set is broadcast (eval suites
+    * don't grow with the corpus), per-doc gram totals come from the
+    * distinct-gram array size BEFORE the explode, so only hit rows
+    * reach the aggregation shuffle. The oracle joins the true gram
+    * STRINGS, so hash-join equality is itself verified (dd12's rule).
+    */
+  val td54NgramDecontam = Query(
+    "td54_ngram_decontam",
+    Some("""WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w FROM documents),
+            |d AS (SELECT doc_id, CAST(LEN(w) AS INT) AS n, w FROM words WHERE LEN(w) >= 8),
+            |g AS (SELECT DISTINCT doc_id, list_aggregate(w[i:i+7], 'string_agg', ' ') AS s
+            |      FROM d, UNNEST(range(1, n - 6)) t(i)),
+            |ev AS MATERIALIZED (SELECT doc_id AS eval_id, s FROM g WHERE doc_id % 10 = 7),
+            |tr AS MATERIALIZED (SELECT doc_id, s FROM g WHERE doc_id % 10 <> 7),
+            |sz AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_grams FROM tr GROUP BY doc_id),
+            |hit AS (SELECT tr.doc_id, tr.s, ev.eval_id FROM tr JOIN ev USING (s)),
+            |agg AS (SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_shared_grams,
+            |          CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+            |        FROM hit GROUP BY doc_id)
+            |SELECT a.doc_id, sz.n_grams, a.n_shared_grams, a.n_eval_docs,
+            |  CAST(a.n_shared_grams AS DOUBLE) / CAST(sz.n_grams AS DOUBLE) AS contaminated_frac
+            |FROM agg a JOIN sz USING (doc_id) ORDER BY a.doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      graft.operators.Dedup
+        .ngramDecontam(
+          t.documents.filter(col("doc_id") % 10 =!= 7),
+          t.documents.filter(col("doc_id") % 10 === 7),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }
+  )
+
   /** Tokenizer fertility per language — subwords emitted per word
     * under the learned BPE merge table (td40/td41's tokenizer), the
     * standard "how well does this tokenizer fit this language" metric
@@ -4521,6 +4559,7 @@ object TrainingData {
     ss13KnnTriangles, st04Attribution, ss14LinkPrediction, td50KAnonymity,
     in07BinaryScan, dd18CdcChunks, ss15LabelProp, ss16MultiprobeLsh,
     mm05MediaCanonical, td51SpanCorruption, td52PreferencePairs,
-    td53ThresholdSweep, ss17FilteredAnn, in08ManifestScan, in09CurationE2e
+    td53ThresholdSweep, ss17FilteredAnn, in08ManifestScan, in09CurationE2e,
+    td54NgramDecontam
   )
 }

@@ -37,6 +37,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1).isEmpty && got(2).isEmpty)
   }
 
+  test("ngramDecontam flags train docs sharing a word 8-gram with the eval set") {
+    val train = Seq(
+      (1L, "a b c d e f g h i j"), // 3 distinct 8-grams, one shared
+      (2L, "z y x w v u t s r q"), // no overlap
+      (3L, "a b c d e f g") // 7 words: no 8-gram at all
+    ).toDF("id", "t")
+    val eval = Seq((100L, "a b c d e f g h")).toDF("id", "t")
+    val got = Dedup.ngramDecontam(train, eval, "id", "t", k = 8).collect()
+    assert(got.length == 1, got.mkString(","))
+    val r = got.head
+    assert(r.getLong(0) == 1L) // doc_id
+    assert(r.getInt(1) == 3) // n_grams
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L) // shared grams, eval docs
+    assert(r.getDouble(4) == 1.0 / 3.0) // exact-int division both engines
+  }
+
   test("minhash LSH candidates achieve full recall vs exact jaccard >= 0.5 (sf0.001)") {
     val truth = Dedup
       .jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)

@@ -536,4 +536,10 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
       s"no exchange may carry the document text:\n$p")
   }
+
+  test("td54 decontam probe broadcasts the eval gram set — corpus grams never sort-merge") {
+    val p = plan(TrainingData.td54NgramDecontam.build(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle for the join:\n$p")
+  }
 }

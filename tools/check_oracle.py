@@ -25,6 +25,10 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     if "--skip-verify" not in sys.argv:
         env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+        # --only narrows BOTH sides: without this, Verify reruns the
+        # whole catalog while the DuckDB compare checks two queries
+        if "--only" in sys.argv and "SPARK_GRAFT_ONLY" not in os.environ:
+            env["SPARK_GRAFT_ONLY"] = sys.argv[sys.argv.index("--only") + 1]
         r = subprocess.run(
             ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
             cwd="/root/repo", env=env, capture_output=True, text=True)
