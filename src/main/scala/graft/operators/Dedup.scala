@@ -854,6 +854,64 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Two-level SimHash near-dup: collapse identical sketches into
+    * CLASSES first (`group by s` → representative = min id, size m),
+    * then run the Manku banded join over the DISTINCT sketches only.
+    * Emits one row per near-dup class pair — a self row (rep, rep,
+    * hamming 0, m·(m−1)/2 implied doc pairs) for every class of ≥2,
+    * and a cross row (rep_a, rep_b, hamming, m_a·m_b) for every
+    * distinct-sketch pair within `maxHamming`. The sum of
+    * `implied_pairs` equals [[simHashPairs]]'s row count EXACTLY
+    * (every doc pair lands in exactly one class pair), so the
+    * collapsed form loses nothing — it just refuses to materialize
+    * duplicate-multiplicity² rows.
+    *
+    * This is the shape that survives duplicate-heavy corpora: the
+    * banded join is quadratic in per-bucket DISTINCT sketches, not in
+    * documents, so a million bit-identical copies cost one groupBy
+    * row instead of 5·10¹¹ candidate pairs. [[simHashPairs]] stays
+    * the doc-level form for oracle parity and corpora where sketches
+    * rarely repeat.
+    */
+  def simHashClassPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val cls = df
+      .select(col(idCol).as("id"), simHash64(col(textCol)).as("s"))
+      .groupBy("s")
+      .agg(min("id").as("rep"), count(lit(1)).as("m"))
+      .localCheckpoint() // consumed by the band explode, both verify lookups, and self rows
+    val banded = cls.select(
+      col("s"), col("rep"), col("m"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_idx"),
+          (shiftright(col("s"), 16 * b).bitwiseAND(lit(0xffffL))).as("band_key"))
+      }: _*)).as("band"))
+      .select(col("s"), col("rep"), col("m"), col("band.band_idx"), col("band.band_key"))
+    val cross = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"),
+        col("a.m").as("size_a"), col("b.m").as("size_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("s_a").bitwiseXOR(col("s_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("rep_a"), col("rep_b"), col("hamming"),
+        col("size_a"), col("size_b"),
+        (col("size_a") * col("size_b")).as("implied_pairs"))
+    val self = cls.filter(col("m") >= 2)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        lit(0).as("hamming"), col("m").as("size_a"), col("m").as("size_b"),
+        expr("CAST(m * (m - 1) DIV 2 AS BIGINT)").as("implied_pairs"))
+    cross.unionByName(self)
+  }
+
   /** Quality-aware canonical selection: cluster documents by the md5
     * of their first `prefixWords` NORMALIZED words — the same-opening
     * fingerprint that catches truncation variants exact hashing

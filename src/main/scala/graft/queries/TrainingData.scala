@@ -2430,6 +2430,47 @@ object TrainingData {
     }
   )
 
+  /** Two-level SimHash near-dup (the duplicate-multiplicity-proof
+    * form of dd08): identical sketches collapse into classes BEFORE
+    * the banded join, so the join is quadratic in distinct sketches,
+    * not documents — Σ implied_pairs reproduces dd08's pair count
+    * exactly while emitting O(classes) rows. This is the path that
+    * stays linear on this corpus at sf10, where dd08's doc-level
+    * pair output itself grows ~110× per 10× of data (replica
+    * multiplicity²; see NOTES round 8).
+    */
+  val dd19SimhashClasses = Query(
+    "dd19_simhash_classes",
+    Some(
+      s"""WITH $simhashCtes,
+         |sk AS (SELECT doc_id, ${toSignedSql("u2")} AS s FROM agg),
+         |cls AS MATERIALIZED (SELECT s, MIN(doc_id) AS rep, COUNT(*) AS m FROM sk GROUP BY s),
+         |banded AS MATERIALIZED (
+         |  SELECT s, rep, m, b, (s >> CAST(16 * b AS INT)) & 65535 AS key
+         |  FROM cls, range(4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.rep AS rep_a, b2.rep AS rep_b, a.s AS s_a, b2.s AS s_b,
+         |    a.m AS size_a, b2.m AS size_b
+         |  FROM banded a JOIN banded b2
+         |    ON a.b = b2.b AND a.key = b2.key AND a.rep < b2.rep),
+         |cross_pairs AS (
+         |  SELECT rep_a, rep_b, CAST(bit_count(xor(s_a, s_b)) AS INT) AS hamming,
+         |    size_a, size_b, CAST(size_a * size_b AS BIGINT) AS implied_pairs
+         |  FROM cand WHERE bit_count(xor(s_a, s_b)) <= 3),
+         |self_pairs AS (
+         |  SELECT rep AS rep_a, rep AS rep_b, 0 AS hamming, m AS size_a, m AS size_b,
+         |    CAST(m * (m - 1) // 2 AS BIGINT) AS implied_pairs
+         |  FROM cls WHERE m >= 2)
+         |SELECT * FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM self_pairs)
+         |ORDER BY rep_a, rep_b""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Dedup.simHashClassPairs(t.documents, "doc_id", "text", maxHamming = 3),
+        "rep_a", "rep_b")
+    }
+  )
+
   /** Approximate quantiles via deterministic hash sampling: a 10%
     * sample keyed on mixed_hash64(o_orderkey) — reproducible across
     * runs AND replayable in the oracle (unlike rand()-based
@@ -4560,6 +4601,6 @@ object TrainingData {
     in07BinaryScan, dd18CdcChunks, ss15LabelProp, ss16MultiprobeLsh,
     mm05MediaCanonical, td51SpanCorruption, td52PreferencePairs,
     td53ThresholdSweep, ss17FilteredAnn, in08ManifestScan, in09CurationE2e,
-    td54NgramDecontam
+    td54NgramDecontam, dd19SimhashClasses
   )
 }

@@ -646,6 +646,29 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simHashClassPairs conserves simHashPairs' doc-pair count exactly") {
+    // multiplicity-heavy corpus: 1/2/4 are word permutations (identical
+    // bag ⇒ identical sketch ⇒ one class of 3), 2-gram near-dup 5, and
+    // an unrelated singleton
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "quick the brown fox jumps over the lazy dog again and again today"),
+      (4L, "today again and again dog lazy the over jumps fox brown quick the"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (9L, "completely unrelated text about databases and distributed query engines")
+    ).toDF("doc_id", "text")
+    val docPairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 6).count()
+    val cls = Dedup.simHashClassPairs(corpus, "doc_id", "text", maxHamming = 6).collect()
+    assert(cls.map(_.getLong(5)).sum == docPairs,
+      s"implied_pairs must sum to the doc-level pair count ($docPairs)")
+    val self = cls.filter(r => r.getLong(0) == r.getLong(1))
+    assert(self.length == 1 && self.head.getLong(0) == 1L &&
+      self.head.getLong(3) == 3L && self.head.getLong(5) == 3L,
+      "the permutation class collapses to one self row: rep 1, size 3, 3 implied pairs")
+    assert(cls.forall(r => r.getLong(0) == r.getLong(1) || r.getInt(2) > 0),
+      "cross rows are between distinct sketches (hamming > 0)")
+  }
+
   test("prefix-filtered jaccard join equals the full join at thresholds 0.3/0.5/0.7") {
     Seq(0.3, 0.5, 0.7).foreach { t =>
       val full = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = t)
