@@ -59,14 +59,18 @@ def ensure_oracle_json(sf_dir, work_dir):
     return json.load(open(p))
 
 
-def duckdb_times(sf_dir, oracle, spill_dir, threads, mem):
+def duckdb_times(sf_dir, oracle, spill_dir, threads, mem, timeout_s, max_spill):
     import duckdb
+    import threading
 
     def connect(n_threads):
         c = duckdb.connect()
         c.execute(f"SET threads TO {n_threads}")
         c.execute(f"SET memory_limit='{mem}'")
         c.execute(f"SET temp_directory='{spill_dir}'")
+        # hard spill ceiling: a runaway recursive/pair materialization
+        # aborts its own query instead of filling the disk for the box
+        c.execute(f"SET max_temp_directory_size='{max_spill}'")
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
             if os.path.isdir(p):
@@ -79,13 +83,23 @@ def duckdb_times(sf_dir, oracle, spill_dir, threads, mem):
     out = {}
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
+        # cooperative per-query timeout: interrupt() makes the running
+        # execute() raise InterruptException; the connection survives
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
         try:
             con.execute(sql).fetchall()
             out[name] = time.time() - t0
+        except duckdb.InterruptException:
+            out[name] = f"timeout: >{timeout_s}s"
         except Exception as e:
             # same resource-retry discipline as check_oracle: flip the
-            # thread count on a fresh connection, rebuild the main one
-            if any(s in str(e) for s in ("Out of Memory", "No space left")):
+            # thread count on a fresh connection, rebuild the main one.
+            # A spill-cap abort is NOT retried — the retry would just
+            # grind to the same ceiling again.
+            if "max_temp_directory_size" in str(e):
+                out[name] = f"spill-cap: >{max_spill}"
+            elif any(s in str(e) for s in ("Out of Memory", "No space left")):
                 try:
                     con.close()
                 except Exception:
@@ -95,13 +109,22 @@ def duckdb_times(sf_dir, oracle, spill_dir, threads, mem):
                 try:
                     c2 = connect(flipped)
                     t0 = time.time()
-                    c2.execute(sql).fetchall()
-                    out[name] = time.time() - t0
+                    t2 = threading.Timer(timeout_s, c2.interrupt)
+                    t2.start()
+                    try:
+                        c2.execute(sql).fetchall()
+                        out[name] = time.time() - t0
+                    finally:
+                        t2.cancel()
                     c2.close()
+                except duckdb.InterruptException:
+                    out[name] = f"timeout: >{timeout_s}s"
                 except Exception as e2:
                     out[name] = f"error: {type(e2).__name__}"
             else:
                 out[name] = f"error: {type(e).__name__}"
+        finally:
+            timer.cancel()
         print(f"[duckdb] {name}: {out[name] if isinstance(out[name], str) else '%.2fs' % out[name]}",
               flush=True)
     return out
@@ -117,6 +140,10 @@ def main():
     ap.add_argument("--work", default="/root/repo/.tmp/bench_ratio_work")
     ap.add_argument("--threads", type=int, default=int(os.environ.get("GRAFT_ORACLE_THREADS", 16)))
     ap.add_argument("--mem", default=os.environ.get("GRAFT_ORACLE_MEM", "48GB"))
+    ap.add_argument("--oracle-timeout", type=int, default=600,
+                    help="per-query DuckDB wall-clock cap in seconds")
+    ap.add_argument("--max-spill", default="40GB",
+                    help="DuckDB max_temp_directory_size ceiling")
     a = ap.parse_args()
     os.makedirs(a.work, exist_ok=True)
 
@@ -132,7 +159,8 @@ def main():
         oracle = ensure_oracle_json(a.sf_dir, a.work)
     oracle = {k: v for k, v in oracle.items() if k in spark}
 
-    duck = duckdb_times(a.sf_dir, oracle, f"{a.work}/duckdb_spill", a.threads, a.mem)
+    duck = duckdb_times(a.sf_dir, oracle, f"{a.work}/duckdb_spill", a.threads, a.mem,
+                        a.oracle_timeout, a.max_spill)
 
     rows = []
     for q in sorted(spark):
@@ -152,7 +180,8 @@ def main():
         f.write(f"- SF dir: `{a.sf_dir}`  \n")
         f.write(f"- Generated: {time.strftime('%Y-%m-%d %H:%M:%S')} by `tools/bench_ratio.py` "
                 f"(Spark = median of {bench.get('runs', '?')} runs at local[32]; "
-                f"DuckDB = single run, {a.threads} threads, {a.mem} cap)  \n")
+                f"DuckDB = single run, {a.threads} threads, {a.mem} cap, "
+                f"{a.oracle_timeout}s/query timeout, {a.max_spill} spill ceiling)  \n")
         f.write(f"- **Totals over {len(ok)} comparable queries: Spark {s_tot:.1f} s, "
                 f"DuckDB {d_tot:.1f} s — ratio {d_tot / s_tot:.2f}x; "
                 f"Spark outright faster on {wins}/{len(ok)}.**\n\n")
