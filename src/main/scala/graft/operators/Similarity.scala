@@ -354,6 +354,69 @@ object Similarity {
       .select("query_id", "corpus_id", "sim", "rank")
   }
 
+  /** [[lshKnn]] with deterministic bucket truncation — the bounded-
+    * candidate form that survives duplicate-heavy corpora. Each
+    * (table, bucket)'s CORPUS side keeps only the `bucketCap` members
+    * with the smallest mixed-hash of id (an unbiased, replayable
+    * sample of the bucket; ties by id), so per-query candidates are
+    * ≤ tables × bucketCap and total candidate volume is LINEAR in
+    * corpus size no matter how deep the buckets get. Queries still
+    * probe with their own (uncapped) signatures, so every row gets an
+    * answer; recall inside a mega-bucket degrades gracefully toward a
+    * uniform sample of it — the standard production tradeoff
+    * (bounded bucket scan) versus [[lshKnn]]'s exact-within-bucket
+    * rescoring that goes quadratic when one bucket holds the corpus.
+    */
+  def lshKnnCapped(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 12,
+      tables: Int = 4,
+      bucketCap: Int = 64,
+      roundTo: Int = 4
+  ): DataFrame = {
+    import graft.functions.VectorKernels
+    graft.functions.MixedHash64.register(corpus.sparkSession)
+    val base = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("v_norm", sqrt(VectorKernels.vecDot(col("v"), col("v"))))
+      .localCheckpoint()
+    val buckets = (0 until tables).map { t =>
+      base.select(col("id"), lit(t).as("table_id"),
+        VectorKernels.hyperplaneSig(col("v"), bits, seed = t).as("bucket"))
+    }.reduce(_ union _)
+    // the shuffle carries (id, table_id, bucket, hid) — 32 bytes —
+    // and one window pass truncates; vectors never enter the cap
+    val wB = Window.partitionBy("table_id", "bucket")
+      .orderBy(col("hid").asc, col("id").asc)
+    val capped = buckets
+      .withColumn("hid", graft.functions.MixedHash64(col("id").cast("string")))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= bucketCap)
+      .select("id", "table_id", "bucket")
+    val cand = buckets.alias("a")
+      .join(capped.alias("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val pairs = cand
+      .join(base.select(col("id").as("query_id"), col("v").as("qv"), col("v_norm").as("qn")), "query_id")
+      .join(base.select(col("id").as("corpus_id"), col("v").as("cv"), col("v_norm").as("cn")), "corpus_id")
+      .select(
+        col("query_id"), col("corpus_id"),
+        round(VectorKernels.vecDot(col("qv"), col("cv")) /
+          (col("qn") * col("cn")), roundTo).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("corpus_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "sim", "rank")
+  }
+
   /** Multi-probe LSH ANN (Lv et al., VLDB 2007): instead of paying for
     * more hash tables, each query ALSO probes the buckets reached by
     * flipping each single signature bit — one table + (bits+1) probes

@@ -519,6 +519,63 @@ object TrainingData {
     }
   )
 
+  /** Capped-bucket LSH ANN — ss02 with deterministic bucket
+    * truncation (the ANN mirror of dd19's sketch-class collapse):
+    * each (table, bucket)'s corpus side keeps only the `cap` members
+    * with the smallest mixed-hash of id, bounding per-query
+    * candidates at tables × cap and total candidate volume at
+    * O(N·tables·cap) — linear even when one bucket holds the corpus
+    * (exactly what the synthetic sf10 notch does to ss02). The
+    * oracle replays signatures, the hash-ordered truncation window,
+    * and the rescore exactly.
+    */
+  val ss18CappedLshAnn = Query(
+    "ss18_capped_lsh_ann", {
+      val (bits, tables, dim, k, cap) = (8, 2, 64, 3, 8)
+      def signDot(v: String, signs: Seq[Double]): String =
+        signs.zipWithIndex.map { case (s, i) =>
+          s"$v[${i + 1}] * ${if (s > 0) "1.0" else "-1.0"}"
+        }.mkString(" + ")
+      def bucketExpr(t: Int): String =
+        Similarity.hyperplaneSigns(bits, t, dim).zipWithIndex.map { case (signs, j) =>
+          s"(CASE WHEN ${signDot("v", signs)} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      val normTerms = (1 to dim).map(i => s"v[$i] * v[$i]").mkString(" + ")
+      val pairDot = (1 to dim).map(i => s"a.v[$i] * vb.v[$i]").mkString(" + ")
+      val tabled = (0 until tables).map { t =>
+        s"SELECT id, v, v_norm, $t AS table_id, ${bucketExpr(t)} AS bucket FROM base"
+      }.mkString("\nUNION ALL\n")
+      val hid = toSignedSql(s"(${fmixSql(s"(${foldSql("CAST(id AS VARCHAR)")})")})")
+      Some(
+        s"""WITH b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |base AS (SELECT id, v, SQRT($normTerms) AS v_norm FROM b0),
+           |tabled AS MATERIALIZED (
+           |$tabled),
+           |capped AS (
+           |  SELECT id, table_id, bucket FROM (
+           |    SELECT id, table_id, bucket,
+           |      ROW_NUMBER() OVER (PARTITION BY table_id, bucket
+           |                         ORDER BY $hid, id) AS rn
+           |    FROM tabled) WHERE rn <= $cap),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS query_id, b.id AS corpus_id,
+           |    ROUND(($pairDot) / (a.v_norm * vb.v_norm), 4) AS sim
+           |  FROM tabled a JOIN capped b
+           |    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.id <> b.id
+           |  JOIN base vb ON vb.id = b.id)
+           |SELECT query_id, corpus_id, sim, CAST(r AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+           |  FROM pairs) WHERE r <= $k ORDER BY query_id, rank""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Similarity.lshKnnCapped(t.embeddings, "vec_id", "embedding",
+          k = 3, bits = 8, tables = 2, bucketCap = 8),
+        "query_id", "rank")
+    }
+  )
+
   /** IVF ANN (k-means coarse quantizer + probe search) — the
     * beyond-LSH scale path. Training is deterministic (decimal-exact
     * centroid means, smallest-id init), so the oracle replays the
@@ -4601,6 +4658,6 @@ object TrainingData {
     in07BinaryScan, dd18CdcChunks, ss15LabelProp, ss16MultiprobeLsh,
     mm05MediaCanonical, td51SpanCorruption, td52PreferencePairs,
     td53ThresholdSweep, ss17FilteredAnn, in08ManifestScan, in09CurationE2e,
-    td54NgramDecontam, dd19SimhashClasses
+    td54NgramDecontam, dd19SimhashClasses, ss18CappedLshAnn
   )
 }

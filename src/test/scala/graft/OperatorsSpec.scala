@@ -189,6 +189,26 @@ class OperatorsSpec extends SparkSpec {
     a.keySet.intersect(b.keySet).foreach(k => assert(a(k) == b(k)))
   }
 
+  test("capped LSH: huge cap equals lshKnn exactly; small cap bounds bucket work and still answers") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val full = rows(Similarity.lshKnn(emb, "vec_id", "embedding", k = 3, bits = 3, tables = 2))
+    val hugeCap = rows(Similarity.lshKnnCapped(
+      emb, "vec_id", "embedding", k = 3, bits = 3, tables = 2, bucketCap = 1000000))
+    assert(hugeCap == full, "a cap larger than every bucket must reproduce lshKnn exactly")
+    // bits=1: two buckets of ~25 vectors — the synthetic-mega-bucket
+    // shape. cap=5 ⇒ candidates per query ≤ tables × 5
+    val capped = Similarity.lshKnnCapped(
+      emb, "vec_id", "embedding", k = 50, bits = 1, tables = 1, bucketCap = 5)
+    val perQuery = capped.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) <= 5),
+      "bucket truncation must bound per-query candidates at tables x cap")
+    val answered = capped.select("query_id").distinct().count()
+    // every query still gets answers except possibly the cap members
+    // themselves being each other's only candidates
+    assert(answered >= 45, s"queries answered: $answered")
+  }
+
   test("multi-probe LSH: 1 table + bit-flip probes recalls at least as much as 1 plain table") {
     def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
       val brute = Similarity
