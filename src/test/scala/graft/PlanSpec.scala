@@ -542,4 +542,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle for the join:\n$p")
   }
+
+  test("sketch-class collapse: banded join and exchanges carry sketches, never document text") {
+    val t = Tables(spark, sf)
+    val df = graft.operators.Dedup.simHashClassPairs(t.documents, "doc_id", "text")
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"class pairing must stay a banded equi-join:\n$p")
+    val exchanges = p.split("\n").filter(_.contains("Arguments: hashpartitioning"))
+    assert(exchanges.forall(!_.contains("text#")),
+      s"no exchange may carry the document text — only (s, rep, m) rows shuffle:\n$p")
+  }
+
+  test("capped LSH: bucket truncation is a partitioned window; vectors never enter the cap or candidate shuffles") {
+    val t = Tables(spark, sf)
+    val df = graft.operators.Similarity.lshKnnCapped(
+      t.embeddings, "vec_id", "embedding", k = 3, bits = 8, tables = 2, bucketCap = 8)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"candidates must come from bucket equi-joins:\n$p")
+    // the truncation window partitions by (table_id, bucket) — never a
+    // global single-partition frame
+    assert(!p.contains("SinglePartition"), s"no global window/exchange allowed:\n$p")
+    val exchanges = p.split("\n").filter(_.contains("Arguments: hashpartitioning"))
+    assert(exchanges.exists(e => e.contains("table_id#") && e.contains("bucket#")),
+      s"the cap must repartition on (table_id, bucket):\n$p")
+    assert(exchanges.forall(e => !(e.contains("table_id#") && e.contains(" v#"))),
+      s"bucket exchanges must not carry the vectors:\n$p")
+  }
 }
