@@ -433,7 +433,8 @@ object Similarity {
       k: Int,
       bits: Int = 12,
       tables: Int = 1,
-      roundTo: Int = 4
+      roundTo: Int = 4,
+      bucketCap: Int = Int.MaxValue
   ): DataFrame = {
     import graft.functions.VectorKernels
     val base = corpus
@@ -444,13 +445,31 @@ object Similarity {
       base.select(col("id"), lit(t).as("table_id"),
         VectorKernels.hyperplaneSig(col("v"), bits, seed = t).as("bucket"))
     }.reduce(_ union _)
+    // bounded-bucket variant (same contract as [[lshKnnCapped]]): the
+    // CORPUS side of each (table, bucket) keeps only the bucketCap
+    // members with the smallest mixed-hash of id, so the probe join is
+    // ≤ (bits+1) × tables × cap candidates per query — linear however
+    // deep the buckets get. Int.MaxValue (the default) bypasses the
+    // truncation window entirely: ss16's uncapped plan is unchanged.
+    val corpusSide =
+      if (bucketCap == Int.MaxValue) buckets
+      else {
+        graft.functions.MixedHash64.register(corpus.sparkSession)
+        val wB = Window.partitionBy("table_id", "bucket")
+          .orderBy(col("hid").asc, col("id").asc)
+        buckets
+          .withColumn("hid", graft.functions.MixedHash64(col("id").cast("string")))
+          .withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= bucketCap)
+          .select("id", "table_id", "bucket")
+      }
     // identity probe + one per flipped bit
     val probeSet = array(
       col("bucket") +: (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
     val probes = buckets.select(col("id"), col("table_id"),
       explode(probeSet).as("bucket"))
     val cand = probes.alias("a")
-      .join(buckets.alias("b"),
+      .join(corpusSide.alias("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.id") =!= col("b.id"))

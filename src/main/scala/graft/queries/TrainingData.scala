@@ -576,6 +576,61 @@ object TrainingData {
     }
   )
 
+  /** Capped multi-probe LSH ANN — ss16's probe fan-out over a
+    * bucket-truncated corpus (ss18's bound applied to the multi-probe
+    * family): candidates per query ≤ (bits+1) × cap, so the one
+    * remaining uncapped ANN path also gets a linear form on
+    * duplicate-heavy corpora. Oracle replays signature, probes,
+    * hash-ordered truncation, and rescore exactly.
+    */
+  val ss19CappedMultiprobe = Query(
+    "ss19_capped_multiprobe", {
+      val (bits, dim, k, cap) = (8, 64, 3, 8)
+      def signDot(v: String, signs: Seq[Double]): String =
+        signs.zipWithIndex.map { case (s, i) =>
+          s"$v[${i + 1}] * ${if (s > 0) "1.0" else "-1.0"}"
+        }.mkString(" + ")
+      val bucketExpr =
+        Similarity.hyperplaneSigns(bits, 0, dim).zipWithIndex.map { case (signs, j) =>
+          s"(CASE WHEN ${signDot("v", signs)} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      val normTerms = (1 to dim).map(i => s"v[$i] * v[$i]").mkString(" + ")
+      val pairDot = (1 to dim).map(i => s"a.v[$i] * vb.v[$i]").mkString(" + ")
+      val hid = toSignedSql(s"(${fmixSql(s"(${foldSql("CAST(id AS VARCHAR)")})")})")
+      Some(
+        s"""WITH b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |base AS (SELECT id, v, SQRT($normTerms) AS v_norm FROM b0),
+           |tabled AS MATERIALIZED (SELECT id, $bucketExpr AS bucket FROM base),
+           |capped AS (
+           |  SELECT id, bucket FROM (
+           |    SELECT id, bucket,
+           |      ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY $hid, id) AS rn
+           |    FROM tabled) WHERE rn <= $cap),
+           |probes AS (
+           |  SELECT id, bucket FROM tabled
+           |  UNION ALL
+           |  SELECT id, xor(bucket, CAST(POWER(2, j) AS BIGINT))
+           |  FROM tabled, UNNEST(range(0, $bits)) t(j)),
+           |pairs AS (
+           |  SELECT DISTINCT pa.id AS query_id, b.id AS corpus_id,
+           |    ROUND(($pairDot) / (a.v_norm * vb.v_norm), 4) AS sim
+           |  FROM probes pa JOIN capped b
+           |    ON pa.bucket = b.bucket AND pa.id <> b.id
+           |  JOIN base a ON a.id = pa.id
+           |  JOIN base vb ON vb.id = b.id)
+           |SELECT query_id, corpus_id, sim, CAST(r AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+           |  FROM pairs) WHERE r <= $k ORDER BY query_id, rank""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Similarity.lshKnnMultiProbe(t.embeddings, "vec_id", "embedding",
+          k = 3, bits = 8, tables = 1, bucketCap = 8),
+        "query_id", "rank")
+    }
+  )
+
   /** IVF ANN (k-means coarse quantizer + probe search) — the
     * beyond-LSH scale path. Training is deterministic (decimal-exact
     * centroid means, smallest-id init), so the oracle replays the
@@ -4658,6 +4713,7 @@ object TrainingData {
     in07BinaryScan, dd18CdcChunks, ss15LabelProp, ss16MultiprobeLsh,
     mm05MediaCanonical, td51SpanCorruption, td52PreferencePairs,
     td53ThresholdSweep, ss17FilteredAnn, in08ManifestScan, in09CurationE2e,
-    td54NgramDecontam, dd19SimhashClasses, ss18CappedLshAnn
+    td54NgramDecontam, dd19SimhashClasses, ss18CappedLshAnn,
+    ss19CappedMultiprobe
   )
 }

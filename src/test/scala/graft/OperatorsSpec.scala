@@ -207,6 +207,19 @@ class OperatorsSpec extends SparkSpec {
     // every query still gets answers except possibly the cap members
     // themselves being each other's only candidates
     assert(answered >= 45, s"queries answered: $answered")
+    // the same bound on the multi-probe family: huge cap = byte-equal
+    // to the uncapped plan, small cap stays bounded per query
+    val mpFull = rows(Similarity.lshKnnMultiProbe(
+      emb, "vec_id", "embedding", k = 3, bits = 4, tables = 1))
+    val mpHuge = rows(Similarity.lshKnnMultiProbe(
+      emb, "vec_id", "embedding", k = 3, bits = 4, tables = 1, bucketCap = 1000000))
+    assert(mpHuge == mpFull, "Int.MaxValue-adjacent cap must reproduce multi-probe exactly")
+    val mpCapped = Similarity.lshKnnMultiProbe(
+      emb, "vec_id", "embedding", k = 50, bits = 1, tables = 1, bucketCap = 5)
+    val mpPer = mpCapped.groupBy("query_id").count().collect()
+    // bits=1 ⇒ identity + 1 flip probe reach BOTH buckets: ≤ 2 × cap
+    assert(mpPer.nonEmpty && mpPer.forall(_.getLong(1) <= 10),
+      "multi-probe bucket truncation must bound per-query candidates")
   }
 
   test("multi-probe LSH: 1 table + bit-flip probes recalls at least as much as 1 plain table") {
