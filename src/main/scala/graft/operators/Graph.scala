@@ -86,6 +86,9 @@ object Graph {
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
     val nodes = sym.select(col("a").as("id")).distinct()
     var labels = nodes.withColumn("component", col("id")).localCheckpoint()
+    // the frame whose checkpoint blocks the NEXT round supersedes —
+    // dropped only after the replacement has eagerly materialized
+    var prevCkpt = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -106,6 +109,8 @@ object Graph {
         .localCheckpoint()
       changed = updated.filter(col("changed")).count()
       labels = updated.select(col("id"), col("component"))
+      Checkpoints.dropBlocks(prevCkpt)
+      prevCkpt = updated
       iter += 1
     }
     labels
@@ -161,6 +166,7 @@ object Graph {
     val n = nd.agg(count(lit(1)).as("cnt"))
     var r = nd.crossJoin(broadcast(n))
       .select(col("id"), (lit(1.0) / col("cnt")).as("r"), col("outdeg"))
+    var prevCkpt: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val contrib = e
         .join(r.select(col("id").as("src"), (col("r") / col("outdeg")).as("contrib")), "src")
@@ -181,6 +187,8 @@ object Graph {
             lit(damping) * coalesce(col("s"), lit(0.0d))).as("r"),
           col("outdeg"))
         .localCheckpoint() // keep the iterated plan flat
+      prevCkpt.foreach(Checkpoints.dropBlocks) // superseded round's blocks
+      prevCkpt = Some(r)
     }
     r.select("id", "r")
   }
@@ -218,6 +226,7 @@ object Graph {
     val seedMass = when(col("is_seed") === 1L, lit(1.0) / col("scnt")).otherwise(lit(0.0d))
     var r = nd.crossJoin(broadcast(nS))
       .select(col("id"), seedMass.as("r"), col("outdeg"), col("is_seed"))
+    var prevCkpt: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val contrib = e
         .join(r.select(col("id").as("src"), (col("r") / col("outdeg")).as("contrib")), "src")
@@ -238,6 +247,8 @@ object Graph {
             lit(damping) * coalesce(col("s"), lit(0.0d))).as("r"),
           col("outdeg"), col("is_seed"))
         .localCheckpoint() // keep the iterated plan flat
+      prevCkpt.foreach(Checkpoints.dropBlocks) // superseded round's blocks
+      prevCkpt = Some(r)
     }
     r.select("id", "r")
   }

@@ -256,19 +256,11 @@ object TextAnalysis {
         cur = cur.withColumn("sym", replace(col("sym"), lit(pair), lit(merged)))
         if (step % checkpointEvery == 0) {
           cur = cur.localCheckpoint()
-          // drop the superseded checkpoint's blocks — the persisted
-          // entity is the RDD captured in the checkpointed Dataset's
-          // LogicalRDD leaf. queryExecution.toRdd is a deserializing
-          // WRAPPER over it with its own id, so unpersisting that is a
-          // silent no-op that leaves cleanup to ContextCleaner GC
-          // timing (measured: wrapper id ≠ persisted id; only the leaf
-          // rdd's unpersist empties getPersistentRDDs). Live storage
+          // drop the superseded checkpoint's blocks deterministically
+          // (see Checkpoints: toRdd.unpersist is a silent no-op; only
+          // the LogicalRDD leaf's rdd releases them). Live storage
           // stays O(1) vocab copies however large k grows.
-          lastCkpt.foreach(ds =>
-            try ds.queryExecution.analyzed.collectFirst {
-              case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-            }.foreach(_.unpersist(blocking = false))
-            catch { case _: Throwable => () })
+          lastCkpt.foreach(Checkpoints.dropBlocks)
           lastCkpt = Some(cur)
         }
         step += 1

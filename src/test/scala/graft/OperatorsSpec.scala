@@ -679,6 +679,20 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("distributed CC: iteration checkpoints release superseded blocks (O(1) live storage)") {
+    // a 12-node path needs 11 min-label propagation rounds — the
+    // worst case for per-iteration checkpoint accumulation
+    val path = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val cc = graft.operators.Graph
+      .connectedComponents(path, maxIters = 20, smallGraphEdges = 0)
+      .collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(cc.forall(_.getLong(1) == 1L), "a path is one component rooted at min id")
+    assert(after - before <= 3,
+      s"11 propagation rounds must retain O(1) checkpoints, grew by ${after - before}")
+  }
+
   test("simHashClassPairs conserves simHashPairs' doc-pair count exactly") {
     // multiplicity-heavy corpus: 1/2/4 are word permutations (identical
     // bag ⇒ identical sketch ⇒ one class of 3), 2-gram near-dup 5, and
