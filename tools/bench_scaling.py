@@ -1,0 +1,200 @@
+#!/usr/bin/env python3
+"""Emit SCALING.md: per-query engine seconds at sf1 vs sf10 (10x the
+data) over the scale-representative linear subset — the durable record
+of the scale-notch campaign that previously lived across wipeable
+.tmp logs and NOTES prose.
+
+One invocation regenerates everything it needs:
+
+    python3 tools/bench_scaling.py
+
+  1. Ensures the GenData notches exist (.tmp/sf1 = 10x sf0.1,
+     .tmp/sf10 = 100x sf0.1), regenerating from the CURRENT driver
+     testdata when absent (the driver regenerates /root/testdata at
+     will and .tmp is wiped between sessions).
+  2. Runs `graft.Bench` on the subset at both notches (medians over
+     --sf1-runs / --sf10-runs measured runs).
+  3. Writes SCALING.md (or --out) with per-query seconds, the
+     sf10/sf1 ratio at 10x the data, and the documented exclusion
+     list (quadratic-by-construction demos and synthetic-corpus
+     multiplicity floors are excluded on grounds recorded inline).
+
+The subset is the linear production surface: one representative per
+shuffle shape (join+agg, sessionization, packing, sketches, banded
+dedup, capped ANN, iterated graph folds, rank quantiles, resampling
+statistics). Ratios <= ~8x at 10x the data are the established local
+envelope (shuffles leave page cache and the single local disk caps
+throughput well below a cluster's aggregate shuffle bandwidth).
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+# Scale-representative linear subset: every production-path family.
+SUBSET = [
+    "q03_join_agg",          # shuffle join + agg (TPC-H shape)
+    "st01_sessionize",       # stateful sessionization
+    "st04_attribution",      # stream-stream join
+    "td03_tokens",           # map-only text kernel (scan-bound floor)
+    "td19_sequence_pack",    # sequence packing
+    "td36_budget_select",    # global rank + budget cut
+    "td45_perplexity_buckets",  # bigram-LM scoring
+    "td48_cross_source_dups",   # cross-source fingerprint join
+    "td50_k_anonymity",      # hash aggregate over integers
+    "td54_ngram_decontam",   # exact n-gram eval-overlap join
+    "ss03_ivf_ann",          # IVF probe-cluster equi-join
+    "ss18_capped_lsh_ann",   # capped-bucket LSH ANN (linear ANN path)
+    "ss19_capped_multiprobe",  # capped multi-probe LSH
+    "dd01_minhash_lsh",      # MinHash band join (linear dedup path)
+    "dd12_span_dedup",       # exploded window spans (shuffle-volume heavy)
+    "dd18_cdc_chunks",       # content-defined chunking
+    "dd19_simhash_classes",  # sketch-class collapse (linear SimHash form)
+    "x24_mad_outliers",      # range-sort + rank arithmetic
+    "x27_pagerank",          # iterated deterministic graph fold
+    "x29_rolling_median",    # sliding rank window
+    "x33_ranked_quantiles",  # two-pass global ranks
+    "x36_rolling_regression",  # windowed exact moments
+    "x37_assoc_rules",       # basket pair join
+    "x40_ewma_anomaly",      # ordered per-group scan
+    "x41_incremental_agg",   # incremental aggregate maintenance
+    "x42_bootstrap_ci",      # hash-bit resampling
+    "x43_permutation_test",  # 64-permutation exact replay
+    "x44_personalized_pagerank",  # seeded iterated graph fold
+]
+
+# Catalog rows excluded from the sf10 campaign, with the measured
+# grounds (full analysis in NOTES.md "sf10 notch" sections).
+EXCLUSIONS = [
+    ("td06 dd09 dd05 dd10 td53",
+     "exact all-pairs / gram self-join baselines: the ANSWER SET "
+     "(all qualifying pairs at a loose threshold) is quadratic in SF "
+     "by construction, so no plan can be linear; their scalable "
+     "counterparts (dd01, dd19, prefix-filtered dd10 at tight "
+     "thresholds) are in the subset"),
+    ("dd08 ss02 ss16",
+     "synthetic-corpus multiplicity floor: GenData replicas are "
+     "word-permuted copies, so bag-of-words sketch classes are "
+     "CONSTANT across scales and same-sketch pairs grow with "
+     "multiplicity^2 (8 pairs at sf0.1 -> 24.8M at sf10, "
+     "DuckDB-verified); the collapsed/capped forms dd19/ss18/ss19 "
+     "in the subset prove the same plans linear"),
+    ("ss01 ss06 ss12 ss13 ss14 ss15",
+     "exact-kNN kernels: brute-force block-pair cosine is O(N^2/B) "
+     "by definition of exact kNN — it is the recall BASELINE; the "
+     "scale path is the capped LSH family in the subset"),
+    ("mm05 ss12",
+     "connected-components oracle replays scoped to deterministic "
+     "%4 corpus slices (DuckDB materializes |component|^2 reach "
+     "rows); the engine-side CC operator scales via x27-style "
+     "iterated folds, measured here through x27/dd19"),
+    ("in09 st02 st03",
+     "streaming E2E / micro-batch rows: wall-clock is trigger-round "
+     "latency, not data volume — a throughput notch would measure "
+     "the scheduler, not the plan"),
+    ("everything else",
+     "one-shot sub-second ops at sf1; their full-catalog sf1 "
+     "numbers are in BENCHRATIO.md — re-measuring them at sf10 adds "
+     "wall-clock, not information"),
+]
+
+
+def ensure_notch(src, dst, factor):
+    if os.path.exists(os.path.join(dst, "lineitem.parquet")):
+        return 0.0
+    print(f"[gen] {dst} = {factor}x {src}", flush=True)
+    t0 = time.time()
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.tools.GenData {src} {dst} {factor}"],
+        cwd="/root/repo", capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-3000:], r.stderr[-3000:])
+        sys.exit(f"GenData failed for {dst}")
+    return time.time() - t0
+
+
+def run_bench(sf_dir, runs, timeout_s):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_BENCH_RUNS=str(runs),
+               SPARK_GRAFT_ONLY=",".join(SUBSET),
+               SPARK_GRAFT_QUERY_TIMEOUT=str(timeout_s),
+               SPARK_GRAFT_SF1="0")
+    print(f"[bench] {sf_dir} ({runs} measured runs)", flush=True)
+    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       cwd="/root/repo", env=env, capture_output=True, text=True)
+    for line in reversed(r.stdout.splitlines()):
+        if '"metric"' in line:
+            return json.loads(line)
+    print(r.stdout[-3000:], r.stderr[-3000:])
+    sys.exit(f"bench produced no JSON line for {sf_dir}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf1-dir", default="/root/repo/.tmp/sf1")
+    ap.add_argument("--sf10-dir", default="/root/repo/.tmp/sf10")
+    ap.add_argument("--src", default="/root/testdata/sf0.1",
+                    help="driver testdata the notches replicate")
+    ap.add_argument("--sf1-runs", type=int, default=3)
+    ap.add_argument("--sf10-runs", type=int, default=2)
+    ap.add_argument("--timeout", type=int, default=420,
+                    help="per-query bench timeout in seconds")
+    ap.add_argument("--out", default="/root/repo/SCALING.md")
+    a = ap.parse_args()
+
+    ensure_notch(a.src, a.sf1_dir, 10)
+    ensure_notch(a.src, a.sf10_dir, 100)
+
+    b1 = run_bench(a.sf1_dir, a.sf1_runs, a.timeout)
+    b10 = run_bench(a.sf10_dir, a.sf10_runs, a.timeout)
+    q1, q10 = b1["queries"], b10["queries"]
+    s1, s10 = b1.get("spread", {}), b10.get("spread", {})
+
+    rows = []
+    for q in SUBSET:
+        t1, t10 = q1.get(q, -1.0), q10.get(q, -1.0)
+        ratio = (t10 / t1) if (t1 and t1 > 0 and t10 >= 0) else None
+        rows.append((q, t1, t10, ratio))
+    ok = [r for r in rows if r[3] is not None]
+    tot1 = sum(r[1] for r in ok)
+    tot10 = sum(r[2] for r in ok)
+    le8 = sum(1 for r in ok if r[3] <= 8.0)
+
+    with open(a.out, "w") as f:
+        f.write("# SCALING — engine seconds at sf1 vs sf10 (10x the data), "
+                "linear production subset\n\n")
+        f.write(f"- Notches: sf1 = 10x `{a.src}`, sf10 = 100x (GenData, "
+                f"deterministic word-permuted replication)  \n")
+        f.write(f"- Generated: {time.strftime('%Y-%m-%d %H:%M:%S')} by "
+                f"`tools/bench_scaling.py` (medians of {a.sf1_runs}/"
+                f"{a.sf10_runs} measured runs at local[32], warmup "
+                f"excluded, checkpoint blocks dropped between runs)  \n")
+        f.write(f"- **Subset totals: sf1 {tot1:.1f} s, sf10 {tot10:.1f} s "
+                f"over {len(ok)} queries — {le8}/{len(ok)} within the 8x "
+                f"local envelope at 10x the data.**  \n")
+        f.write("- Readings above ~8x are single-node shuffle-disk "
+                "bandwidth (measured: partition-width sweeps do NOT fix "
+                "them, NOTES \"sf10 notch\"); a cluster adds that exact "
+                "resource per executor.\n\n")
+        f.write("| query | sf1 s | sf10 s | sf10/sf1 @ 10x data |\n|---|---|---|---|\n")
+        for q, t1, t10, ratio in sorted(rows, key=lambda r: -(r[3] or -1)):
+            rs = f"{ratio:.1f}x" if ratio is not None else "—"
+            f.write(f"| {q} | {t1:.2f} | {t10:.2f} | {rs} |\n")
+        f.write("\n## Excluded from the sf10 campaign (measured grounds)\n\n")
+        for ids, why in EXCLUSIONS:
+            f.write(f"- **{ids}** — {why}.\n")
+        f.write("\nPer-run spreads (median/min/max over the measured runs, "
+                "seconds) — the run-to-run envelope behind the medians:\n\n"
+                "```json\n")
+        f.write(json.dumps({"sf1": s1, "sf10": s10},
+                           separators=(",", ":")))
+        f.write("\n```\n")
+    print(f"wrote {a.out}: sf1 {tot1:.1f}s, sf10 {tot10:.1f}s, "
+          f"{le8}/{len(ok)} within 8x")
+
+
+if __name__ == "__main__":
+    main()
