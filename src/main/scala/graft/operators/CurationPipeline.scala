@@ -69,7 +69,22 @@ object CurationPipeline {
       nNearDupCandidates: Long,
       compacted: Boolean)
 
-  /** Ingest one delivery batch (columns ⊇ doc_id, text, source). */
+  /** Ingest one delivery batch (columns ⊇ doc_id, text, source).
+    *
+    * Write ordering is the crash-recovery contract (the reference gets
+    * this from Postgres transactions; parquet appends give none): the
+    * registry version is committed first (a crashed delivery's retry
+    * displaces it — the Q27 protocol), the curated store receives the
+    * survivors BEFORE either dedup index learns them
+    * ([[Dedup.ingestBatch]]'s `freshSink`), and the fingerprint append
+    * comes last. A crash at ANY point therefore leaves a state a plain
+    * re-delivery converges from: rows the fingerprint index knows are
+    * always already durable in the curated store, and the one
+    * non-idempotent artifact — an at-least-once curated append — is
+    * collapsed by [[packAndAudit]]'s content-distinct read
+    * (PipelineSpec proves crash-point re-deliveries reproduce the
+    * crash-free manifest bit-exactly).
+    */
   def processDelivery(
       batch: DataFrame,
       label: String,
@@ -77,21 +92,24 @@ object CurationPipeline {
       cfg: Config
   ): DeliveryResult = {
     val (kept, _) = TextAnalysis.qualityFilter(batch, col("text"), cfg.thresholds)
+    val id = registry.insert(cfg.datasetdate, label, datasettypeid = 1, datasourceid = 1)
+    var nFresh = 0L
     val ing = Dedup.ingestBatch(
       kept, "doc_id", "text",
       cfg.lshPath, cfg.fingerprintPath,
-      threshold = cfg.nearDupThreshold, maxFiles = cfg.maxIndexFiles)
-    val nFresh = ing.fresh.count()
+      threshold = cfg.nearDupThreshold, maxFiles = cfg.maxIndexFiles,
+      freshSink = { fresh =>
+        nFresh = fresh.count()
+        if (nFresh > 0)
+          fresh.select(col("doc_id"), col("text"), col("source"))
+            .withColumn("datasetid", lit(id))
+            .write.mode("append").parquet(cfg.curatedPath)
+      })
     // candidates are forced here so the index probe genuinely runs in
     // the composition (they inform review queues downstream; exact
     // re-deliveries are already gone via the fingerprint anti-join)
     val nNear = ing.nearDups.count()
-    val id = registry.insert(cfg.datasetdate, label, datasettypeid = 1, datasourceid = 1)
     if (nFresh == 0) registry.setStatus(id, DatasetStatus.Empty)
-    else
-      ing.fresh.select(col("doc_id"), col("text"), col("source"))
-        .withColumn("datasetid", lit(id))
-        .write.mode("append").parquet(cfg.curatedPath)
     DeliveryResult(label, id, nFresh, nNear, ing.compacted)
   }
 
@@ -104,8 +122,16 @@ object CurationPipeline {
     */
   def packAndAudit(spark: SparkSession, cfg: Config): DataFrame = {
     graft.functions.MixedHash64.register(spark)
+    // content-distinct read: a crashed-and-retried delivery appends its
+    // survivors at-least-once (under a fresh datasetid, dropped by this
+    // projection — see processDelivery's write-ordering contract), so
+    // identical rows collapse here and the shards/manifest are
+    // exactly-once whatever the retry history. Crash-free this is a
+    // distinct over already-unique rows (the fingerprint anti-join
+    // guarantees content uniqueness across deliveries).
     val curated = spark.read.parquet(cfg.curatedPath)
       .select("doc_id", "text", "source")
+      .distinct()
     val n = curated.count()
     val nShards = math.max(1L, (n + cfg.shardSize - 1) / cfg.shardSize)
     val sharded = curated.withColumn(

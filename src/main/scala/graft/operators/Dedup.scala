@@ -252,8 +252,11 @@ object Dedup {
     * debt daily appends accumulate (the reference pays it in
     * maintenance_procedures.sql:56-116). Rewrites `bands/` (preserving
     * its band_idx partition layout) and `sigs/` into right-sized files;
-    * candidates from [[dedupAgainstIndex]] are unchanged bit-for-bit
-    * (same rows, fewer files).
+    * candidates from [[dedupAgainstIndex]] are unchanged bit-for-bit.
+    * Exact duplicate rows — the artifact a crashed-and-retried append
+    * leaves (see [[ingestBatch]]'s crash-ordering contract) — are
+    * collapsed; a single ingest never writes the same (id, band) or
+    * (id, sig) row twice, so distinct rows are untouched.
     */
   def compactLshIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -261,8 +264,9 @@ object Dedup {
       targetFileBytes: Long = 128L * 1024 * 1024
   ): Seq[graft.ops.Maintenance.CompactionReport] = Seq(
     graft.ops.Maintenance.compact(spark, s"$path/bands", targetFileBytes,
-      partitionCols = Seq("band_idx")),
-    graft.ops.Maintenance.compact(spark, s"$path/sigs", targetFileBytes))
+      partitionCols = Seq("band_idx"), dropDuplicates = true),
+    graft.ops.Maintenance.compact(spark, s"$path/sigs", targetFileBytes,
+      dropDuplicates = true))
 
   /** Compact the exact-dedup fingerprint index: merges append-mode
     * small files AND re-distincts fingerprints that multiple batches
@@ -327,6 +331,20 @@ object Dedup {
     * overwrite mode and reports no duplicates. `fresh` is checkpointed
     * before the index append so steps 2–4 and the caller's sink all
     * reuse one computation of the batch sketches.
+    *
+    * Crash-ordering contract: `freshSink` (the caller's durable store
+    * append) runs BEFORE either index append. Plain parquet appends
+    * have no transaction, so a crash can land between any two writes;
+    * the one UNRECOVERABLE interleaving is a fingerprint index that
+    * has learned rows the durable store never received — the
+    * re-delivery then dies in the anti-join and the content is lost.
+    * Sink-first makes every crash point converge under re-delivery:
+    * either nothing learned the batch, or the store holds it
+    * at-least-once (exact duplicate rows, collapsed by the caller's
+    * idempotent read — e.g. `CurationPipeline.packAndAudit`) while the
+    * indexes catch up on the retry. Index-side duplicate rows from the
+    * same retry are collapsed at probe time (the candidate `distinct`)
+    * and physically removed by the next compaction.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -338,7 +356,8 @@ object Dedup {
       maxFiles: Long = 256L,
       k: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16
+      bands: Int = 16,
+      freshSink: DataFrame => Unit = _ => ()
   ): BatchIngest = {
     val spark = batch.sparkSession
     require(numHashes % bands == 0, "numHashes must divide into bands")
@@ -352,6 +371,7 @@ object Dedup {
       .localCheckpoint()
     if (bootstrap) {
       val fresh = deduped.localCheckpoint()
+      freshSink(fresh)
       writeLshIndexSigs(sigsOf(fresh), lshPath, bands, numHashes / bands, mode = "overwrite")
       writeFingerprintIndex(fresh, Seq(textCol), fingerprintPath)
       BatchIngest(fresh, spark.emptyDataFrame
@@ -366,6 +386,7 @@ object Dedup {
       // die on vanished parquet parts
       val cands = dedupAgainstIndexSigs(sigs, lshPath, numHashes, bands, threshold)
         .localCheckpoint()
+      freshSink(fresh)
       writeLshIndexSigs(sigs, lshPath, bands, numHashes / bands, mode = "append")
       writeFingerprintIndex(fresh, Seq(textCol), fingerprintPath, mode = "append")
       val compacted = maybeCompactIndexes(
@@ -434,6 +455,11 @@ object Dedup {
         (graft.functions.VectorKernels.longEqCount(col("sig_new"), col("sig_old"))
           .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      // a crashed-and-retried append can leave a stored id's identical
+      // (id, sig) row twice until compaction; collapsing the resulting
+      // identical output rows here costs one exchange over the already
+      // candidate-sized (not corpus-sized) result
+      .distinct()
   }
 
   // ── exact n-gram Jaccard ──────────────────────────────────────────

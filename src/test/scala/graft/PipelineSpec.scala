@@ -96,4 +96,123 @@ class PipelineSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream-fed composition must equal the batch composition:\n$streamed\nvs\n$batch")
   }
+
+  // ── crash-recovery contract (processDelivery's write ordering) ────
+
+  private val crashDate = java.sql.Date.valueOf("2026-01-01")
+
+  private def docsOf(sf: String) =
+    Tables(spark, sf).documents.localCheckpoint()
+
+  private def shardOf(docs: org.apache.spark.sql.DataFrame, s: Long) =
+    docs.filter(pmod(col("doc_id"), lit(3L)) === s)
+
+  private def manifestRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+
+  /** Crash-free 3-delivery run; returns (manifest, per-delivery results). */
+  private def crashFreeRun(docs: org.apache.spark.sql.DataFrame, work: String) = {
+    val cfg = CurationPipeline.Config(work, crashDate)
+    val reg = new DatasetRegistry(spark, cfg.registryPath)
+    val rs = (0L to 2L).map(s =>
+      CurationPipeline.processDelivery(shardOf(docs, s), s"shard_$s", reg, cfg))
+    (manifestRows(CurationPipeline.packAndAudit(spark, cfg)), rs, cfg)
+  }
+
+  test("crash between curated append and index appends: re-delivery reproduces the crash-free manifest") {
+    val docs = docsOf("/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft-crashA")
+    val (baseline, baseRs, _) = crashFreeRun(docs, s"$root/base")
+
+    val cfg = CurationPipeline.Config(s"$root/work", crashDate)
+    val reg = new DatasetRegistry(spark, cfg.registryPath)
+    CurationPipeline.processDelivery(shardOf(docs, 0), "shard_0", reg, cfg)
+    val fpBefore = spark.read.parquet(cfg.fingerprintPath).count()
+
+    // delivery 1 dies AFTER the curated store received the survivors
+    // but BEFORE either index learned them — the exact interleaving the
+    // sink-first ordering exists for
+    val (kept1, _) = operators.TextAnalysis.qualityFilter(
+      shardOf(docs, 1), col("text"), cfg.thresholds)
+    val crashedId = reg.insert(crashDate, "shard_1", 1, 1)
+    intercept[RuntimeException] {
+      operators.Dedup.ingestBatch(kept1, "doc_id", "text",
+        cfg.lshPath, cfg.fingerprintPath,
+        threshold = cfg.nearDupThreshold, maxFiles = cfg.maxIndexFiles,
+        freshSink = { fresh =>
+          fresh.select(col("doc_id"), col("text"), col("source"))
+            .withColumn("datasetid", lit(crashedId))
+            .write.mode("append").parquet(cfg.curatedPath)
+          throw new RuntimeException("simulated crash before the index appends")
+        })
+    }
+    assert(spark.read.parquet(cfg.fingerprintPath).count() == fpBefore,
+      "the aborted delivery must not have reached the fingerprint index")
+
+    // plain re-delivery, then the rest of the feed
+    val r1 = CurationPipeline.processDelivery(shardOf(docs, 1), "shard_1", reg, cfg)
+    assert(r1.nFresh == baseRs(1).nFresh,
+      "the retry must re-ingest the full batch (the index never saw it)")
+    val r2 = CurationPipeline.processDelivery(shardOf(docs, 2), "shard_2", reg, cfg)
+    assert(r2.nNearDupCandidates == baseRs(2).nNearDupCandidates,
+      "later deliveries must see the same candidate report as crash-free")
+
+    val got = manifestRows(CurationPipeline.packAndAudit(spark, cfg))
+    assert(got.forall(_._4) && got == baseline,
+      s"crash + re-delivery must reproduce the crash-free manifest:\n$got\nvs\n$baseline")
+
+    // registry: the crashed version is displaced, the retry is active
+    val shard1 = reg.load().collect().filter(_.label == "shard_1").sortBy(_.datasetid)
+    assert(shard1.length == 2 && !shard1.head.isactive && shard1.last.isactive)
+  }
+
+  test("crash between LSH append and fingerprint append: duplicate index rows stay invisible and compaction removes them") {
+    val docs = docsOf("/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft-crashB")
+    val (baseline, baseRs, _) = crashFreeRun(docs, s"$root/base")
+
+    // auto-compaction disabled: the window between the crash artifact
+    // and the next compaction is exactly what this test exercises
+    val cfg = CurationPipeline.Config(s"$root/work", crashDate,
+      maxIndexFiles = 1000000L)
+    val reg = new DatasetRegistry(spark, cfg.registryPath)
+    CurationPipeline.processDelivery(shardOf(docs, 0), "shard_0", reg, cfg)
+
+    // delivery 1 dies after curated append AND LSH append, before the
+    // fingerprint append — replayed with the same pieces processDelivery
+    // composes, stopping where the crash point sits
+    val (kept1, _) = operators.TextAnalysis.qualityFilter(
+      shardOf(docs, 1), col("text"), cfg.thresholds)
+    val crashedId = reg.insert(crashDate, "shard_1", 1, 1)
+    val fresh1 = operators.Dedup.dropKnownExact(
+      operators.Dedup.exactDedup(kept1, "doc_id", Seq("text")),
+      Seq("text"), cfg.fingerprintPath).localCheckpoint()
+    fresh1.select(col("doc_id"), col("text"), col("source"))
+      .withColumn("datasetid", lit(crashedId))
+      .write.mode("append").parquet(cfg.curatedPath)
+    operators.Dedup.writeLshIndex(fresh1, "doc_id", "text", cfg.lshPath, mode = "append")
+
+    // plain re-delivery: the fingerprint index never learned the batch,
+    // so every row re-ingests and the LSH/curated rows go in TWICE
+    val r1 = CurationPipeline.processDelivery(shardOf(docs, 1), "shard_1", reg, cfg)
+    assert(r1.nFresh == baseRs(1).nFresh)
+    val sigs = spark.read.parquet(s"${cfg.lshPath}/sigs")
+    assert(sigs.count() > sigs.distinct().count(),
+      "precondition: the retry must have left physically duplicated sig rows")
+
+    // the duplicates must be invisible to later probes…
+    val r2 = CurationPipeline.processDelivery(shardOf(docs, 2), "shard_2", reg, cfg)
+    assert(r2.nNearDupCandidates == baseRs(2).nNearDupCandidates,
+      "duplicated index rows must not double-report candidates")
+    // …and to the packed output
+    val got = manifestRows(CurationPipeline.packAndAudit(spark, cfg))
+    assert(got.forall(_._4) && got == baseline,
+      s"crash + re-delivery must reproduce the crash-free manifest:\n$got\nvs\n$baseline")
+
+    // compaction physically removes the crash artifacts
+    operators.Dedup.compactLshIndex(spark, cfg.lshPath)
+    val after = spark.read.parquet(s"${cfg.lshPath}/sigs")
+    assert(after.count() == after.distinct().count(),
+      "compaction must collapse the duplicated rows")
+  }
 }
