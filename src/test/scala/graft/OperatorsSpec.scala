@@ -1564,4 +1564,37 @@ class OperatorsSpec extends SparkSpec {
         s"uniform prices: some but not all rows beyond 1.5*MAD, got $out")
     }
   }
+
+  test("QualityModel: exact-grain GD — weights bit-invariant under repartitioning, classes separate") {
+    import spark.implicits._
+    // separable-with-noise fixture: 'good' rows sit high on x1/x3 and
+    // low on x2; every 11th row is mislabeled so the learner sees a
+    // weak-label regime, not a trivially consistent one
+    val feats = (1 to 200).map { i =>
+      val good = i % 3 != 0
+      val y = if (i % 11 == 0) (if (good) 0.0 else 1.0) else (if (good) 1.0 else 0.0)
+      val x1 = (if (good) 0.70 else 0.10) + (i % 5) * 0.02
+      val x2 = (if (good) 0.04 else 0.24) + (i % 7) * 0.01
+      val x3 = if (good) 0.40 else 0.05
+      val x4 = 0.50 + (i % 4) * 0.05
+      (y, x1, x2, x3, x4)
+    }.toDF("y", "x1", "x2", "x3", "x4")
+    val xs = Seq("x1", "x2", "x3", "x4")
+    val a = graft.operators.QualityModel.trainScore(feats, xs, "y")
+    assert(a.weights.forall(w => !w.isNaN && !w.isInfinite))
+
+    // exact integer-grain gradient sums: the learned weights are
+    // BIT-identical under any repartitioning (a naive double sum is
+    // aggregation-order-dependent and would differ here)
+    val b = graft.operators.QualityModel.trainScore(feats.repartition(7), xs, "y")
+    assert(a.weights == b.weights,
+      s"weights must be partition-invariant:\n${a.weights}\nvs\n${b.weights}")
+
+    // the smooth score must separate the classes the weak labels define
+    val mean = a.scored.groupBy("y")
+      .agg((sum(round(col("score") * lit(1e9))) / count(lit(1))).as("m"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(mean(1.0) > mean(0.0) + 1e7, // ≥0.01 separation in 1e-9 grains
+      s"mean score of positives must exceed negatives: $mean")
+  }
 }
