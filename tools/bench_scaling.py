@@ -45,6 +45,7 @@ SUBSET = [
     "td48_cross_source_dups",   # cross-source fingerprint join
     "td50_k_anonymity",      # hash aggregate over integers
     "td54_ngram_decontam",   # exact n-gram eval-overlap join
+    "td55_quality_classifier",  # 16-pass exact-grain GD training
     "ss03_ivf_ann",          # IVF probe-cluster equi-join
     "ss18_capped_lsh_ann",   # capped-bucket LSH ANN (linear ANN path)
     "ss19_capped_multiprobe",  # capped multi-probe LSH
