@@ -4245,89 +4245,121 @@ object TrainingData {
     * all hash-match, which is only possible because the whole
     * training loop is deterministic arithmetic.
     */
+  // ── learned quality classifier (shared by td55/td56) ──────────────
+  // 16 steps at lr 16 with n_tokens capped at 32 (the gate's own scale
+  // — its threshold is 25) gives a visibly separated decile profile on
+  // this corpus; punct is identically 0 here so x2 stays a dead
+  // feature, which the learned weight shows.
+  private val qcIters = 16
+  private val qcXs = Seq("x1", "x2", "x3", "x4")
+
+  /** Left-associated exactly like QualityModel.affine — double
+    * addition does not associate, so the order is the contract.
+    */
+  private def qcZSql(w: String) =
+    s"(((($w.w0 + $w.w1 * x1) + $w.w2 * x2) + $w.w3 * x3) + $w.w4 * x4)"
+  private def qcSigSql(z: String) = s"(0.5 + $z / (2.0 * (1.0 + ABS($z))))"
+
+  /** The full CTE chain replaying `QualityModel.trainScore`: features,
+    * weak labels (`f`, which also carries doc_id + source for
+    * downstream sampling), and the k unrolled gradient iterations
+    * ending at `w$qcIters`.
+    */
+  private def qcTrainingCtes: String = {
+    val iterCtes = (1 to qcIters).map { i =>
+      val r = s"(${qcSigSql(qcZSql(s"w${i - 1}"))} - y)"
+      val gCols = (s"SUM(CAST(ROUND($r * 1e9) AS BIGINT)) AS g0" +:
+        qcXs.zipWithIndex.map { case (x, j) =>
+          s"SUM(CAST(ROUND(($r * $x) * 1e9) AS BIGINT)) AS g${j + 1}"
+        }).mkString(", ")
+      val wCols = (0 to qcXs.size).map(j =>
+        s"w${i - 1}.w$j - 16.0 * (CAST(g$i.g$j AS DOUBLE) / 1e9 / g$i.n) AS w$j")
+        .mkString(", ")
+      s"""g$i AS MATERIALIZED (SELECT $gCols, COUNT(*) AS n FROM f, w${i - 1}),
+         |w$i AS MATERIALIZED (SELECT $wCols FROM w${i - 1}, g$i)""".stripMargin
+    }.mkString(",\n")
+    val w0Cols = (0 to qcXs.size).map(j => s"0.0::DOUBLE AS w$j").mkString(", ")
+    s"""q AS (SELECT doc_id, source, text,
+       |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
+       |       ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS toks
+       |FROM documents),
+       |feat AS (SELECT doc_id, source,
+       |  CAST(LEN(toks) AS INT) AS n_tokens,
+       |  CASE WHEN LEN(toks) > 0
+       |    THEN CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / LEN(toks)
+       |    ELSE 0.0 END AS avg_token_len,
+       |  CASE WHEN LENGTH(text) > 0
+       |    THEN CAST(LEN(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / LENGTH(text)
+       |    ELSE 0.0 END AS punct_ratio,
+       |  CASE WHEN LEN(toks) > 0
+       |    THEN CAST(LEN(regexp_extract_all(LOWER(text), '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE) / LEN(toks)
+       |    ELSE 0.0 END AS stopword_ratio,
+       |  CASE WHEN LEN(toks) > 0
+       |    THEN 1.0 - CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks)
+       |    ELSE 0.0 END AS rep
+       |FROM q),
+       |f AS MATERIALIZED (SELECT doc_id, source,
+       |  CASE WHEN NOT (n_tokens < 25 OR n_tokens > 1000000
+       |                 OR rep > 0.65 OR punct_ratio > 0.3)
+       |    THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
+       |  CAST(LEAST(n_tokens, 32) AS DOUBLE) / 32.0 AS x1,
+       |  punct_ratio AS x2,
+       |  stopword_ratio AS x3,
+       |  LEAST(avg_token_len, 16.0) / 16.0 AS x4
+       |FROM feat),
+       |w0 AS MATERIALIZED (SELECT $w0Cols),
+       |$iterCtes""".stripMargin
+  }
+
+  /** Engine-side twin of [[qcTrainingCtes]]'s `f`: weak labels from
+    * the td22 gate + the four bounded lexical features.
+    */
+  private def qcFeatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = TextAnalysis.qualityFeatures(docs, col("text"))
+    val toksN = col("n_tokens")
+    val rep = when(toksN > 0,
+      lit(1.0) - size(array_distinct(split(trim(col("text")), "\\s+"))).cast("double") / toksN)
+      .otherwise(lit(0.0))
+    val gate = not(toksN < 25 || toksN > 1000000 ||
+      rep > 0.65 || col("punct_ratio") > 0.3)
+    base
+      .withColumn("y", when(gate, lit(1.0)).otherwise(lit(0.0)))
+      .withColumn("x1", least(toksN, lit(32)).cast("double") / lit(32.0))
+      .withColumn("x2", col("punct_ratio"))
+      .withColumn("x3", col("stopword_ratio"))
+      .withColumn("x4", least(col("avg_token_len"), lit(16.0)) / lit(16.0))
+      .select("doc_id", "source", "y", "x1", "x2", "x3", "x4")
+  }
+
+  /** Learned quality classifier (CCNet/GPT-3 curation setup): the
+    * td22 heuristic gate provides weak 0/1 labels, a linear model on
+    * four cheap lexical features distills them into a SMOOTH score
+    * for threshold sweeps / importance sampling. Training is 16 batch
+    * gradient steps made bit-reproducible across engines AND
+    * partitionings (`operators.QualityModel`): a rational sigmoid
+    * (IEEE ops only — no libm `exp` drift), per-row contributions
+    * rounded to integer 1e-9 grains, exact decimal gradient sums.
+    * The oracle replays every iteration — the weak labels, the 16
+    * weight vectors, the final scores, and the score-decile profile
+    * all hash-match, which is only possible because the whole
+    * training loop is deterministic arithmetic.
+    */
   val td55QualityClassifier = Query(
-    "td55_quality_classifier", {
-      // 16 steps at lr 16 with n_tokens capped at 32 (the gate's own
-      // scale — its threshold is 25) gives a visibly separated decile
-      // profile on this corpus; punct is identically 0 here so x2
-      // stays a dead feature, which the learned weight shows
-      val k = 16
-      val xs = Seq("x1", "x2", "x3", "x4")
-      // left-associated exactly like QualityModel.affine — double
-      // addition does not associate, so the order is the contract
-      def zSql(w: String) =
-        s"(((($w.w0 + $w.w1 * x1) + $w.w2 * x2) + $w.w3 * x3) + $w.w4 * x4)"
-      def sig(z: String) = s"(0.5 + $z / (2.0 * (1.0 + ABS($z))))"
-      val iterCtes = (1 to k).map { i =>
-        val r = s"(${sig(zSql(s"w${i - 1}"))} - y)"
-        val gCols = (s"SUM(CAST(ROUND($r * 1e9) AS BIGINT)) AS g0" +:
-          xs.zipWithIndex.map { case (x, j) =>
-            s"SUM(CAST(ROUND(($r * $x) * 1e9) AS BIGINT)) AS g${j + 1}"
-          }).mkString(", ")
-        val wCols = (0 to xs.size).map(j =>
-          s"w${i - 1}.w$j - 16.0 * (CAST(g$i.g$j AS DOUBLE) / 1e9 / g$i.n) AS w$j")
-          .mkString(", ")
-        s"""g$i AS MATERIALIZED (SELECT $gCols, COUNT(*) AS n FROM f, w${i - 1}),
-           |w$i AS MATERIALIZED (SELECT $wCols FROM w${i - 1}, g$i)""".stripMargin
-      }.mkString(",\n")
-      val w0Cols = (0 to xs.size).map(j => s"0.0::DOUBLE AS w$j").mkString(", ")
-      Some(
-        s"""WITH q AS (SELECT doc_id, text,
-           |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
-           |       ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS toks
-           |FROM documents),
-           |feat AS (SELECT doc_id,
-           |  CAST(LEN(toks) AS INT) AS n_tokens,
-           |  CASE WHEN LEN(toks) > 0
-           |    THEN CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / LEN(toks)
-           |    ELSE 0.0 END AS avg_token_len,
-           |  CASE WHEN LENGTH(text) > 0
-           |    THEN CAST(LEN(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / LENGTH(text)
-           |    ELSE 0.0 END AS punct_ratio,
-           |  CASE WHEN LEN(toks) > 0
-           |    THEN CAST(LEN(regexp_extract_all(LOWER(text), '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE) / LEN(toks)
-           |    ELSE 0.0 END AS stopword_ratio,
-           |  CASE WHEN LEN(toks) > 0
-           |    THEN 1.0 - CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks)
-           |    ELSE 0.0 END AS rep
-           |FROM q),
-           |f AS MATERIALIZED (SELECT doc_id,
-           |  CASE WHEN NOT (n_tokens < 25 OR n_tokens > 1000000
-           |                 OR rep > 0.65 OR punct_ratio > 0.3)
-           |    THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
-           |  CAST(LEAST(n_tokens, 32) AS DOUBLE) / 32.0 AS x1,
-           |  punct_ratio AS x2,
-           |  stopword_ratio AS x3,
-           |  LEAST(avg_token_len, 16.0) / 16.0 AS x4
-           |FROM feat),
-           |w0 AS MATERIALIZED (SELECT $w0Cols),
-           |$iterCtes,
-           |scored AS (SELECT ${sig(zSql(s"w$k"))} AS score, CAST(y AS BIGINT) AS yi
-           |           FROM f, w$k)
-           |SELECT CAST(FLOOR(score * 10) AS INT) AS bucket,
-           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |  CAST(SUM(yi) AS BIGINT) AS n_pass,
-           |  CAST(SUM(CAST(ROUND(score * 1e9) AS BIGINT)) AS BIGINT) AS sum_score_e9
-           |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin)
-    },
+    "td55_quality_classifier",
+    Some(
+      s"""WITH $qcTrainingCtes,
+         |scored AS (SELECT ${qcSigSql(qcZSql(s"w$qcIters"))} AS score, CAST(y AS BIGINT) AS yi
+         |           FROM f, w$qcIters)
+         |SELECT CAST(FLOOR(score * 10) AS INT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(yi) AS BIGINT) AS n_pass,
+         |  CAST(SUM(CAST(ROUND(score * 1e9) AS BIGINT)) AS BIGINT) AS sum_score_e9
+         |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin),
     (spark, dir) => {
       import graft.operators.QualityModel
       val t = Tables(spark, dir)
-      val base = TextAnalysis.qualityFeatures(t.documents, col("text"))
-      val toksN = col("n_tokens")
-      val rep = when(toksN > 0,
-        lit(1.0) - size(array_distinct(split(trim(col("text")), "\\s+"))).cast("double") / toksN)
-        .otherwise(lit(0.0))
-      val gate = not(toksN < 25 || toksN > 1000000 ||
-        rep > 0.65 || col("punct_ratio") > 0.3)
-      val feats = base
-        .withColumn("y", when(gate, lit(1.0)).otherwise(lit(0.0)))
-        .withColumn("x1", least(toksN, lit(32)).cast("double") / lit(32.0))
-        .withColumn("x2", col("punct_ratio"))
-        .withColumn("x3", col("stopword_ratio"))
-        .withColumn("x4", least(col("avg_token_len"), lit(16.0)) / lit(16.0))
-        .select("doc_id", "y", "x1", "x2", "x3", "x4")
-      val trained = QualityModel.trainScore(feats, Seq("x1", "x2", "x3", "x4"), "y", iters = 16, lr = 16.0)
+      val trained = QualityModel.trainScore(
+        qcFeatures(t.documents), qcXs, "y", iters = qcIters, lr = 16.0)
       trained.scored
         .withColumn("bucket", floor(col("score") * lit(10)).cast("int"))
         .withColumn("yi", col("y").cast("long"))
@@ -4338,6 +4370,61 @@ object TrainingData {
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
             .cast("long").as("sum_score_e9"))
         .orderBy("bucket")
+    }
+  )
+
+  /** Classifier-guided Pareto sampling — the documented GPT-3 data
+    * step: a document is kept when a Pareto draw beats its score
+    * deficit, so high-scoring docs are kept with certainty-like odds
+    * while low scorers survive at a diversity-preserving tail rate
+    * (never pruned to zero). Bit-replayable end-to-end: the shape
+    * α = 1 makes the Pareto transform RATIONAL (1/u − 1 — α ≠ 1 needs
+    * `pow`, whose libm drift would break cross-engine replay), and
+    * the per-doc uniform u comes from the fmix hash of doc_id
+    * (24-bit mantissa, +0.5 offset ⇒ u ∈ (0,1), exact powers of two
+    * throughout). Keep rate = 1/(2 − score) ∈ [0.5, 1), monotone in
+    * the learned score. One scan after training; the sample decision
+    * is a per-row predicate — no extra shuffle beyond the per-source
+    * rollup.
+    */
+  val td56ClassifierSample = Query(
+    "td56_classifier_sample", {
+      val hv = toSignedSql(s"(${fmixSql(s"(${foldSql("CAST(doc_id AS VARCHAR)")})")})")
+      Some(
+        s"""WITH $qcTrainingCtes,
+           |scored AS (SELECT doc_id, source,
+           |  ${qcSigSql(qcZSql(s"w$qcIters"))} AS score FROM f, w$qcIters),
+           |u AS (SELECT doc_id, source, score,
+           |  (CAST(((hv % 16777216) + 16777216) % 16777216 AS DOUBLE) + 0.5) / 16777216.0 AS u
+           |  FROM (SELECT doc_id, source, score, $hv AS hv FROM scored)),
+           |k AS (SELECT source, score,
+           |  ((1.0 / u) - 1.0) > (1.0 - score) AS kept FROM u)
+           |SELECT source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN kept THEN CAST(ROUND(score * 1e9) AS BIGINT) ELSE 0 END)
+           |       AS BIGINT) AS sum_score_e9_kept
+           |FROM k GROUP BY source ORDER BY source""".stripMargin)
+    },
+    (spark, dir) => {
+      import graft.operators.QualityModel
+      val t = Tables(spark, dir)
+      graft.functions.MixedHash64.register(spark)
+      val trained = QualityModel.trainScore(
+        qcFeatures(t.documents), qcXs, "y", iters = qcIters, lr = 16.0)
+      trained.scored
+        .withColumn("u",
+          (pmod(graft.functions.MixedHash64(col("doc_id").cast("string")),
+            lit(16777216L)).cast("double") + lit(0.5)) / lit(16777216.0))
+        .withColumn("kept",
+          (lit(1.0) / col("u") - lit(1.0)) > (lit(1.0) - col("score")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+          sum(when(col("kept"), round(col("score") * lit(1e9))).otherwise(lit(0.0))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("long").as("sum_score_e9_kept"))
+        .orderBy("source")
     }
   )
 
@@ -4823,6 +4910,6 @@ object TrainingData {
     mm05MediaCanonical, td51SpanCorruption, td52PreferencePairs,
     td53ThresholdSweep, ss17FilteredAnn, in08ManifestScan, in09CurationE2e,
     td54NgramDecontam, dd19SimhashClasses, ss18CappedLshAnn,
-    ss19CappedMultiprobe, td55QualityClassifier
+    ss19CappedMultiprobe, td55QualityClassifier, td56ClassifierSample
   )
 }
