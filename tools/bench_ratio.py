@@ -46,8 +46,14 @@ def run_bench(sf_dir, runs):
     sys.exit("bench produced no JSON line")
 
 
-def ensure_oracle_json(sf_dir, work_dir):
+def ensure_oracle_json(sf_dir, work_dir, expected=()):
     p = os.path.join(work_dir, "oracle_sql.json")
+    # a cached dump from an older catalog silently drops the newest
+    # queries' DuckDB side — regenerate when any benched query is absent
+    if os.path.exists(p):
+        cached = json.load(open(p))
+        if any(q not in cached for q in expected):
+            os.remove(p)
     if not os.path.exists(p):
         env = dict(os.environ, SPARK_GRAFT_CPUS="8", SPARK_GRAFT_SQL_ONLY="1")
         r = subprocess.run(
@@ -156,7 +162,7 @@ def main():
     if a.oracle_json:
         oracle = json.load(open(a.oracle_json))
     else:
-        oracle = ensure_oracle_json(a.sf_dir, a.work)
+        oracle = ensure_oracle_json(a.sf_dir, a.work, expected=spark.keys())
     oracle = {k: v for k, v in oracle.items() if k in spark}
 
     duck = duckdb_times(a.sf_dir, oracle, f"{a.work}/duckdb_spill", a.threads, a.mem,
