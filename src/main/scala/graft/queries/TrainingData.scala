@@ -529,50 +529,134 @@ object TrainingData {
     * oracle replays signatures, the hash-ordered truncation window,
     * and the rescore exactly.
     */
+  /** Shared oracle CTEs for the capped-bucket LSH replay (ss18/ss20):
+    * [[lshTableCtes]] builds the per-table signatures once (`b0`,
+    * `base`, `tabled`); [[cappedPairsCtes]] adds a hash-ordered
+    * truncation + candidate `pairs$sfx` chain for one cap, optionally
+    * restricted to a query slice. `base` (id, v, v_norm) is also what
+    * exact-side consumers rescore from, so both sides of a recall
+    * comparison share arithmetic.
+    */
+  private def lshTableCtes(bits: Int, tables: Int, dim: Int): String = {
+    def signDot(v: String, signs: Seq[Double]): String =
+      signs.zipWithIndex.map { case (s, i) =>
+        s"$v[${i + 1}] * ${if (s > 0) "1.0" else "-1.0"}"
+      }.mkString(" + ")
+    def bucketExpr(t: Int): String =
+      Similarity.hyperplaneSigns(bits, t, dim).zipWithIndex.map { case (signs, j) =>
+        s"(CASE WHEN ${signDot("v", signs)} >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    val normTerms = (1 to dim).map(i => s"v[$i] * v[$i]").mkString(" + ")
+    val tabled = (0 until tables).map { t =>
+      s"SELECT id, v, v_norm, $t AS table_id, ${bucketExpr(t)} AS bucket FROM base"
+    }.mkString("\nUNION ALL\n")
+    s"""b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |base AS MATERIALIZED (SELECT id, v, SQRT($normTerms) AS v_norm FROM b0),
+       |tabled AS MATERIALIZED (
+       |$tabled)""".stripMargin
+  }
+
+  private def cappedPairsCtes(dim: Int, cap: Int, sfx: String, queryPred: String = ""): String = {
+    val pairDot = (1 to dim).map(i => s"a.v[$i] * vb.v[$i]").mkString(" + ")
+    val hid = toSignedSql(s"(${fmixSql(s"(${foldSql("CAST(id AS VARCHAR)")})")})")
+    s"""capped$sfx AS (
+       |  SELECT id, table_id, bucket FROM (
+       |    SELECT id, table_id, bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY table_id, bucket
+       |                         ORDER BY $hid, id) AS rn
+       |    FROM tabled) WHERE rn <= $cap),
+       |pairs$sfx AS (
+       |  SELECT DISTINCT a.id AS query_id, b.id AS corpus_id,
+       |    ROUND(($pairDot) / (a.v_norm * vb.v_norm), 4) AS sim
+       |  FROM tabled a JOIN capped$sfx b
+       |    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.id <> b.id$queryPred
+       |  JOIN base vb ON vb.id = b.id)""".stripMargin
+  }
+
   val ss18CappedLshAnn = Query(
-    "ss18_capped_lsh_ann", {
-      val (bits, tables, dim, k, cap) = (8, 2, 64, 3, 8)
-      def signDot(v: String, signs: Seq[Double]): String =
-        signs.zipWithIndex.map { case (s, i) =>
-          s"$v[${i + 1}] * ${if (s > 0) "1.0" else "-1.0"}"
-        }.mkString(" + ")
-      def bucketExpr(t: Int): String =
-        Similarity.hyperplaneSigns(bits, t, dim).zipWithIndex.map { case (signs, j) =>
-          s"(CASE WHEN ${signDot("v", signs)} >= 0 THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
-      val normTerms = (1 to dim).map(i => s"v[$i] * v[$i]").mkString(" + ")
-      val pairDot = (1 to dim).map(i => s"a.v[$i] * vb.v[$i]").mkString(" + ")
-      val tabled = (0 until tables).map { t =>
-        s"SELECT id, v, v_norm, $t AS table_id, ${bucketExpr(t)} AS bucket FROM base"
-      }.mkString("\nUNION ALL\n")
-      val hid = toSignedSql(s"(${fmixSql(s"(${foldSql("CAST(id AS VARCHAR)")})")})")
-      Some(
-        s"""WITH b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |base AS (SELECT id, v, SQRT($normTerms) AS v_norm FROM b0),
-           |tabled AS MATERIALIZED (
-           |$tabled),
-           |capped AS (
-           |  SELECT id, table_id, bucket FROM (
-           |    SELECT id, table_id, bucket,
-           |      ROW_NUMBER() OVER (PARTITION BY table_id, bucket
-           |                         ORDER BY $hid, id) AS rn
-           |    FROM tabled) WHERE rn <= $cap),
-           |pairs AS (
-           |  SELECT DISTINCT a.id AS query_id, b.id AS corpus_id,
-           |    ROUND(($pairDot) / (a.v_norm * vb.v_norm), 4) AS sim
-           |  FROM tabled a JOIN capped b
-           |    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.id <> b.id
-           |  JOIN base vb ON vb.id = b.id)
-           |SELECT query_id, corpus_id, sim, CAST(r AS INT) AS rank FROM (
-           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
-           |  FROM pairs) WHERE r <= $k ORDER BY query_id, rank""".stripMargin)
-    },
+    "ss18_capped_lsh_ann",
+    Some(
+      s"""WITH ${lshTableCtes(bits = 8, tables = 2, dim = 64)},
+         |${cappedPairsCtes(dim = 64, cap = 8, sfx = "")}
+         |SELECT query_id, corpus_id, sim, CAST(r AS INT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+         |  FROM pairs) WHERE r <= 3 ORDER BY query_id, rank""".stripMargin),
     (spark, dir) => {
       val t = Tables(spark, dir)
       Query.checkpointSort(
         Similarity.lshKnnCapped(t.embeddings, "vec_id", "embedding",
           k = 3, bits = 8, tables = 2, bucketCap = 8),
         "query_id", "rank")
+    }
+  )
+
+  /** Recall@3 of the capped-LSH path against the brute-force ground
+    * truth, swept over three bucket caps on a deterministic 50-query
+    * slice — "measure, don't guess" for the truncation's accuracy
+    * cost. On THIS corpus the curve matters: GenData's perturbed
+    * replicas pile ~100-deep into the same hyperplane buckets, so a
+    * tight cap evicts true neighbors and the recall climbs steeply
+    * with the cap — exactly the tradeoff a production deployment
+    * tunes (cap ≈ expected duplicate multiplicity). Both sides round
+    * similarities to the same 4-decimal grid with the same id
+    * tiebreak, so top-k membership is deterministic in both engines;
+    * recall is exact integer 1e-4 units (no double division). The
+    * exact side is O(|slice|·N) — bounded by the fixed slice.
+    */
+  val ss20CappedRecall = Query(
+    "ss20_capped_recall", {
+      val dim = 64
+      val caps = Seq(8, 32, 128)
+      val exDot = (1 to dim).map(i => s"q.v[$i] * c.v[$i]").mkString(" + ")
+      val capChains = caps.map(c =>
+        cappedPairsCtes(dim, c, sfx = s"_$c", queryPred = " AND a.id < 50")).mkString(",\n")
+      val capSelects = caps.map { c =>
+        s"""SELECT CAST($c AS BIGINT) AS bucket_cap, nq.n AS n_queries,
+           |  CAST(hit_$c.n AS BIGINT) AS sum_hits,
+           |  CAST((hit_$c.n * 10000) // (3 * nq.n) AS BIGINT) AS recall_e4
+           |FROM hit_$c, nq""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val hitCtes = caps.map { c =>
+        s"""ann_$c AS (SELECT query_id, corpus_id FROM (
+           |    SELECT query_id, corpus_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+           |    FROM pairs_$c) WHERE r <= 3),
+           |hit_$c AS (SELECT COUNT(*) AS n FROM ex JOIN ann_$c USING (query_id, corpus_id))""".stripMargin
+      }.mkString(",\n")
+      Some(
+        s"""WITH ${lshTableCtes(bits = 8, tables = 2, dim = 64)},
+           |$capChains,
+           |ex AS MATERIALIZED (SELECT query_id, corpus_id FROM (
+           |    SELECT q.id AS query_id, c.id AS corpus_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.id
+           |        ORDER BY ROUND(($exDot) / (q.v_norm * c.v_norm), 4) DESC, c.id) AS r
+           |    FROM base q, base c WHERE q.id < 50 AND c.id <> q.id)
+           |  WHERE r <= 3),
+           |nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n FROM ex),
+           |$hitCtes
+           |$capSelects
+           |ORDER BY bucket_cap""".stripMargin)
+    },
+    (spark, dir) => {
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      val exact = Similarity.cosineKnnKernel(
+        t.embeddings, t.embeddings.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 3)
+        .select("query_id", "corpus_id")
+        .localCheckpoint() // feeds every cap's hit join + the query count
+      val nq = exact.select("query_id").distinct().count()
+      val rows = Seq(8, 32, 128).map { cap =>
+        val ann = Similarity.lshKnnCapped(t.embeddings, "vec_id", "embedding",
+          k = 3, bits = 8, tables = 2, bucketCap = cap)
+          .filter(col("query_id") < 50)
+          .select("query_id", "corpus_id")
+        val hits = exact.join(ann, Seq("query_id", "corpus_id"), "left_semi").count()
+        // 3-element control-plane: the sweep table itself is the result
+        (cap.toLong, nq, hits, hits * 10000L / (3L * nq))
+      }
+      rows.toDF("bucket_cap", "n_queries", "sum_hits", "recall_e4")
+        .orderBy("bucket_cap")
     }
   )
 
@@ -4910,6 +4994,7 @@ object TrainingData {
     mm05MediaCanonical, td51SpanCorruption, td52PreferencePairs,
     td53ThresholdSweep, ss17FilteredAnn, in08ManifestScan, in09CurationE2e,
     td54NgramDecontam, dd19SimhashClasses, ss18CappedLshAnn,
-    ss19CappedMultiprobe, td55QualityClassifier, td56ClassifierSample
+    ss19CappedMultiprobe, td55QualityClassifier, td56ClassifierSample,
+    ss20CappedRecall
   )
 }
