@@ -33,5 +33,11 @@ object Checkpoints {
     try df.queryExecution.analyzed match {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _              => ()
-    } catch { case _: Throwable => () }
+    } catch {
+      // best-effort cleanup must not turn into silent loss of control
+      // signals: re-assert the interrupt for an interrupted job, let
+      // fatal errors (OOM, linkage) propagate, swallow the rest
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
 }

@@ -144,6 +144,11 @@ object CurationPipeline {
       .write.mode("overwrite").partitionBy("shard_id").parquet(cfg.shardsPath)
     sharded.groupBy("shard_id").agg(count(lit(1)).as("manifest_n"))
       .coalesce(1).write.mode("overwrite").json(cfg.manifestPath)
+    // both consumers of the checkpoint have run (the audit below
+    // re-reads from disk); release its blocks now rather than holding
+    // a corpus-sized block set per pack until ContextCleaner GC —
+    // this composition is the nightly-loop target
+    Checkpoints.dropBlocks(sharded)
     val actual = spark.read.parquet(cfg.shardsPath)
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"))

@@ -531,11 +531,14 @@ object TrainingData {
     */
   /** Shared oracle CTEs for the capped-bucket LSH replay (ss18/ss20):
     * [[lshTableCtes]] builds the per-table signatures once (`b0`,
-    * `base`, `tabled`); [[cappedPairsCtes]] adds a hash-ordered
-    * truncation + candidate `pairs$sfx` chain for one cap, optionally
-    * restricted to a query slice. `base` (id, v, v_norm) is also what
-    * exact-side consumers rescore from, so both sides of a recall
-    * comparison share arithmetic.
+    * `base`, `tabled`); [[lshRankedCte]] adds the hash-ordered
+    * truncation rank, computed ONCE and filtered per cap (`rn <= c`)
+    * by consumers. Memory discipline (this oracle OOMed the round-8
+    * driver gate when DuckDB ran memory-starved next to the Spark
+    * JVM): `tabled`/`ranked` carry only (id, table_id, bucket[, rn])
+    * — four integers a row — and the 64-dim vectors re-join from
+    * `base` strictly at rescore time, so the only materialized
+    * vector-bearing CTE is `base` itself.
     */
   private def lshTableCtes(bits: Int, tables: Int, dim: Int): String = {
     def signDot(v: String, signs: Seq[Double]): String =
@@ -548,7 +551,7 @@ object TrainingData {
       }.mkString(" + ")
     val normTerms = (1 to dim).map(i => s"v[$i] * v[$i]").mkString(" + ")
     val tabled = (0 until tables).map { t =>
-      s"SELECT id, v, v_norm, $t AS table_id, ${bucketExpr(t)} AS bucket FROM base"
+      s"SELECT id, $t AS table_id, ${bucketExpr(t)} AS bucket FROM base"
     }.mkString("\nUNION ALL\n")
     s"""b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |base AS MATERIALIZED (SELECT id, v, SQRT($normTerms) AS v_norm FROM b0),
@@ -556,31 +559,33 @@ object TrainingData {
        |$tabled)""".stripMargin
   }
 
-  private def cappedPairsCtes(dim: Int, cap: Int, sfx: String, queryPred: String = ""): String = {
-    val pairDot = (1 to dim).map(i => s"a.v[$i] * vb.v[$i]").mkString(" + ")
+  private def lshRankedCte: String = {
     val hid = toSignedSql(s"(${fmixSql(s"(${foldSql("CAST(id AS VARCHAR)")})")})")
-    s"""capped$sfx AS (
-       |  SELECT id, table_id, bucket FROM (
-       |    SELECT id, table_id, bucket,
-       |      ROW_NUMBER() OVER (PARTITION BY table_id, bucket
-       |                         ORDER BY $hid, id) AS rn
-       |    FROM tabled) WHERE rn <= $cap),
-       |pairs$sfx AS (
-       |  SELECT DISTINCT a.id AS query_id, b.id AS corpus_id,
-       |    ROUND(($pairDot) / (a.v_norm * vb.v_norm), 4) AS sim
-       |  FROM tabled a JOIN capped$sfx b
-       |    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.id <> b.id$queryPred
-       |  JOIN base vb ON vb.id = b.id)""".stripMargin
+    s"""ranked AS (
+       |  SELECT id, table_id, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY table_id, bucket
+       |                       ORDER BY $hid, id) AS rn
+       |  FROM tabled)""".stripMargin
   }
 
   val ss18CappedLshAnn = Query(
-    "ss18_capped_lsh_ann",
-    Some(
-      s"""WITH ${lshTableCtes(bits = 8, tables = 2, dim = 64)},
-         |${cappedPairsCtes(dim = 64, cap = 8, sfx = "")}
-         |SELECT query_id, corpus_id, sim, CAST(r AS INT) AS rank FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
-         |  FROM pairs) WHERE r <= 3 ORDER BY query_id, rank""".stripMargin),
+    "ss18_capped_lsh_ann", {
+      val pairDot = (1 to 64).map(i => s"va.v[$i] * vb.v[$i]").mkString(" + ")
+      Some(
+        s"""WITH ${lshTableCtes(bits = 8, tables = 2, dim = 64)},
+           |$lshRankedCte,
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS query_id, b.id AS corpus_id,
+           |    ROUND(($pairDot) / (va.v_norm * vb.v_norm), 4) AS sim
+           |  FROM tabled a JOIN ranked b
+           |    ON a.table_id = b.table_id AND a.bucket = b.bucket
+           |   AND a.id <> b.id AND b.rn <= 8
+           |  JOIN base va ON va.id = a.id
+           |  JOIN base vb ON vb.id = b.id)
+           |SELECT query_id, corpus_id, sim, CAST(r AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+           |  FROM pairs) WHERE r <= 3 ORDER BY query_id, rank""".stripMargin)
+    },
     (spark, dir) => {
       val t = Tables(spark, dir)
       Query.checkpointSort(
@@ -608,8 +613,7 @@ object TrainingData {
       val dim = 64
       val caps = Seq(8, 32, 128)
       val exDot = (1 to dim).map(i => s"q.v[$i] * c.v[$i]").mkString(" + ")
-      val capChains = caps.map(c =>
-        cappedPairsCtes(dim, c, sfx = s"_$c", queryPred = " AND a.id < 50")).mkString(",\n")
+      val pairDot = (1 to dim).map(i => s"va.v[$i] * vb.v[$i]").mkString(" + ")
       val capSelects = caps.map { c =>
         s"""SELECT CAST($c AS BIGINT) AS bucket_cap, nq.n AS n_queries,
            |  CAST(hit_$c.n AS BIGINT) AS sum_hits,
@@ -620,12 +624,31 @@ object TrainingData {
         s"""ann_$c AS (SELECT query_id, corpus_id FROM (
            |    SELECT query_id, corpus_id,
            |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
-           |    FROM pairs_$c) WHERE r <= 3),
+           |    FROM pairs WHERE min_rn <= $c) WHERE r <= 3),
            |hit_$c AS (SELECT COUNT(*) AS n FROM ex JOIN ann_$c USING (query_id, corpus_id))""".stripMargin
       }.mkString(",\n")
+      // ONE candidate join at the largest cap carrying MIN(rn): a pair
+      // is in cap c's candidate set iff some shared (table, bucket) has
+      // the corpus member inside c's truncation window, i.e. min_rn <=
+      // c — so the three per-cap chains of round 8 (each rescanning
+      // tabled and re-materializing vector-bearing pairs) collapse to
+      // one id-only join + one vector re-join, cutting the DuckDB peak
+      // ~3x on top of the slimmed `tabled`.
       Some(
         s"""WITH ${lshTableCtes(bits = 8, tables = 2, dim = 64)},
-           |$capChains,
+           |$lshRankedCte,
+           |cand AS (
+           |  SELECT a.id AS query_id, b.id AS corpus_id, MIN(b.rn) AS min_rn
+           |  FROM tabled a JOIN ranked b
+           |    ON a.table_id = b.table_id AND a.bucket = b.bucket
+           |   AND a.id <> b.id AND b.rn <= ${caps.max}
+           |  WHERE a.id < 50
+           |  GROUP BY 1, 2),
+           |pairs AS MATERIALIZED (
+           |  SELECT query_id, corpus_id, min_rn,
+           |    ROUND(($pairDot) / (va.v_norm * vb.v_norm), 4) AS sim
+           |  FROM cand JOIN base va ON va.id = query_id
+           |  JOIN base vb ON vb.id = corpus_id),
            |ex AS MATERIALIZED (SELECT query_id, corpus_id FROM (
            |    SELECT q.id AS query_id, c.id AS corpus_id,
            |      ROW_NUMBER() OVER (PARTITION BY q.id

@@ -57,20 +57,24 @@ final class StreamMetricsRecorder(spark: SparkSession, path: String) {
 
   def snapshots: Seq[BatchStat] = buf.synchronized(buf.toSeq)
 
-  /** Snapshot-and-clear under the lock, write OUTSIDE it: the same
-    * lock serializes onQueryProgress, which runs on the shared
-    * listener-bus delivery thread — holding it across a parquet write
-    * job would stall event delivery to every other listener.
+  /** Snapshot under the buffer lock, write OUTSIDE it: that lock
+    * serializes onQueryProgress, which runs on the shared listener-bus
+    * delivery thread — holding it across a parquet write job would
+    * stall event delivery to every other listener. The buffer is only
+    * trimmed AFTER the write succeeds (onQueryProgress strictly
+    * appends, so the written rows are a stable prefix), so a failed
+    * write keeps its batch stats for the next flush instead of
+    * silently dropping them. `flushLock` serializes flushers against
+    * each other — without it two concurrent flushes would write the
+    * same prefix twice.
     */
-  def flush(): Unit = {
-    val pending = buf.synchronized {
-      val s = buf.toSeq
-      buf.clear()
-      s
-    }
+  private val flushLock = new Object
+  def flush(): Unit = flushLock.synchronized {
+    val pending = buf.synchronized(buf.toSeq)
     if (pending.nonEmpty) {
       import spark.implicits._
       spark.createDataset(pending).write.mode(SaveMode.Append).parquet(path)
+      buf.synchronized(buf.remove(0, pending.length))
     }
   }
 }

@@ -11,8 +11,16 @@ package graft.tools
   */
 object ExplainProbe {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.tools.ExplainProbe <queryName> [sfDir]\n" +
+          "  sfDir defaults to $SPARK_GRAFT_SF_DIR, then the sf0.001 smoke dir")
+      sys.exit(2)
+    }
     val name = args(0)
-    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val dir =
+      if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.Sessions.local(8)
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, dir)
