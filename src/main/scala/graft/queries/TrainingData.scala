@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Functions, RollingHash64}
@@ -681,6 +682,259 @@ object TrainingData {
       rows.toDF("bucket_cap", "n_queries", "sum_hits", "recall_e4")
         .orderBy("bucket_cap")
     }
+  )
+
+  // ── kNN-graph construction (shared by ss13–ss15 and ss21–ss23) ──
+  /** Exact-kNN oracle prelude (the ss13–ss15 recall baselines): O(N²)
+    * brute-force cosine on the deterministic %4 slice, ending in
+    * `knn(qa, qb)`. The slice keeps the DuckDB replay inside an N²-row
+    * window it can sort; the engine-side KERNEL is corpus-agnostic.
+    */
+  private def exactKnnCtes(k: Int): String =
+    s"""base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id % 4 = 0),
+       |p AS (
+       |  SELECT a.id AS qa, b.id AS qb,
+       |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+       |  FROM base a, base b WHERE a.id <> b.id),
+       |r AS (SELECT qa, qb,
+       |        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
+       |      FROM p),
+       |knn AS (SELECT qa, qb FROM r WHERE rk <= $k)""".stripMargin
+
+  /** Capped-LSH oracle prelude (ss21–ss23): ss18's bounded candidate
+    * generation (bits=8, tables=2, cap=8) rescored and cut to top-`k`
+    * per query, ending in the same `knn(qa, qb)` frame the exact
+    * prelude does — the graph SQL after this point is IDENTICAL to the
+    * exact baselines'. Unlike those (quadratic kernel, %4 slice), this
+    * prelude is linear in N and runs over the FULL corpus.
+    */
+  private def cappedKnnCtes(k: Int): String = {
+    val pairDot = (1 to 64).map(i => s"va.v[$i] * vb.v[$i]").mkString(" + ")
+    s"""${lshTableCtes(bits = 8, tables = 2, dim = 64)},
+       |$lshRankedCte,
+       |p AS (
+       |  SELECT DISTINCT a.id AS qa, b.id AS qb,
+       |    ROUND(($pairDot) / (va.v_norm * vb.v_norm), 4) AS sim
+       |  FROM tabled a JOIN ranked b
+       |    ON a.table_id = b.table_id AND a.bucket = b.bucket
+       |   AND a.id <> b.id AND b.rn <= 8
+       |  JOIN base va ON va.id = a.id
+       |  JOIN base vb ON vb.id = b.id),
+       |knn AS (SELECT qa, qb FROM (
+       |    SELECT qa, qb,
+       |      ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
+       |    FROM p) WHERE rk <= $k)""".stripMargin
+  }
+
+  /** Graph-algorithm oracle bodies over a `knn(qa, qb)` CTE — shared
+    * verbatim between the exact and capped graph rows, so a capped row
+    * differs from its baseline ONLY in how the edge list was built.
+    */
+  private val triangleSqlAfterKnn =
+    """und AS MATERIALIZED (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
+      |deg AS (SELECT id, COUNT(*) AS d FROM (
+      |          SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+      |        GROUP BY id),
+      |o AS MATERIALIZED (SELECT
+      |        CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
+      |        CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst
+      |      FROM und JOIN deg da ON a = da.id JOIN deg db ON b = db.id),
+      |tri AS (SELECT o1.src AS t1, o1.dst AS t2, o2.dst AS t3
+      |        FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst
+      |        JOIN und e ON e.a = LEAST(o1.dst, o2.dst)
+      |                  AND e.b = GREATEST(o1.dst, o2.dst)),
+      |tn AS (SELECT id, COUNT(*) AS n_tri FROM (
+      |         SELECT t1 AS id FROM tri UNION ALL SELECT t2 FROM tri
+      |         UNION ALL SELECT t3 FROM tri)
+      |       GROUP BY id)
+      |SELECT d.id AS vec_id, CAST(d.d AS BIGINT) AS degree,
+      |  CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+      |  CASE WHEN d.d >= 2
+      |    THEN CAST(2 * COALESCE(tn.n_tri, 0) AS DOUBLE) / (d.d * (d.d - 1))
+      |    ELSE 0.0 END AS clustering
+      |FROM deg d LEFT JOIN tn ON d.id = tn.id
+      |ORDER BY vec_id""".stripMargin
+
+  private val linkPredSqlAfterKnn =
+    """und AS MATERIALIZED (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
+      |adj AS MATERIALIZED (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+      |deg AS (SELECT x AS id, COUNT(*) AS d FROM adj GROUP BY x),
+      |wedge AS (
+      |  SELECT a1.y AS u, a2.y AS v, COUNT(*) AS cn
+      |  FROM adj a1 JOIN adj a2 ON a1.x = a2.x AND a1.y < a2.y
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT w.u, w.v, w.cn FROM wedge w
+      |  LEFT JOIN und e ON e.a = w.u AND e.b = w.v
+      |  WHERE e.a IS NULL AND w.cn >= 2)
+      |SELECT c.u AS node_a, c.v AS node_b, CAST(c.cn AS BIGINT) AS common_neighbors,
+      |  CAST(c.cn AS DOUBLE) / (du.d + dv.d - c.cn) AS jaccard
+      |FROM cand c JOIN deg du ON c.u = du.id JOIN deg dv ON c.v = dv.id
+      |ORDER BY node_a, node_b""".stripMargin
+
+  private val labelPropSqlAfterKnn =
+    """und AS MATERIALIZED (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
+      |adj AS MATERIALIZED (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+      |l0 AS (SELECT DISTINCT x AS node, x AS label FROM adj),
+      |c1 AS (SELECT adj.x, l0.label, COUNT(*) AS cnt
+      |       FROM adj JOIN l0 ON adj.y = l0.node GROUP BY 1, 2),
+      |s1 AS (SELECT x, label,
+      |         ROW_NUMBER() OVER (PARTITION BY x ORDER BY cnt DESC, label) AS rn
+      |       FROM c1),
+      |l1 AS (SELECT x AS node, label FROM s1 WHERE rn = 1),
+      |c2 AS (SELECT adj.x, l1.label, COUNT(*) AS cnt
+      |       FROM adj JOIN l1 ON adj.y = l1.node GROUP BY 1, 2),
+      |s2 AS (SELECT x, label,
+      |         ROW_NUMBER() OVER (PARTITION BY x ORDER BY cnt DESC, label) AS rn
+      |       FROM c2),
+      |l2 AS (SELECT x AS node, label FROM s2 WHERE rn = 1),
+      |sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+      |       FROM l2 GROUP BY label)
+      |SELECT l2.node AS vec_id, l2.label AS community, sz.community_size
+      |FROM l2 JOIN sz USING (label) ORDER BY vec_id""".stripMargin
+
+  /** Symmetrize a (query_id, corpus_id) kNN frame into the undirected
+    * edge list the graph operators consume.
+    */
+  private[graft] def undFromKnn(knn: DataFrame): DataFrame =
+    knn.select(least(col("query_id"), col("corpus_id")).as("a"),
+      greatest(col("query_id"), col("corpus_id")).as("b"))
+      .distinct()
+
+  /** Triangle counts + clustering coefficients over an undirected edge
+    * list — ss13's degree-ordered-orientation shape (out-degree
+    * O(√m)-bounded, each triangle found once at its minimum-order
+    * apex), shared between the exact and capped graph rows.
+    */
+  private[graft] def triangleStats(und0: DataFrame): DataFrame = {
+    val und = und0.localCheckpoint() // consumed by deg, orientation, and the closing join
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+    val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val o = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("src"),
+      when(fwd, col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint() // wedge self-join reads it twice
+    val tri = o.alias("o1")
+      .join(o.alias("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.src").as("t1"), col("o1.dst").as("t2"), col("o2.dst").as("t3"))
+      .join(und,
+        col("a") === least(col("t2"), col("t3")) &&
+          col("b") === greatest(col("t2"), col("t3")))
+      .select("t1", "t2", "t3")
+    val tn = tri.select(col("t1").as("id"))
+      .union(tri.select(col("t2").as("id")))
+      .union(tri.select(col("t3").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(tn, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("d") >= 2,
+          (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("d") * (col("d") - 1)))
+          .otherwise(0.0).as("clustering"))
+      .orderBy("vec_id")
+  }
+
+  /** Common-neighbour / Jaccard link prediction over an undirected
+    * edge list — ss14's center-wedge shape (Σ deg² pairs, never |V|²),
+    * shared between the exact and capped graph rows.
+    */
+  private[graft] def linkPredStats(und0: DataFrame): DataFrame = {
+    val und = und0.localCheckpoint() // consumed by adjacency (twice), anti-join
+    val adj = und.select(col("a").as("x"), col("b").as("y"))
+      .union(und.select(col("b").as("x"), col("a").as("y")))
+    val deg = adj.groupBy(col("x").as("id")).agg(count(lit(1)).as("d"))
+    val wedge = adj.alias("a1")
+      .join(adj.alias("a2"),
+        col("a1.x") === col("a2.x") && col("a1.y") < col("a2.y"))
+      .groupBy(col("a1.y").as("u"), col("a2.y").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    val cand = wedge
+      .join(und, col("a") === col("u") && col("b") === col("v"), "left_anti")
+      .filter(col("cn") >= 2)
+    cand
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u").as("node_a"), col("v").as("node_b"),
+        col("cn").as("common_neighbors"),
+        (col("cn").cast("double") / (col("du") + col("dv") - col("cn")))
+          .as("jaccard"))
+      .orderBy("node_a", "node_b")
+  }
+
+  /** Two rounds of deterministic synchronous label propagation over an
+    * undirected edge list — ss15's shape (most-frequent neighbour
+    * label, ties to the smallest), shared between the exact and capped
+    * graph rows.
+    */
+  private[graft] def labelPropStats(und: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = und.select(col("a").as("x"), col("b").as("y"))
+      .union(und.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint() // joined once per round + seeds l0
+    def step(labels: DataFrame) = {
+      val cnt = adj
+        .join(labels.select(col("node").as("y"), col("label")), Seq("y"))
+        .groupBy("x", "label").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("x").orderBy(desc("cnt"), asc("label"))
+      cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("x").as("node"), col("label"))
+    }
+    val l0 = adj.select(col("x").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val l2 = step(step(l0))
+    val sz = l2.groupBy("label").agg(count(lit(1)).as("community_size"))
+    l2.join(sz, Seq("label"))
+      .select(col("node").as("vec_id"), col("label").as("community"),
+        col("community_size"))
+      .orderBy("vec_id")
+  }
+
+  private def cappedKnnGraph(t: Tables): DataFrame =
+    undFromKnn(Similarity.lshKnnCapped(t.embeddings, "vec_id", "embedding",
+      k = 5, bits = 8, tables = 2, bucketCap = 8))
+
+  /** ss13's triangle/clustering analytics with the edge list built
+    * from the CAPPED-LSH kNN (ss18's kernel) instead of the exact
+    * quadratic kernel: candidates per query are bounded at
+    * tables × cap, so graph construction is linear in corpus size and
+    * the row runs over the FULL corpus where the exact baseline needs
+    * the %4 slice. The exact row stays as the recall baseline; the
+    * graph-metric deltas between the two frames are recorded in NOTES
+    * (regenerate via tools.GraphDelta).
+    */
+  val ss21CappedTriangles = Query(
+    "ss21_capped_triangles",
+    Some(s"WITH ${cappedKnnCtes(k = 5)},\n$triangleSqlAfterKnn"),
+    (spark, dir) => triangleStats(cappedKnnGraph(Tables(spark, dir)))
+  )
+
+  /** ss14's common-neighbour link prediction over the capped-LSH kNN
+    * graph — full corpus, bounded candidate generation (see
+    * [[ss21CappedTriangles]]).
+    */
+  val ss22CappedLinkpred = Query(
+    "ss22_capped_linkpred",
+    Some(s"WITH ${cappedKnnCtes(k = 5)},\n$linkPredSqlAfterKnn"),
+    (spark, dir) => linkPredStats(cappedKnnGraph(Tables(spark, dir)))
+  )
+
+  /** ss15's label-propagation communities over the capped-LSH kNN
+    * graph — full corpus, bounded candidate generation (see
+    * [[ss21CappedTriangles]]).
+    */
+  val ss23CappedLabelprop = Query(
+    "ss23_capped_labelprop",
+    Some(s"WITH ${cappedKnnCtes(k = 5)},\n$labelPropSqlAfterKnn"),
+    (spark, dir) => labelPropStats(cappedKnnGraph(Tables(spark, dir)))
   )
 
   /** Capped multi-probe LSH ANN — ss16's probe fan-out over a
@@ -3961,80 +4215,12 @@ object TrainingData {
     */
   val ss13KnnTriangles = Query(
     "ss13_knn_triangles",
-    Some("""WITH base AS (
-            |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            |  WHERE vec_id % 4 = 0),
-            |p AS (
-            |  SELECT a.id AS qa, b.id AS qb,
-            |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
-            |  FROM base a, base b WHERE a.id <> b.id),
-            |r AS (SELECT qa, qb,
-            |        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
-            |      FROM p),
-            |knn AS (SELECT qa, qb FROM r WHERE rk <= 5),
-            |und AS MATERIALIZED (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
-            |deg AS (SELECT id, COUNT(*) AS d FROM (
-            |          SELECT a AS id FROM und UNION ALL SELECT b FROM und)
-            |        GROUP BY id),
-            |o AS MATERIALIZED (SELECT
-            |        CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
-            |        CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst
-            |      FROM und JOIN deg da ON a = da.id JOIN deg db ON b = db.id),
-            |tri AS (SELECT o1.src AS t1, o1.dst AS t2, o2.dst AS t3
-            |        FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst
-            |        JOIN und e ON e.a = LEAST(o1.dst, o2.dst)
-            |                  AND e.b = GREATEST(o1.dst, o2.dst)),
-            |tn AS (SELECT id, COUNT(*) AS n_tri FROM (
-            |         SELECT t1 AS id FROM tri UNION ALL SELECT t2 FROM tri
-            |         UNION ALL SELECT t3 FROM tri)
-            |       GROUP BY id)
-            |SELECT d.id AS vec_id, CAST(d.d AS BIGINT) AS degree,
-            |  CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
-            |  CASE WHEN d.d >= 2
-            |    THEN CAST(2 * COALESCE(tn.n_tri, 0) AS DOUBLE) / (d.d * (d.d - 1))
-            |    ELSE 0.0 END AS clustering
-            |FROM deg d LEFT JOIN tn ON d.id = tn.id
-            |ORDER BY vec_id""".stripMargin),
+    Some(s"WITH ${exactKnnCtes(k = 5)},\n$triangleSqlAfterKnn"),
     (spark, dir) => {
       val t = Tables(spark, dir)
       val vecs = t.embeddings.filter(col("vec_id") % 4 === 0)
-      val und = Similarity
-        .cosineKnnKernel(vecs, vecs, "vec_id", "embedding", k = 5)
-        .select(least(col("query_id"), col("corpus_id")).as("a"),
-          greatest(col("query_id"), col("corpus_id")).as("b"))
-        .distinct()
-        .localCheckpoint() // consumed by deg, orientation, and the closing join
-      val deg = und.select(col("a").as("id"))
-        .union(und.select(col("b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("d"))
-      val withDeg = und
-        .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
-        .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
-      val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-      val o = withDeg.select(
-        when(fwd, col("a")).otherwise(col("b")).as("src"),
-        when(fwd, col("b")).otherwise(col("a")).as("dst"))
-        .localCheckpoint() // wedge self-join reads it twice
-      val tri = o.alias("o1")
-        .join(o.alias("o2"),
-          col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
-        .select(col("o1.src").as("t1"), col("o1.dst").as("t2"), col("o2.dst").as("t3"))
-        .join(und,
-          col("a") === least(col("t2"), col("t3")) &&
-            col("b") === greatest(col("t2"), col("t3")))
-        .select("t1", "t2", "t3")
-      val tn = tri.select(col("t1").as("id"))
-        .union(tri.select(col("t2").as("id")))
-        .union(tri.select(col("t3").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("n_tri"))
-      deg.join(tn, Seq("id"), "left")
-        .select(col("id").as("vec_id"), col("d").as("degree"),
-          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-          when(col("d") >= 2,
-            (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
-              (col("d") * (col("d") - 1)))
-            .otherwise(0.0).as("clustering"))
-        .orderBy("vec_id")
+      triangleStats(undFromKnn(
+        Similarity.cosineKnnKernel(vecs, vecs, "vec_id", "embedding", k = 5)))
     }
   )
 
@@ -4817,60 +5003,12 @@ object TrainingData {
     */
   val ss14LinkPrediction = Query(
     "ss14_link_prediction",
-    Some("""WITH base AS (
-            |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            |  WHERE vec_id % 4 = 0),
-            |p AS (
-            |  SELECT a.id AS qa, b.id AS qb,
-            |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
-            |  FROM base a, base b WHERE a.id <> b.id),
-            |r AS (SELECT qa, qb,
-            |        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
-            |      FROM p),
-            |knn AS (SELECT qa, qb FROM r WHERE rk <= 5),
-            |und AS MATERIALIZED (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
-            |adj AS MATERIALIZED (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
-            |deg AS (SELECT x AS id, COUNT(*) AS d FROM adj GROUP BY x),
-            |wedge AS (
-            |  SELECT a1.y AS u, a2.y AS v, COUNT(*) AS cn
-            |  FROM adj a1 JOIN adj a2 ON a1.x = a2.x AND a1.y < a2.y
-            |  GROUP BY 1, 2),
-            |cand AS (
-            |  SELECT w.u, w.v, w.cn FROM wedge w
-            |  LEFT JOIN und e ON e.a = w.u AND e.b = w.v
-            |  WHERE e.a IS NULL AND w.cn >= 2)
-            |SELECT c.u AS node_a, c.v AS node_b, CAST(c.cn AS BIGINT) AS common_neighbors,
-            |  CAST(c.cn AS DOUBLE) / (du.d + dv.d - c.cn) AS jaccard
-            |FROM cand c JOIN deg du ON c.u = du.id JOIN deg dv ON c.v = dv.id
-            |ORDER BY node_a, node_b""".stripMargin),
+    Some(s"WITH ${exactKnnCtes(k = 5)},\n$linkPredSqlAfterKnn"),
     (spark, dir) => {
       val t = Tables(spark, dir)
       val vecs = t.embeddings.filter(col("vec_id") % 4 === 0)
-      val und = Similarity
-        .cosineKnnKernel(vecs, vecs, "vec_id", "embedding", k = 5)
-        .select(least(col("query_id"), col("corpus_id")).as("a"),
-          greatest(col("query_id"), col("corpus_id")).as("b"))
-        .distinct()
-        .localCheckpoint() // consumed by adjacency (twice), anti-join
-      val adj = und.select(col("a").as("x"), col("b").as("y"))
-        .union(und.select(col("b").as("x"), col("a").as("y")))
-      val deg = adj.groupBy(col("x").as("id")).agg(count(lit(1)).as("d"))
-      val wedge = adj.alias("a1")
-        .join(adj.alias("a2"),
-          col("a1.x") === col("a2.x") && col("a1.y") < col("a2.y"))
-        .groupBy(col("a1.y").as("u"), col("a2.y").as("v"))
-        .agg(count(lit(1)).as("cn"))
-      val cand = wedge
-        .join(und, col("a") === col("u") && col("b") === col("v"), "left_anti")
-        .filter(col("cn") >= 2)
-      cand
-        .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
-        .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
-        .select(col("u").as("node_a"), col("v").as("node_b"),
-          col("cn").as("common_neighbors"),
-          (col("cn").cast("double") / (col("du") + col("dv") - col("cn")))
-            .as("jaccard"))
-        .orderBy("node_a", "node_b")
+      linkPredStats(undFromKnn(
+        Similarity.cosineKnnKernel(vecs, vecs, "vec_id", "embedding", k = 5)))
     }
   )
 
@@ -4886,64 +5024,12 @@ object TrainingData {
     */
   val ss15LabelProp = Query(
     "ss15_label_prop",
-    Some("""WITH base AS (
-            |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            |  WHERE vec_id % 4 = 0),
-            |p AS (
-            |  SELECT a.id AS qa, b.id AS qb,
-            |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
-            |  FROM base a, base b WHERE a.id <> b.id),
-            |r AS (SELECT qa, qb,
-            |        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rk
-            |      FROM p),
-            |knn AS (SELECT qa, qb FROM r WHERE rk <= 5),
-            |und AS MATERIALIZED (SELECT DISTINCT LEAST(qa, qb) AS a, GREATEST(qa, qb) AS b FROM knn),
-            |adj AS MATERIALIZED (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
-            |l0 AS (SELECT DISTINCT x AS node, x AS label FROM adj),
-            |c1 AS (SELECT adj.x, l0.label, COUNT(*) AS cnt
-            |       FROM adj JOIN l0 ON adj.y = l0.node GROUP BY 1, 2),
-            |s1 AS (SELECT x, label,
-            |         ROW_NUMBER() OVER (PARTITION BY x ORDER BY cnt DESC, label) AS rn
-            |       FROM c1),
-            |l1 AS (SELECT x AS node, label FROM s1 WHERE rn = 1),
-            |c2 AS (SELECT adj.x, l1.label, COUNT(*) AS cnt
-            |       FROM adj JOIN l1 ON adj.y = l1.node GROUP BY 1, 2),
-            |s2 AS (SELECT x, label,
-            |         ROW_NUMBER() OVER (PARTITION BY x ORDER BY cnt DESC, label) AS rn
-            |       FROM c2),
-            |l2 AS (SELECT x AS node, label FROM s2 WHERE rn = 1),
-            |sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
-            |       FROM l2 GROUP BY label)
-            |SELECT l2.node AS vec_id, l2.label AS community, sz.community_size
-            |FROM l2 JOIN sz USING (label) ORDER BY vec_id""".stripMargin),
+    Some(s"WITH ${exactKnnCtes(k = 5)},\n$labelPropSqlAfterKnn"),
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val t = Tables(spark, dir)
       val vecs = t.embeddings.filter(col("vec_id") % 4 === 0)
-      val und = Similarity
-        .cosineKnnKernel(vecs, vecs, "vec_id", "embedding", k = 5)
-        .select(least(col("query_id"), col("corpus_id")).as("a"),
-          greatest(col("query_id"), col("corpus_id")).as("b"))
-        .distinct()
-      val adj = und.select(col("a").as("x"), col("b").as("y"))
-        .union(und.select(col("b").as("x"), col("a").as("y")))
-        .localCheckpoint() // joined once per round + seeds l0
-      def step(labels: org.apache.spark.sql.DataFrame) = {
-        val cnt = adj
-          .join(labels.select(col("node").as("y"), col("label")), Seq("y"))
-          .groupBy("x", "label").agg(count(lit(1)).as("cnt"))
-        val w = Window.partitionBy("x").orderBy(desc("cnt"), asc("label"))
-        cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("x").as("node"), col("label"))
-      }
-      val l0 = adj.select(col("x").as("node")).distinct()
-        .withColumn("label", col("node"))
-      val l2 = step(step(l0))
-      val sz = l2.groupBy("label").agg(count(lit(1)).as("community_size"))
-      l2.join(sz, Seq("label"))
-        .select(col("node").as("vec_id"), col("label").as("community"),
-          col("community_size"))
-        .orderBy("vec_id")
+      labelPropStats(undFromKnn(
+        Similarity.cosineKnnKernel(vecs, vecs, "vec_id", "embedding", k = 5)))
     }
   )
 
@@ -5018,6 +5104,7 @@ object TrainingData {
     td53ThresholdSweep, ss17FilteredAnn, in08ManifestScan, in09CurationE2e,
     td54NgramDecontam, dd19SimhashClasses, ss18CappedLshAnn,
     ss19CappedMultiprobe, td55QualityClassifier, td56ClassifierSample,
-    ss20CappedRecall
+    ss20CappedRecall, ss21CappedTriangles, ss22CappedLinkpred,
+    ss23CappedLabelprop
   )
 }
