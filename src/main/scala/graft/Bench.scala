@@ -39,6 +39,13 @@ object Bench {
     else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
   }
 
+  /** One measured execution: wall seconds plus the JVM-GC time and
+    * executor spill bytes it absorbed — the two counters that explain
+    * a container-contention outlier after the fact (a median that
+    * doubles while gc_ms/spill_mb explode is environment, not plan).
+    */
+  private final case class RunStat(sec: Double, gcMs: Long, spillMb: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,6 +58,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // cumulative executor spill (memory + disk) via stage-completion
+    // events; listener delivery is async, so per-run deltas can lag a
+    // run boundary by a beat — good enough for the outlier forensics
+    // they exist for, not for sub-second attribution
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    })
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime.max(0L)).sum
+    }
 
     val pool = Executors.newCachedThreadPool()
 
@@ -111,10 +136,18 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
+    /** One measured run wrapped in the counter snapshots. */
+    def measured(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): RunStat = {
+      val gc0 = gcMillis(); val sp0 = spillBytes.get()
+      val sec = guarded(name)(fn(spark, dir).count())
+      RunStat(sec, gcMillis() - gc0, (spillBytes.get() - sp0) >> 20)
+    }
+
     /** One warmup + `runs` measured executions of every selected query
       * against `dir`.
       */
-    def runCatalog(dir: String, runs: Int): Seq[(String, Seq[Double])] =
+    def runCatalog(dir: String, runs: Int): Seq[(String, Seq[RunStat])] =
       selected.map { case (name, fn) =>
         // progress to stderr (stdout stays the single JSON line): a
         // query that OOMs or stalls the JVM is identifiable from the
@@ -122,42 +155,54 @@ object Bench {
         System.err.println(s"[bench] $name @ $dir")
         guarded(name)(fn(spark, dir).count()) // warmup: codegen + JIT + footers
         // checkpoint-heavy queries (x27/x44-style iterated graph folds)
-        // get a SECOND warmup at this section's own scale: their first
-        // execution both JITs the fold kernels AND materializes multi-
-        // GB checkpoint blocks, and one warmup under that allocation
-        // pressure leaves the JIT profile cold enough that the first
-        // measured run can still spike ~2x (BENCH_r07 sf1 x27 max 27 s
-        // vs median 12 s; targeted reruns 1.10). Detected, not
-        // hardcoded: "leaves persisted RDDs behind" is the trait.
+        // get TWO extra warmups at this section's own scale: their
+        // first execution both JITs the fold kernels AND materializes
+        // multi-GB checkpoint blocks, and one warmup under that
+        // allocation pressure leaves the JIT profile cold enough that
+        // the first measured run can still spike ~2x (BENCH_r07 sf1
+        // x27 max 27 s vs median 12 s; targeted reruns 1.10) — and in
+        // a CONTENDED sandbox the second execution still runs against
+        // the first's page-cache/GC debt (BENCH_r08 sf1 x27 median
+        // 19.7 s vs this code's own 9.5 s in a quiet container).
+        // Detected, not hardcoded: "leaves persisted RDDs behind" is
+        // the trait.
         if (spark.sparkContext.getPersistentRDDs.nonEmpty) {
-          clearPersisted()
-          guarded(name)(fn(spark, dir).count())
+          (1 to 2).foreach { _ =>
+            clearPersisted()
+            guarded(name)(fn(spark, dir).count())
+          }
         }
         val times = (1 to runs).map { _ =>
           clearPersisted()
-          guarded(name)(fn(spark, dir).count())
+          measured(name, fn, dir)
         }
         clearPersisted()
         name -> times
       }
 
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    def qsJson(results: Seq[(String, Seq[Double])]): String =
-      results.map { case (k, ts) => "\"" + k + "\":" + f(median(ts)) }
+    def secs(ts: Seq[RunStat]): Seq[Double] = ts.map(_.sec)
+    def qsJson(results: Seq[(String, Seq[RunStat])]): String =
+      results.map { case (k, ts) => "\"" + k + "\":" + f(median(secs(ts))) }
         .mkString("{", ",", "}")
     // per-query spread: a median alone can't distinguish container
     // noise (±15% observed, rare 3× spikes) from a real regression —
-    // publish {median,min,max} over the measured runs so round-over-
-    // round comparisons can see the run-to-run envelope
-    def spreadJson(results: Seq[(String, Seq[Double])]): String =
+    // publish {median,min,max} plus the per-run seconds and their
+    // GC-time/spill counters, so a round-over-round outlier
+    // self-explains from the gating file alone (gc_ms/spill_mb that
+    // double alongside the seconds = environment, not plan)
+    def spreadJson(results: Seq[(String, Seq[RunStat])]): String =
       results.map { case (k, ts) =>
-        val ok = ts.filter(_ >= 0)
+        val ok = secs(ts).filter(_ >= 0)
         val (mn, mx) = if (ok.isEmpty) (-1.0, -1.0) else (ok.min, ok.max)
-        "\"" + k + "\":{\"median\":" + f(median(ts)) + ",\"min\":" + f(mn) +
-          ",\"max\":" + f(mx) + "}"
+        "\"" + k + "\":{\"median\":" + f(median(secs(ts))) + ",\"min\":" + f(mn) +
+          ",\"max\":" + f(mx) +
+          ",\"sec\":[" + secs(ts).map(f).mkString(",") + "]" +
+          ",\"gc_ms\":[" + ts.map(_.gcMs).mkString(",") + "]" +
+          ",\"spill_mb\":[" + ts.map(_.spillMb).mkString(",") + "]}"
       }.mkString("{", ",", "}")
-    def totalOf(results: Seq[(String, Seq[Double])]): Double =
-      results.map { case (_, ts) => median(ts) }.filter(_ >= 0).sum
+    def totalOf(results: Seq[(String, Seq[RunStat])]): Double =
+      results.map { case (_, ts) => median(secs(ts)) }.filter(_ >= 0).sum
 
     val results = runCatalog(sfDir, Runs)
 
