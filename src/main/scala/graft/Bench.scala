@@ -49,15 +49,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val shuffle = Sessions.shuffleWidth(cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the library's own session factory: benching under a config the
+    // library never runs with measures the wrong plans (round 8's
+    // builder lacked Sessions.local's broadcast threshold, so dd12's
+    // sf10 reading timed a sort-merge shuffle the real session
+    // broadcasts away — 31 s vs 7 s)
+    val spark = Sessions.local(cpus.toInt)
 
     // cumulative executor spill (memory + disk) via stage-completion
     // events; listener delivery is async, so per-run deltas can lag a

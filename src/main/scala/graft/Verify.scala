@@ -7,13 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the library's own session factory, so the gate runs under the
+    // exact config the operators are designed against (round 8's bench
+    // ran with a DIFFERENT broadcast threshold than Sessions.local and
+    // silently measured sort-merge plans the library never plans)
+    val spark = Sessions.local(cpus.toInt)
     new java.io.File(outDir).mkdirs()
     // per-query hard timeout with job-group cancellation: one
     // pathological plan must not block the round's correctness dump

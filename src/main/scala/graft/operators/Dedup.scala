@@ -791,7 +791,18 @@ object Dedup {
         posexplode(graft.functions.Sketches.gramXxHashesAllCol(col(textCol), w)))
       .select(col("doc_id"), col("n_words"),
         (col("pos") + 1).as("pos"), col("col").as("h"))
-    val dup = wins.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("h")
+    // the duplicated-key table is usually tiny (bounded by distinct
+    // repeated windows, not corpus size), but its STATIC size estimate
+    // derives from the corpus-sized child, so the planner would pick a
+    // sort-merge semi join — shuffling the full window frame — and AQE
+    // cannot cancel that shuffle write once it has started (measured
+    // at sf10: 31 s vs 7 s, all of it the ~1 GB wide shuffle). The
+    // checkpoint materializes dup so planning sees its REAL size:
+    // small → broadcast semi join, the wide side never shuffles;
+    // genuinely large (duplicate-saturated corpus) → the sort-merge
+    // plan is the right one anyway.
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select("h").localCheckpoint()
     val marked = wins.join(dup, Seq("h"), "left_semi")
     val prevRows = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)

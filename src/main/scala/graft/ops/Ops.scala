@@ -87,6 +87,10 @@ object Retention {
 /** Q33: maintenance — compaction (the VACUUM analog: rewrite a
   * many-small-files table into right-sized files) + statistics
   * (`ANALYZE TABLE` feeding the CBO, maintenance_procedures.sql:56-116).
+  * The same sweep should call `DatasetRegistry.vacuum()` per registry:
+  * snapshot pruning normally rides along with commits, but a registry
+  * that stops being written still holds its superseded version dirs
+  * until something sweeps them.
   */
 object Maintenance {
   final case class CompactionReport(filesBefore: Long, filesAfter: Long, rows: Long)

@@ -189,6 +189,16 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
     }
   }
 
+  /** Q33 maintenance hook: sweep superseded snapshot dirs, their
+    * markers, and dead-slot tombstones without requiring a new commit
+    * to trigger the per-commit prune — the registry-side counterpart
+    * of `ops.Maintenance`'s fact-table retention. Idempotent; safe
+    * concurrent with writers (only the contiguous prefix below the
+    * keep window is ever deleted, so the committed head and the last
+    * `keepVersions` snapshots lagging readers may hold stay intact).
+    */
+  def vacuum(): Unit = lock.synchronized(prune())
+
   def load(): Dataset[DatasetMeta] = {
     val v = committedMax()
     if (v > 0) spark.read.parquet(dataDir(v).toString).as[DatasetMeta]

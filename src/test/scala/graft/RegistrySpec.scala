@@ -273,6 +273,32 @@ class RegistrySpec extends SparkSpec {
       rows.map(_.datasetid).sorted.toSeq, "all instances must resolve the same head")
   }
 
+  test("version directory stays bounded under sustained inserts (Q33 vacuum)") {
+    // every commit rewrites a full snapshot into a fresh data-v dir; at
+    // fleet cadence that directory must NOT grow with commit count —
+    // per-commit pruning plus the maintenance-loop vacuum() keep it at
+    // keepVersions (16) snapshots + markers whatever the insert volume
+    val dir = Files.createTempDirectory("graft-registry-bounded").toString
+    val path = s"$dir/registry"
+    val reg = new DatasetRegistry(spark, path)
+    (1 to 40).foreach(i => reg.insert(d, s"L$i", 1, 1))
+    reg.vacuum()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path.versions"))
+      .map(_.getPath.getName).filterNot(_.startsWith(".tmp-"))
+    val dataDirs = entries.count(_.startsWith("data-"))
+    val markers = entries.count(_.startsWith("commit-"))
+    assert(dataDirs <= 16, s"$dataDirs version dirs on disk after 40 inserts")
+    assert(markers <= 16, s"$markers markers on disk after 40 inserts")
+    assert(entries.length <= 32,
+      s"unexpected extra entries: ${entries.sorted.mkString(",")}")
+    // compaction must not change what queries see
+    assert(reg.load().count() == 40)
+    assert(reg.active().count() == 40)
+    assert(reg.load().collect().map(_.datasetid).sorted.toSeq == (1L to 40L))
+  }
+
   test("registry upgrades in place from a legacy bare-parquet table") {
     import org.apache.spark.sql.SaveMode
     val dir = Files.createTempDirectory("graft-registry-legacy").toString
