@@ -97,6 +97,85 @@ class PipelineSpec extends SparkSpec {
       s"stream-fed composition must equal the batch composition:\n$streamed\nvs\n$batch")
   }
 
+  test("sf1: stream-fed composition killed MID-STREAM equals the batch composition") {
+    // the round-8 E2E evidence ran stream-fed at fixture scale and
+    // batch-fed at sf1; this closes the gap — the SAME AvailableNow
+    // composition at the sf1 notch, with a crash injected AFTER the
+    // third delivery fully processed but BEFORE its micro-batch
+    // committed to the checkpoint, so the restart RE-DELIVERS it and
+    // the content-distinct pack must absorb the at-least-once replay.
+    val sf1 = "/root/repo/.tmp/sf1"
+    assume(new java.io.File(s"$sf1/documents.parquet").exists
+      || new java.io.File(s"$sf1/documents.parquet/_SUCCESS").exists,
+      "sf1 notch not generated (runMain graft.tools.GenData)")
+    val t0 = System.nanoTime()
+    val root = Files.createTempDirectory("graft-pipe-sf1")
+    val landing = Files.createDirectory(root.resolve("landing")).toString
+    val docs = Tables(spark, sf1).documents
+
+    def stage(shard: Long, name: String): Unit = {
+      val tmp = s"$root/stage_$name"
+      docs.filter(col("doc_id") % 3 === shard)
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".json")).get
+      Files.copy(part.toPath, Paths.get(landing, s"$name.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // full backlog staged up front, in delivery order (mod time)
+    stage(0, "d1_shard0"); stage(1, "d2_shard1")
+    stage(2, "d3_shard2"); stage(0, "d4_shard0_again")
+
+    val cfg = CurationPipeline.Config(s"$root/work", crashDate)
+    val reg = new DatasetRegistry(spark, cfg.registryPath)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[CurationPipeline.DeliveryResult]
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    def drain(crashAfter: Int): Unit = {
+      var n = 0
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).json(landing)
+      try StreamingIngest.runAvailableNow(src, s"$root/ckpt", (df, _) => {
+        val batch = df.localCheckpoint()
+        if (batch.count() > 0) {
+          val shard = batch.select(pmod(min(col("doc_id")), lit(3L))).head.getLong(0)
+          results.add(CurationPipeline.processDelivery(batch, s"shard_$shard", reg, cfg))
+          n += 1
+          if (n == crashAfter)
+            throw new RuntimeException("injected mid-stream crash")
+        }
+      }) catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          val chain = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null)
+            .map(c => Option(c.getMessage).getOrElse("")).mkString("|")
+          if (chain.contains("injected mid-stream crash")) crashed.set(true)
+          else throw e
+      }
+    }
+
+    drain(crashAfter = 3) // dies with delivery 3 done but uncommitted
+    assert(crashed.get, "the injected crash must surface as a stream failure")
+    drain(crashAfter = Int.MaxValue) // restart: replays d3, then d4
+
+    val rs = results.toArray(Array.empty[CurationPipeline.DeliveryResult]).toSeq
+    assert(rs.size == 5, s"3 + replayed d3 + d4 = 5 processed deliveries, got: $rs")
+    val shard2 = rs.filter(_.label == "shard_2")
+    assert(shard2.size == 2 && shard2.map(_.nFresh).count(_ == 0L) == 1,
+      s"the replayed delivery must die in the fingerprint index: $shard2")
+    assert(rs.filter(_.label == "shard_0").map(_.nFresh).count(_ == 0L) == 1,
+      "the staged re-delivery must also be fully dropped")
+
+    // the packed manifest must be BIT-equal to the batch catalog row at
+    // the same scale — crash, replay, and stream boundaries invisible
+    val streamed = manifestRows(CurationPipeline.packAndAudit(spark, cfg))
+    val batch = manifestRows(queries.TrainingData.in09CurationE2e.build(spark, sf1))
+    assert(streamed.nonEmpty && streamed.forall(_._4), s"audit must match: $streamed")
+    assert(streamed == batch,
+      "sf1 stream-fed composition with a mid-stream kill must equal the batch composition")
+    info(f"sf1 stream E2E with mid-stream kill: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+
   // ── crash-recovery contract (processDelivery's write ordering) ────
 
   private val crashDate = java.sql.Date.valueOf("2026-01-01")
