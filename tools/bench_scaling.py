@@ -49,6 +49,8 @@ SUBSET = [
     "ss03_ivf_ann",          # IVF probe-cluster equi-join
     "ss18_capped_lsh_ann",   # capped-bucket LSH ANN (linear ANN path)
     "ss19_capped_multiprobe",  # capped multi-probe LSH
+    "ss21_capped_triangles",   # capped-LSH kNN graph + oriented wedges
+    "ss23_capped_labelprop",   # capped-LSH kNN graph + label prop
     "dd01_minhash_lsh",      # MinHash band join (linear dedup path)
     "dd12_span_dedup",       # exploded window spans (shuffle-volume heavy)
     "dd18_cdc_chunks",       # content-defined chunking
@@ -86,6 +88,13 @@ EXCLUSIONS = [
      "exact-kNN kernels: brute-force block-pair cosine is O(N^2/B) "
      "by definition of exact kNN — it is the recall BASELINE; the "
      "scale path is the capped LSH family in the subset"),
+    ("ss22",
+     "link-prediction ANSWER SET is quadratic in duplicate "
+     "multiplicity on this corpus: every capped-LSH hub contributes "
+     "deg^2/2 neighbour pairs, measured 612k answer rows at sf1 -> "
+     "64.7M at sf10 (106x at 10x data) — output volume, not plan; "
+     "the same graph's linear-output analytics (ss21 triangles, "
+     "ss23 label prop) are in the subset and scale at 2.6x/2.8x"),
     ("mm05 ss12",
      "connected-components oracle replays scoped to deterministic "
      "%4 corpus slices (DuckDB materializes |component|^2 reach "
