@@ -418,9 +418,16 @@ object TextAnalysis {
       textCol: String,
       model: BigramLm
   ): DataFrame = {
+    // the model tables are CORPUS-DERIVED (vocabulary grows with the
+    // corpus — unbounded at 100 TB), so their joins are pinned to
+    // shuffle builds: Spark's static estimate for an aggregate can
+    // fall under the session broadcast threshold and flip these to
+    // multi-million-row broadcasts (measured at sf1: 2.8 s -> 4.8 s
+    // for td45 when that happens). vocab is ONE row — that broadcast
+    // stays explicit.
     val scored = bigramFrame(docs, idCol, textCol)
-      .join(model.big, Seq("w1", "w2"))
-      .join(model.uni, Seq("w1"))
+      .join(model.big.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(model.uni.hint("shuffle_hash"), Seq("w1"))
       .crossJoin(broadcast(model.vocab))
       .select(col(idCol), col("pos"),
         ((col("c2") + 1).cast("double") / (col("c1") + col("vsz"))).as("p"))
@@ -435,7 +442,7 @@ object TextAnalysis {
         col("sum_p"), (col("sum_p") / col("n_bigrams")).as("avg_p"))
     else
       docs.select(col(idCol))
-        .join(agg, Seq(idCol), "left")
+        .join(agg.hint("shuffle_hash"), Seq(idCol), "left") // doc-count-sized, not a dim table
         .select(
           col(idCol),
           coalesce(col("n_bigrams"), lit(0L)).cast("int").as("n_bigrams"),

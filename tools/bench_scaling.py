@@ -125,21 +125,39 @@ def ensure_notch(src, dst, factor):
     return time.time() - t0
 
 
+# Queries whose sf10 runs spill tens of GB (the iterated graph folds:
+# ~79/76 GB recorded by the bench counters). Their shuffle/spill files
+# are deleted ASYNCHRONOUSLY by the ContextCleaner after the query
+# finishes, and that disk traffic lands on whichever queries run next
+# in the same JVM (measured: x42 read 20.4 s inside the round-9
+# campaign vs 5.3 s isolated — 4x of pure cleanup debt). They run in
+# their OWN Bench invocation, LAST, so the debt dies with the JVM.
+SPILL_HEAVY = ["x27_pagerank", "x44_personalized_pagerank"]
+
+
 def run_bench(sf_dir, runs, timeout_s):
-    env = dict(os.environ,
-               SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_BENCH_RUNS=str(runs),
-               SPARK_GRAFT_ONLY=",".join(SUBSET),
-               SPARK_GRAFT_QUERY_TIMEOUT=str(timeout_s),
-               SPARK_GRAFT_SF1="0")
-    print(f"[bench] {sf_dir} ({runs} measured runs)", flush=True)
-    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
-                       cwd="/root/repo", env=env, capture_output=True, text=True)
-    for line in reversed(r.stdout.splitlines()):
-        if '"metric"' in line:
-            return json.loads(line)
-    print(r.stdout[-3000:], r.stderr[-3000:])
-    sys.exit(f"bench produced no JSON line for {sf_dir}")
+    def one(only, tag):
+        env = dict(os.environ,
+                   SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_BENCH_RUNS=str(runs),
+                   SPARK_GRAFT_ONLY=",".join(only),
+                   SPARK_GRAFT_QUERY_TIMEOUT=str(timeout_s),
+                   SPARK_GRAFT_SF1="0")
+        print(f"[bench] {sf_dir} {tag} ({runs} measured runs)", flush=True)
+        r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                           cwd="/root/repo", env=env, capture_output=True, text=True)
+        for line in reversed(r.stdout.splitlines()):
+            if '"metric"' in line:
+                return json.loads(line)
+        print(r.stdout[-3000:], r.stderr[-3000:])
+        sys.exit(f"bench produced no JSON line for {sf_dir}")
+
+    main_part = one([q for q in SUBSET if q not in SPILL_HEAVY], "main")
+    spill_part = one([q for q in SUBSET if q in SPILL_HEAVY], "spill-heavy")
+    merged = dict(main_part)
+    merged["queries"] = {**main_part["queries"], **spill_part["queries"]}
+    merged["spread"] = {**main_part.get("spread", {}), **spill_part.get("spread", {})}
+    return merged
 
 
 def main():
