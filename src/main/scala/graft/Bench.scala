@@ -44,7 +44,7 @@ object Bench {
     * a container-contention outlier after the fact (a median that
     * doubles while gc_ms/spill_mb explode is environment, not plan).
     */
-  private final case class RunStat(sec: Double, gcMs: Long, spillMb: Long)
+  private final case class RunStat(sec: Double, gcMs: Long, spillMb: Long, shuffleMb: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,11 +61,18 @@ object Bench {
     // run boundary by a beat — good enough for the outlier forensics
     // they exist for, not for sub-second attribution
     val spillBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    // shuffle WRITES are tracked separately from spill: a shuffle-heavy
+    // query can be disk-bound with zero "spill" (x24/x33's sf10 story),
+    // and without this counter that looks like unexplained wall-clock
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
-        if (m != null) spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        if (m != null) {
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
       }
     })
     def gcMillis(): Long = {
@@ -136,9 +143,10 @@ object Bench {
     /** One measured run wrapped in the counter snapshots. */
     def measured(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): RunStat = {
-      val gc0 = gcMillis(); val sp0 = spillBytes.get()
+      val gc0 = gcMillis(); val sp0 = spillBytes.get(); val sh0 = shuffleBytes.get()
       val sec = guarded(name)(fn(spark, dir).count())
-      RunStat(sec, gcMillis() - gc0, (spillBytes.get() - sp0) >> 20)
+      RunStat(sec, gcMillis() - gc0, (spillBytes.get() - sp0) >> 20,
+        (shuffleBytes.get() - sh0) >> 20)
     }
 
     /** One warmup + `runs` measured executions of every selected query
@@ -196,7 +204,8 @@ object Bench {
           ",\"max\":" + f(mx) +
           ",\"sec\":[" + secs(ts).map(f).mkString(",") + "]" +
           ",\"gc_ms\":[" + ts.map(_.gcMs).mkString(",") + "]" +
-          ",\"spill_mb\":[" + ts.map(_.spillMb).mkString(",") + "]}"
+          ",\"spill_mb\":[" + ts.map(_.spillMb).mkString(",") + "]" +
+          ",\"shuffle_mb\":[" + ts.map(_.shuffleMb).mkString(",") + "]}"
       }.mkString("{", ",", "}")
     def totalOf(results: Seq[(String, Seq[RunStat])]): Double =
       results.map { case (_, ts) => median(secs(ts)) }.filter(_ >= 0).sum
