@@ -157,13 +157,16 @@ object VectorKernels {
     } else throw new IllegalArgumentException(s"$what must be a constant expression, got $e")
 
   /** Key-ordered pair sum: input array<struct<key long, v double>>,
-    * output the doubles folded LEFT FROM 0.0 in ascending-key order.
-    * The deterministic-PageRank reduction ([[graft.operators.Graph
-    * .pageRank]]) — sorting and folding in one native pass replaces a
-    * sort_array + interpreted `aggregate` HOF over the same array.
-    * 0.0+x0 == x0 exactly, so the seeded fold equals the unseeded
-    * chain; ties (equal keys) keep collect_list order, which callers
-    * must make impossible (pageRank's edges are distinct per dst).
+    * output the doubles folded LEFT FROM 0.0 in ascending-key order —
+    * the deterministic reduction for sums that must replay bit-exactly
+    * in a FIXED order (the bigram-LM folds in
+    * [[graft.operators.TextAnalysis]]; PageRank used it before moving
+    * to order-insensitive integer-grain sums, which keep map-side
+    * partial aggregation). Sorting and folding in one native pass
+    * replaces a sort_array + interpreted `aggregate` HOF over the same
+    * array. 0.0+x0 == x0 exactly, so the seeded fold equals the
+    * unseeded chain; ties (equal keys) keep collect_list order, which
+    * callers must make impossible (distinct keys per group).
     */
   case class OrderedPairSumExpr(child: Expression)
       extends UnaryExpression with CodegenFallback {

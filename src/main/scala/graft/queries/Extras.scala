@@ -867,27 +867,26 @@ object Extras {
 
   /** Deterministic PageRank ([[Graph.pageRank]]) on the symmetrized
     * customer–supplier co-purchase graph, two unrolled iterations,
-    * top-20 suppliers. Every rank is bit-reproducible because per-node
-    * contribution sums fold in source-id order — which is what lets a
-    * float-iterative graph algorithm pass an EXACT oracle, something a
-    * plain sum() PageRank cannot do. Node ids are disambiguated
-    * numerically (customer 2k, supplier 2k+1).
+    * top-20 suppliers. Every rank is bit-reproducible because per-edge
+    * contributions are quantized to integer grains (round(r/outdeg ×
+    * 1e15) as BIGINT) and summed as integers — order-insensitive by
+    * construction, which is what lets a float-iterative graph
+    * algorithm pass an EXACT oracle while keeping map-side partial
+    * aggregation (a plain double sum() PageRank replays in the last
+    * ulps; an ordered fold replays exactly but ships every edge row
+    * through the shuffle). Node ids are disambiguated numerically
+    * (customer 2k, supplier 2k+1).
     */
   val x27PageRank = Query(
     "x27_pagerank", {
-      def foldOrdered(listExpr: String) =
-        s"list_reduce(list_prepend(0.0, $listExpr), (a, x) -> a + x)"
-      // replays pageRank's two-level skew-safe fold: within-bucket
-      // (src % 1024) by src, then across buckets in bucket order
+      // replays pageRank's integer-grain recurrence:
+      // r' = 0.15/n + 0.85 * (Σ round(r/outdeg·1e15)) / 1e15
       def iterate(prev: String, i: Int) =
-        s"""c$i AS (SELECT e.dst, e.src, $prev.r / deg.outdeg AS contrib
+        s"""c$i AS (SELECT e.dst, CAST(ROUND($prev.r / deg.outdeg * 1e15) AS BIGINT) AS cq
            |       FROM edges e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src),
-           |p$i AS (SELECT dst, src % 1024 AS bkt,
-           |         ${foldOrdered(s"list(contrib ORDER BY src)")} AS sb
-           |       FROM c$i GROUP BY dst, src % 1024),
-           |s$i AS (SELECT dst, ${foldOrdered(s"list(sb ORDER BY bkt)")} AS s
-           |       FROM p$i GROUP BY dst),
-           |r$i AS (SELECT nodes.id, 0.15 / (SELECT cnt FROM n) + 0.85 * COALESCE(s$i.s, 0.0) AS r
+           |s$i AS (SELECT dst, SUM(cq) AS sq FROM c$i GROUP BY dst),
+           |r$i AS (SELECT nodes.id, 0.15 / (SELECT cnt FROM n)
+           |         + 0.85 * (CAST(COALESCE(s$i.sq, 0) AS DOUBLE) / 1e15) AS r
            |       FROM nodes LEFT JOIN s$i ON nodes.id = s$i.dst)""".stripMargin
       Some(
         s"""WITH e0 AS (
@@ -1554,26 +1553,20 @@ object Extras {
     * graph: the teleport mass lands only on a seed cohort (customer
     * nodes with id ≡ 0 mod 64), ranking suppliers BY RELEVANCE TO
     * THOSE CUSTOMERS — the graph-recommendation primitive. The oracle
-    * unrolls both iterations with the same two-level (src mod 1024,
-    * src)-ordered fold as x27, plus the seed-indicator teleport term
+    * unrolls both iterations with the same integer-grain quantized
+    * SUM as x27, plus the seed-indicator teleport term
     * written in the identical (0.15·ind)/|S| association order.
     */
   val x44PersonalizedPagerank = Query(
     "x44_personalized_pagerank", {
-      def foldOrdered(listExpr: String) =
-        s"list_reduce(list_prepend(0.0, $listExpr), (a, x) -> a + x)"
       def iterate(prev: String, i: Int) =
-        s"""c$i AS (SELECT e.dst, e.src, $prev.r / deg.outdeg AS contrib
+        s"""c$i AS (SELECT e.dst, CAST(ROUND($prev.r / deg.outdeg * 1e15) AS BIGINT) AS cq
            |       FROM edges e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src),
-           |p$i AS (SELECT dst, src % 1024 AS bkt,
-           |         ${foldOrdered(s"list(contrib ORDER BY src)")} AS sb
-           |       FROM c$i GROUP BY dst, src % 1024),
-           |s$i AS (SELECT dst, ${foldOrdered(s"list(sb ORDER BY bkt)")} AS s
-           |       FROM p$i GROUP BY dst),
+           |s$i AS (SELECT dst, SUM(cq) AS sq FROM c$i GROUP BY dst),
            |r$i AS (SELECT nodes.id,
            |         (0.15 * (CASE WHEN nodes.id % 64 = 0 THEN 1 ELSE 0 END))
            |           / (SELECT scnt FROM ns)
-           |         + 0.85 * COALESCE(s$i.s, 0.0) AS r
+           |         + 0.85 * (CAST(COALESCE(s$i.sq, 0) AS DOUBLE) / 1e15) AS r
            |       FROM nodes LEFT JOIN s$i ON nodes.id = s$i.dst)""".stripMargin
       Some(
         s"""WITH e0 AS (

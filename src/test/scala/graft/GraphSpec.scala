@@ -57,6 +57,11 @@ class GraphSpec extends SparkSpec {
     assert(viaDistributed.values.toSet == Set(0L), "one star, one component")
   }
 
+  // Spark round() on doubles = BigDecimal.valueOf (Double.toString)
+  // HALF_UP — the local references must quantize identically
+  private def grains(x: Double): Long =
+    BigDecimal.valueOf(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   test("pageRank is bit-identical under repartitioning and matches a local reference") {
     import graft.operators.Graph
     // small fixed digraph, symmetrized
@@ -67,53 +72,49 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val gotShuffled = Graph.pageRank(edges.repartition(7), iters = 3).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(got == gotShuffled, "ordered folds must make ranks partition-invariant, bit-exact")
-    // local reference with the same fold order
+    assert(got == gotShuffled,
+      "integer-grain contribution sums must make ranks partition-invariant, bit-exact")
+    // local reference replaying the quantized recurrence
     val nodes = sym.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val n = nodes.size
     val out = sym.groupBy(_._1).map { case (s, es) => s -> es.size }
     var r = nodes.map(_ -> 1.0 / n).toMap
     for (_ <- 1 to 3) {
       val s = sym.groupBy(_._2).map { case (d, es) =>
-        d -> es.map(_._1).sorted.foldLeft(0.0)((acc, src) => acc + r(src) / out(src))
+        d -> es.map(_._1).map(src => grains(r(src) / out(src) * 1e15)).sum
       }
-      r = nodes.map(v => v -> (0.15 / n + 0.85 * s.getOrElse(v, 0.0))).toMap
+      r = nodes.map(v => v -> (0.15 / n + 0.85 * (s.getOrElse(v, 0L).toDouble / 1e15))).toMap
     }
     assert(got == r, s"got=$got want=$r")
   }
 
-  test("pageRank skew-safe fold: celebrity in-degree node, partition-invariant, two-level reference") {
+  test("pageRank skew: celebrity in-degree node, partition-invariant, quantized reference") {
     import org.apache.spark.sql.functions.col
     // star: 200 sources hit node 0 (in-degree 200 vs 1 everywhere
-    // else); foldBuckets = 4 forces multi-element level-1 buckets so
-    // the two-level association order actually differs from a flat fold
+    // else) — the shape whose per-dst sum order varies most across
+    // partitionings; integer grains make every order give one answer
     val hub = (1L to 200L).map(s => (s, 0L))
     val sym = (hub :+ ((0L, 1L))).distinct
     val edges = sym.toDF("src", "dst")
-    val b = 4
     def run(df: org.apache.spark.sql.DataFrame) =
-      Graph.pageRank(df, iters = 2, foldBuckets = b).collect()
+      Graph.pageRank(df, iters = 2).collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val got = run(edges)
     for (e <- Seq(edges.repartition(1), edges.repartition(13, col("dst")),
                   edges.repartition(31, col("src"))))
-      assert(run(e) == got, "two-level ordered fold must be partition-invariant, bit-exact")
-    // local reference replaying the exact two-level order:
-    // within (src % b) by src asc, then buckets by id asc
+      assert(run(e) == got, "quantized sums must be partition-invariant, bit-exact")
+    // local reference: grain-quantized contributions, any sum order
     val nodes = sym.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val n = nodes.size
     val out = sym.groupBy(_._1).map { case (s, es) => s -> es.size }
     var r = nodes.map(_ -> 1.0 / n).toMap
     for (_ <- 1 to 2) {
       val s = sym.groupBy(_._2).map { case (d, es) =>
-        val partials = es.map(_._1).groupBy(_ % b).toSeq.sortBy(_._1).map { case (_, srcs) =>
-          srcs.sorted.foldLeft(0.0)((acc, src) => acc + r(src) / out(src))
-        }
-        d -> partials.foldLeft(0.0)(_ + _)
+        d -> es.map(_._1).map(src => grains(r(src) / out(src) * 1e15)).sum
       }
-      r = nodes.map(v => v -> (0.15 / n + 0.85 * s.getOrElse(v, 0.0))).toMap
+      r = nodes.map(v => v -> (0.15 / n + 0.85 * (s.getOrElse(v, 0L).toDouble / 1e15))).toMap
     }
-    assert(got == r, "must replay the documented (src mod B, src) fold order bit-exactly")
+    assert(got == r, "must replay the documented integer-grain recurrence bit-exactly")
   }
 
   test("personalizedPageRank fails fast on an empty or graph-disjoint seed set") {

@@ -518,6 +518,22 @@ class PlanSpec extends SparkSpec {
       s"seed teleport must ride the rank frame, never pair the graph:\n$p")
   }
 
+  test("PageRank contribution sums partial-aggregate map-side (one row per dst per task crosses the wire)") {
+    // the integer-grain quantized sum must plan as partial_sum +
+    // final sum around the exchange — the property the old ordered
+    // collect_list fold forfeited (every edge row shuffled; 76-79 GB
+    // recorded sf10 spill). Build the un-checkpointed step directly.
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Seq((1L, 0.5, 2L), (2L, 0.25, 1L), (3L, 0.25, 1L)).toDF("id", "r", "outdeg")
+    val step = graft.operators.Graph.contribSums(e, r)
+    val p = step.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"),
+      s"quantized contributions must combine map-side before the exchange:\n$p")
+    assert(!p.contains("collect_list"),
+      s"no per-dst array materialization may remain in the rank fold:\n$p")
+  }
+
   test("media canonical dedup joins metadata by id — payload columns never shuffle") {
     val df = TrainingData.mm05MediaCanonical.build(spark, sf)
     df.collect() // finalize AQE
