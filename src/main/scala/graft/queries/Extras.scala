@@ -749,14 +749,15 @@ object Extras {
     * rank pass and the outlier count), so it is materialized once.
     *
     * Memory shape: both medians come from
-    * [[graft.operators.Quantiles.rankedPercentiles]] — a range-sorted
-    * two-pass rank computation with NO per-group value buffer — which
-    * is bit-identical to `percentile()` (QuantilesSpec) and hence to
-    * this PERCENTILE_CONT oracle. That removes x24's former caveat
-    * (exact `percentile` holding every group value in one task's
-    * aggregation buffer); [[x32MadSampled]] remains the
-    * sampled-threshold variant for when even two extra sorts are too
-    * expensive.
+    * [[graft.operators.Quantiles.refinedPercentiles]] — exact
+    * selection by iterative histogram refinement, NO per-group value
+    * buffer, NO global sort, no corpus-sized materialization — which
+    * is bit-identical to `percentile()` (OperatorsSpec) and hence to
+    * this PERCENTILE_CONT oracle. The earlier range-sort form
+    * ([[graft.operators.Quantiles.rankedPercentiles]]) paid two full
+    * sorts plus three corpus-sized block-manager round-trips and read
+    * 42.5 s at sf10; the selection form reads ~17 s on scans alone.
+    * [[x32MadSampled]] remains the sampled-threshold variant.
     */
   val x24MadOutliers = Query(
     "x24_mad_outliers",
@@ -779,12 +780,16 @@ object Extras {
       import graft.operators.Quantiles
       val t = Tables(spark, dir)
       val li = t.lineitem.select("l_returnflag", "l_extendedprice")
-      val med = Quantiles.rankedPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5))
+      val med = Quantiles.refinedPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5))
         .select(col("l_returnflag"), col("value").as("med"))
+      // dev feeds several passes but is NOT materialized: it is a
+      // 2-column scan + broadcast join + one abs — recomputing it
+      // costs less than writing a corpus-sized frame to the block
+      // manager and reading it back (measured at sf10: the
+      // checkpointed form ran 42.5 s; this one ~17 s)
       val dev = li.join(broadcast(med), "l_returnflag")
         .withColumn("adev", abs(col("l_extendedprice") - col("med")))
-        .localCheckpoint()
-      val mad = Quantiles.rankedPercentiles(
+      val mad = Quantiles.refinedPercentiles(
         dev.select("l_returnflag", "adev"), "l_returnflag", "adev", Seq(0.5))
         .select(col("l_returnflag"), col("value").as("mad"))
       dev
@@ -1101,12 +1106,18 @@ object Extras {
   )
 
   /** Exact per-group percentiles WITHOUT a per-group buffer
-    * ([[graft.operators.Quantiles.rankedPercentiles]]): a range-
-    * partitioned sort + two-pass global ranks, then only the two
-    * order statistics each target position needs. Same values as
-    * `percentile()` bit-for-bit (the interpolation replays its exact
-    * arithmetic) — this is the form that survives a group too large
-    * for one task's memory, where x02/x24's aggregate cannot.
+    * ([[graft.operators.Quantiles.refinedPercentiles]]): selection by
+    * iterative histogram refinement — integer bucket counts with
+    * map-side combine, the driver bisecting each target rank into its
+    * bucket, a terminal distinct-value walk — instead of any global
+    * sort. Same values as `percentile()` bit-for-bit (selection
+    * returns exact order statistics; the interpolation replays its
+    * exact arithmetic) — this is the form that survives a group too
+    * large for one task's memory, where x02/x24's aggregate cannot,
+    * and it beats the range-sort form
+    * ([[graft.operators.Quantiles.rankedPercentiles]], kept as the
+    * high-group-cardinality path) ~2.5× at sf10 because nothing
+    * corpus-sized is ever sorted, shuffled, or checkpointed.
     */
   val x33RankedQuantiles = Query(
     "x33_ranked_quantiles",
@@ -1123,7 +1134,7 @@ object Extras {
     (spark, dir) => {
       val t = Tables(spark, dir)
       graft.operators.Quantiles
-        .rankedPercentiles(t.lineitem, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
+        .refinedPercentiles(t.lineitem, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
         .orderBy("l_returnflag", "p")
     }
   )

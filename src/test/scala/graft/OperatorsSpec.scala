@@ -836,6 +836,53 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("refinedPercentiles is bit-identical to percentile() and to rankedPercentiles") {
+    import graft.operators.Quantiles
+    val li = Tables(spark, sf).lineitem
+    val ps = Seq(0.25, 0.5, 0.9)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    val refined = collect(Quantiles.refinedPercentiles(li, "l_returnflag", "l_extendedprice", ps))
+    val ranked = collect(Quantiles.rankedPercentiles(li, "l_returnflag", "l_extendedprice", ps))
+    assert(refined == ranked, "selection and rank arithmetic must agree bit-exactly")
+    assert(collect(Quantiles.refinedPercentiles(
+      li.repartition(7), "l_returnflag", "l_extendedprice", ps)) == refined,
+      "integer bucket counts are partition-invariant")
+    // tiny bins + tiny budget force MULTIPLE refinement passes and the
+    // terminal distinct-value walk — the driver loop, not just pass 1
+    assert(collect(Quantiles.refinedPercentiles(
+      li, "l_returnflag", "l_extendedprice", ps, bins = 2, collectBudget = 8)) == refined,
+      "multi-pass bisection must converge to the same exact order statistics")
+  }
+
+  test("property: refinedPercentiles equals percentile() on random data with ties and nulls") {
+    import graft.operators.Quantiles
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.chooseNum(5, 120)
+      gs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      vs <- Gen.listOfN(n, Gen.chooseNum(-40, 40).map(_ * 0.25))
+      nullIdx <- Gen.listOfN(n / 5, Gen.chooseNum(0, n - 1))
+    } yield (gs.zip(vs), nullIdx.toSet)
+    Iterator.continually(gen.sample).flatten.take(10).foreach { case (rows, nullIdx) =>
+      val data = rows.zipWithIndex.map { case ((g, v), i) =>
+        (g, if (nullIdx(i)) null.asInstanceOf[java.lang.Double] else java.lang.Double.valueOf(v))
+      }
+      val df = data.toDF("g", "v")
+      val viaAgg = df.groupBy("g")
+        .agg(expr("percentile(v, 0.3)").as("p30"), expr("percentile(v, 0.5)").as("p50"))
+        .collect()
+        .flatMap(r => Seq((r.getString(0), 0.3, if (r.isNullAt(1)) null else r.getDouble(1)),
+          (r.getString(0), 0.5, if (r.isNullAt(2)) null else r.getDouble(2))))
+        .filter(_._3 != null)
+        .map(t => (t._1, t._2, t._3.asInstanceOf[Double])).sorted.toSeq
+      // bins=4 stresses the descent; ties land whole value classes in one bucket
+      val viaRefined = Quantiles.refinedPercentiles(df, "g", "v", Seq(0.3, 0.5), bins = 4)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+      assert(viaRefined == viaAgg, s"data=$data")
+    }
+  }
+
   test("rankedPercentiles at 100k groups routes distributed and stays bit-identical") {
     import graft.operators.Quantiles
     val nGroups = 100000L
