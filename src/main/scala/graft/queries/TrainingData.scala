@@ -704,7 +704,8 @@ object TrainingData {
        |knn AS (SELECT qa, qb FROM r WHERE rk <= $k)""".stripMargin
 
   /** Capped-LSH oracle prelude (ss21–ss23): ss18's bounded candidate
-    * generation (bits=8, tables=2, cap=8) rescored and cut to top-`k`
+    * generation ([[CappedGraphBits]]/[[CappedGraphTables]]/
+    * [[CappedGraphCap]]) rescored and cut to top-`k`
     * per query, ending in the same `knn(qa, qb)` frame the exact
     * prelude does — the graph SQL after this point is IDENTICAL to the
     * exact baselines'. Unlike those (quadratic kernel, %4 slice), this
@@ -712,14 +713,14 @@ object TrainingData {
     */
   private def cappedKnnCtes(k: Int): String = {
     val pairDot = (1 to 64).map(i => s"va.v[$i] * vb.v[$i]").mkString(" + ")
-    s"""${lshTableCtes(bits = 8, tables = 2, dim = 64)},
+    s"""${lshTableCtes(bits = CappedGraphBits, tables = CappedGraphTables, dim = 64)},
        |$lshRankedCte,
        |p AS (
        |  SELECT DISTINCT a.id AS qa, b.id AS qb,
        |    ROUND(($pairDot) / (va.v_norm * vb.v_norm), 4) AS sim
        |  FROM tabled a JOIN ranked b
        |    ON a.table_id = b.table_id AND a.bucket = b.bucket
-       |   AND a.id <> b.id AND b.rn <= 8
+       |   AND a.id <> b.id AND b.rn <= $CappedGraphCap
        |  JOIN base va ON va.id = a.id
        |  JOIN base vb ON vb.id = b.id),
        |knn AS (SELECT qa, qb FROM (
@@ -898,9 +899,31 @@ object TrainingData {
       .orderBy("vec_id")
   }
 
+  /** Capped-kNN-graph LSH config, shared by ss21–ss23 (engine + the
+    * [[cappedKnnCtes]] oracle prelude) and `tools.GraphDelta` — one
+    * constant so the engine, the oracle, and the quality-delta tool
+    * can never drift apart. Chosen by `tools.GraphSweep` (r10) on the
+    * BYTE-DISTINCT %4 slice — exact duplicates collapsed, the corpus's
+    * perturbed near-replicas (cosine ≈ 0.99998, the real neighbor
+    * structure) kept: bits=12/tables=2/cap=8 reads edge Jaccard 0.796
+    * vs exact kNN at the SAME candidate cost (tables × cap = 16/query)
+    * where the old bits=8 config read 0.378. The sweep also shows the
+    * SKETCH-COLLAPSED residue (every near-replica class reduced to one
+    * representative) is isotropic noise — mean pairwise cosine 0.0016,
+    * p99 0.295 — where no bounded-candidate method recovers the "kNN
+    * graph" (LSH ≤ 0.09 over bits ∈ {8,12,16} × tables ∈ {2,4,8};
+    * NN-Descent accretes ~+0.02/round like random sampling), so the
+    * quality floor there is a property of the synthetic data, not a
+    * tuning gap.
+    */
+  private[graft] val CappedGraphBits = 12
+  private[graft] val CappedGraphTables = 2
+  private[graft] val CappedGraphCap = 8
+
   private def cappedKnnGraph(t: Tables): DataFrame =
     undFromKnn(Similarity.lshKnnCapped(t.embeddings, "vec_id", "embedding",
-      k = 5, bits = 8, tables = 2, bucketCap = 8))
+      k = 5, bits = CappedGraphBits, tables = CappedGraphTables,
+      bucketCap = CappedGraphCap))
 
   /** ss13's triangle/clustering analytics with the edge list built
     * from the CAPPED-LSH kNN (ss18's kernel) instead of the exact

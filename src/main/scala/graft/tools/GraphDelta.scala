@@ -17,13 +17,18 @@ import graft.queries.{Tables, TrainingData}
   *   - link-prediction candidate overlap,
   *   - label-prop community count + largest community.
   * Output lines are `[delta] metric exact capped note` — paste into
-  * NOTES. Usage: runMain graft.tools.GraphDelta [sfDir]
+  * NOTES. Usage: runMain graft.tools.GraphDelta [sfDir] [bits] [tables] [cap]
+  * (defaults = the catalog config in TrainingData.cappedKnnCtes).
   */
 object GraphDelta {
   def main(args: Array[String]): Unit = {
     val dir =
       if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val bits = args.lift(1).map(_.toInt).getOrElse(TrainingData.CappedGraphBits)
+    val tables = args.lift(2).map(_.toInt).getOrElse(TrainingData.CappedGraphTables)
+    val cap = args.lift(3).map(_.toInt).getOrElse(TrainingData.CappedGraphCap)
+    println(s"[delta] config bits=$bits tables=$tables cap=$cap dir=$dir")
     val spark = graft.Sessions.local(32)
     spark.sparkContext.setLogLevel("ERROR")
     val t = Tables(spark, dir)
@@ -34,7 +39,7 @@ object GraphDelta {
       .localCheckpoint()
     val cappedUnd = TrainingData.undFromKnn(
       Similarity.lshKnnCapped(vecs, "vec_id", "embedding",
-        k = 5, bits = 8, tables = 2, bucketCap = 8))
+        k = 5, bits = bits, tables = tables, bucketCap = cap))
       .localCheckpoint()
 
     def p(metric: String, exact: Any, capped: Any, note: String = ""): Unit =
@@ -46,8 +51,10 @@ object GraphDelta {
       f"jaccard=${nBoth.toDouble / (ne + nc - nBoth)}%.4f overlap=$nBoth")
 
     def triSummary(und: DataFrame): (Long, Double) = {
+      // coalesce: sum/avg are NULL on an empty edge set — report zero
+      // instead of NPEing when a notch produces no graph edges
       val s = TrainingData.triangleStats(und)
-        .agg(sum("n_tri"), avg("clustering")).head()
+        .agg(coalesce(sum("n_tri"), lit(0L)), coalesce(avg("clustering"), lit(0.0))).head()
       (s.getLong(0) / 3, s.getDouble(1)) // each triangle counted at 3 nodes
     }
     val (te, ce) = triSummary(exactUnd)

@@ -189,6 +189,47 @@ class OperatorsSpec extends SparkSpec {
     a.keySet.intersect(b.keySet).foreach(k => assert(a(k) == b(k)))
   }
 
+  test("NN-Descent refines a weak LSH init toward the exact kNN graph, deterministically") {
+    // clustered corpus — the structure NN-Descent exploits: 12 well-
+    // separated directions, members = direction + small deterministic
+    // perturbation (the corpus's perturbed-replica shape)
+    val dim = 16
+    val rows = for (c <- 0 until 12; m <- 0 until 5) yield {
+      val id = (c * 5 + m).toLong
+      val v = Array.tabulate(dim) { j =>
+        val centre = math.sin(1.0 + c * 7919.0 * (j + 1)) // fixed per (c, j)
+        centre + 0.01 * math.sin(1.0 + id * 104729.0 * (j + 1))
+      }
+      (id, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineKnnKernel(df, df, "vec_id", "embedding", k = 4)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // weak init: 2 bits, 1 table, cap 4 — co-buckets mostly wrong pairs
+    val init = Similarity.lshKnnCapped(df, "vec_id", "embedding",
+      k = 4, bits = 2, tables = 1, bucketCap = 4)
+      .select("query_id", "corpus_id")
+    def recall(knn: org.apache.spark.sql.DataFrame): Double = {
+      val got = knn.select("query_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.count(exact).toDouble / exact.size
+    }
+    val r0 = recall(init)
+    val r2 = recall(Similarity.nnDescentKnn(df, "vec_id", "embedding", k = 4,
+      init = init, rounds = 2))
+    assert(r2 > r0 + 0.2, s"descent must lift exact-kNN recall: init=$r0 rounds2=$r2")
+    assert(r2 > 0.8, s"clustered corpus must converge near the exact graph: $r2")
+    // bit-determinism under repartitioning (same ties, same rounding)
+    val a = Similarity.nnDescentKnn(df, "vec_id", "embedding", k = 4,
+      init = init, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val b = Similarity.nnDescentKnn(df.repartition(7), "vec_id", "embedding", k = 4,
+      init = init.repartition(5), rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(a == b, "descent rounds must be partition-invariant")
+  }
+
   test("capped LSH: huge cap equals lshKnn exactly; small cap bounds bucket work and still answers") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
