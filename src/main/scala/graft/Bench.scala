@@ -54,7 +54,8 @@ object Bench {
     // builder lacked Sessions.local's broadcast threshold, so dd12's
     // sf10 reading timed a sort-merge shuffle the real session
     // broadcasts away — 31 s vs 7 s)
-    val spark = Sessions.local(cpus.toInt)
+    val spark = Sessions.local(cpus.toIntOption.getOrElse(
+      sys.error(s"SPARK_GRAFT_CPUS must be an integer core count, got '$cpus'")))
 
     // cumulative executor spill (memory + disk) via stage-completion
     // events; listener delivery is async, so per-run deltas can lag a

@@ -11,7 +11,8 @@ object Verify {
     // exact config the operators are designed against (round 8's bench
     // ran with a DIFFERENT broadcast threshold than Sessions.local and
     // silently measured sort-merge plans the library never plans)
-    val spark = Sessions.local(cpus.toInt)
+    val spark = Sessions.local(cpus.toIntOption.getOrElse(
+      sys.error(s"SPARK_GRAFT_CPUS must be an integer core count, got '$cpus'")))
     new java.io.File(outDir).mkdirs()
     // per-query hard timeout with job-group cancellation: one
     // pathological plan must not block the round's correctness dump
@@ -42,6 +43,13 @@ object Verify {
           System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // drop each query's localCheckpoint blocks (checkpoint-heavy
+        // rows leave several corpus-sized RDDs persisted; across a
+        // 180+-query catalog the backlog is exactly the memory
+        // pressure Bench.clearPersisted exists to avoid)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     pool.shutdownNow()

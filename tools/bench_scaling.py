@@ -50,22 +50,24 @@ SUBSET = [
     "ss18_capped_lsh_ann",   # capped-bucket LSH ANN (linear ANN path)
     "ss19_capped_multiprobe",  # capped multi-probe LSH
     "ss21_capped_triangles",   # capped-LSH kNN graph + oriented wedges
+    "ss22_capped_linkpred",    # capped-LSH kNN graph + common neighbours (linear again at bits=12)
     "ss23_capped_labelprop",   # capped-LSH kNN graph + label prop
+    "ss24_nn_descent",         # 2-round NN-Descent kNN-graph refinement
     "dd01_minhash_lsh",      # MinHash band join (linear dedup path)
     "dd12_span_dedup",       # exploded window spans (shuffle-volume heavy)
     "dd18_cdc_chunks",       # content-defined chunking
     "dd19_simhash_classes",  # sketch-class collapse (linear SimHash form)
-    "x24_mad_outliers",      # range-sort + rank arithmetic
-    "x27_pagerank",          # iterated deterministic graph fold
+    "x24_mad_outliers",      # histogram-refinement exact medians (selection, no sort)
+    "x27_pagerank",          # iterated integer-grain rank sum
     "x29_rolling_median",    # sliding rank window
-    "x33_ranked_quantiles",  # two-pass global ranks
+    "x33_ranked_quantiles",  # histogram-refinement exact percentiles
     "x36_rolling_regression",  # windowed exact moments
     "x37_assoc_rules",       # basket pair join
     "x40_ewma_anomaly",      # ordered per-group scan
     "x41_incremental_agg",   # incremental aggregate maintenance
     "x42_bootstrap_ci",      # hash-bit resampling
     "x43_permutation_test",  # 64-permutation exact replay
-    "x44_personalized_pagerank",  # seeded iterated graph fold
+    "x44_personalized_pagerank",  # seeded iterated integer-grain rank sum
 ]
 
 # Catalog rows excluded from the sf10 campaign, with the measured
@@ -88,13 +90,6 @@ EXCLUSIONS = [
      "exact-kNN kernels: brute-force block-pair cosine is O(N^2/B) "
      "by definition of exact kNN — it is the recall BASELINE; the "
      "scale path is the capped LSH family in the subset"),
-    ("ss22",
-     "link-prediction ANSWER SET is quadratic in duplicate "
-     "multiplicity on this corpus: every capped-LSH hub contributes "
-     "deg^2/2 neighbour pairs, measured 612k answer rows at sf1 -> "
-     "64.7M at sf10 (106x at 10x data) — output volume, not plan; "
-     "the same graph's linear-output analytics (ss21 triangles, "
-     "ss23 label prop) are in the subset and scale at 2.6x/2.8x"),
     ("mm05 ss12",
      "connected-components oracle replays scoped to deterministic "
      "%4 corpus slices (DuckDB materializes |component|^2 reach "
@@ -125,14 +120,14 @@ def ensure_notch(src, dst, factor):
     return time.time() - t0
 
 
-# Queries whose sf10 runs spill tens of GB (the iterated graph folds:
-# ~79/76 GB recorded by the bench counters). Their shuffle/spill files
-# are deleted ASYNCHRONOUSLY by the ContextCleaner after the query
-# finishes, and that disk traffic lands on whichever queries run next
-# in the same JVM (measured: x42 read 20.4 s inside the round-9
-# campaign vs 5.3 s isolated — 4x of pure cleanup debt). They run in
-# their OWN Bench invocation, LAST, so the debt dies with the JVM.
-SPILL_HEAVY = ["x27_pagerank", "x44_personalized_pagerank"]
+# Queries whose sf10 runs spill tens of GB run in their OWN Bench
+# invocation, LAST, so the ContextCleaner's asynchronous shuffle-file
+# deletion lands on no other query's measured window (round 9 measured
+# x42 at 20.4 s inside the campaign vs 5.3 s isolated — pure cleanup
+# debt from the then-79 GB graph folds). Round 10's integer-grain rank
+# sums eliminated that spill (bench counters read 0 MB at sf10), so
+# the list is currently empty; it stays as the quarantine mechanism.
+SPILL_HEAVY = []
 
 
 def run_bench(sf_dir, runs, timeout_s):
@@ -153,10 +148,16 @@ def run_bench(sf_dir, runs, timeout_s):
         sys.exit(f"bench produced no JSON line for {sf_dir}")
 
     main_part = one([q for q in SUBSET if q not in SPILL_HEAVY], "main")
-    spill_part = one([q for q in SUBSET if q in SPILL_HEAVY], "spill-heavy")
+    spill_list = [q for q in SUBSET if q in SPILL_HEAVY]
+    spill_part = (one(spill_list, "spill-heavy") if spill_list
+                  else {"queries": {}, "spread": {}})
     merged = dict(main_part)
     merged["queries"] = {**main_part["queries"], **spill_part["queries"]}
     merged["spread"] = {**main_part.get("spread", {}), **spill_part.get("spread", {})}
+    # the per-part 'value' totals cover only that part's queries; make
+    # the merged total the sum over ALL medians so a reader of the
+    # embedded JSON doesn't get a number excluding the spill-heavy part
+    merged["value"] = round(sum(merged["queries"].values()), 4)
     return merged
 
 
