@@ -21,20 +21,27 @@ object Sessions {
     * (ops.Maintenance.analyze), dynamic partition pruning for the
     * registry→fact semi-joins, and 128 MB scan partitions.
     */
+  /** The scale knobs [[clusterBuilder]] applies, as data — exposed so
+    * ClusterConfigSpec can apply the SQL-conf subset to an isolated
+    * session (a `SparkSession.Builder` cannot be introspected) and
+    * prove the mechanisms each knob enables actually fire.
+    */
+  val clusterConfigs: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (128 * 1024 * 1024).toString,
+    "spark.sql.files.maxPartitionBytes" -> (128 * 1024 * 1024).toString,
+    "spark.sql.cbo.enabled" -> "true",
+    "spark.sql.cbo.joinReorder.enabled" -> "true",
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.shuffle.partitions" -> "2000" // AQE coalesces down
+  )
+
   def clusterBuilder(app: String = "graft"): SparkSession.Builder =
-    SparkSession
-      .builder()
-      .appName(app)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (128 * 1024 * 1024).toString)
-      .config("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
-      .config("spark.sql.cbo.enabled", "true")
-      .config("spark.sql.cbo.joinReorder.enabled", "true")
-      .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.shuffle.partitions", "2000") // AQE coalesces down
+    clusterConfigs
+      .foldLeft(SparkSession.builder().appName(app)) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   /** Shuffle width for local surfaces: the core count (right for the
