@@ -86,16 +86,24 @@ class ClusterConfigSpec extends SparkSpec {
 
   test("clusterBuilder itself builds and carries every knob (local master override)") {
     // the builder is spark-submit's entry point on a real cluster; a
-    // master override must yield a session whose conf carries each knob
+    // master override must yield a session whose conf carries each
+    // knob. getOrCreate() on a JVM with a live context returns the
+    // ACTIVE session with the builder's SQL confs applied onto it —
+    // snapshot and restore them, or the suite session inherits
+    // shuffle.partitions=2000 and later stream tests blow past
+    // spark.driver.maxResultSize
+    val prior = Sessions.clusterConfigs.keys
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption).toMap
     val s = Sessions.clusterBuilder("graft-test").master("local[2]").getOrCreate()
     try {
       Sessions.clusterConfigs.foreach { case (k, v) =>
         assert(s.conf.get(k) == v, s"knob $k must survive into the session")
       }
     } finally {
-      // same SparkContext as the suite session — do not stop it; the
-      // builder-applied SQL confs live on this session object only
-      ()
+      prior.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
   }
 }
