@@ -175,8 +175,8 @@ object Quantiles {
     * SORT of the full data plus a corpus-sized localCheckpoint so two
     * rank passes see frozen partitions; this form pays ~3 cheap scans
     * (stats, histogram, terminal) that re-read the (columnar, pruned)
-    * source — at sf10 that turned x24 from 42.5 s into ~17 s and
-    * x33 from 14.9 s into ~6 s. On a 1000-executor cluster the same
+    * source — at sf10 that turned x24 from 42.5 s into 22.1 s and
+    * x33 from 14.9 s into 4.6 s. On a 1000-executor cluster the same
     * argument holds harder: no global sort barrier, no block-manager
     * corpus write, shuffle volume O(bins), and scans parallelize
     * embarrassingly.

@@ -756,7 +756,7 @@ object Extras {
     * this PERCENTILE_CONT oracle. The earlier range-sort form
     * ([[graft.operators.Quantiles.rankedPercentiles]]) paid two full
     * sorts plus three corpus-sized block-manager round-trips and read
-    * 42.5 s at sf10; the selection form reads ~17 s on scans alone.
+    * 42.5 s at sf10; the selection form reads 22.1 s on scans alone.
     * [[x32MadSampled]] remains the sampled-threshold variant.
     */
   val x24MadOutliers = Query(
@@ -786,7 +786,7 @@ object Extras {
       // 2-column scan + broadcast join + one abs — recomputing it
       // costs less than writing a corpus-sized frame to the block
       // manager and reading it back (measured at sf10: the
-      // checkpointed form ran 42.5 s; this one ~17 s)
+      // checkpointed form ran 42.5 s; with selection medians, 22.1 s)
       val dev = li.join(broadcast(med), "l_returnflag")
         .withColumn("adev", abs(col("l_extendedprice") - col("med")))
       val mad = Quantiles.refinedPercentiles(
