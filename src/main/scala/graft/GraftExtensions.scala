@@ -88,7 +88,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("phash63", "_FUNC_(payload) - 63-bit average-hash of sampled payload bytes.",
         es => Sketches.PHash63Expr(es(0))),
       ("interleave_bits", "_FUNC_(a, b) - 64-bit Morton (Z-order) code of two ints.",
-        es => graft.functions.InterleaveBits(es(0), es(1)))
+        es => graft.functions.InterleaveBits(es(0), es(1))),
+      ("sq8_pack", "_FUNC_(v, mn, step) - SQ8 byte codes of an array<double>.",
+        es => graft.functions.VectorKernels.Sq8PackExpr(es(0), es(1), es(2))),
+      ("sq8_dequant", "_FUNC_(codes, mn, step) - reconstruct array<double> from SQ8 codes.",
+        es => graft.functions.VectorKernels.Sq8DequantExpr(es(0), es(1), es(2))),
+      ("sq8_adc", "_FUNC_(qw, codes) - asymmetric SQ8 inner-product term over byte codes.",
+        es => graft.functions.VectorKernels.Sq8AdcExpr(es(0), es(1)))
     ).foreach { case (name, usage, builder) =>
       ext.injectFunction(
         (new FunctionIdentifier(name),

@@ -149,6 +149,128 @@ object VectorKernels {
       copy(left = l, right = r)
   }
 
+  private def requireBinary(e: Expression, who: String) =
+    if (e.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$who needs a binary argument, got ${e.dataType}")
+
+  /** Spark `round(x, 0)` double semantics (RoundBase: BigDecimal of the
+    * shortest decimal repr, HALF_UP) — shared by the SQ8 kernels so
+    * their codes match both the Column-function path and DuckDB's
+    * ROUND (half-away-from-zero; equal for the non-negative quantized
+    * domain).
+    */
+  private def roundHalfUp(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** SQ8 scalar-quantizer pack (FAISS ScalarQuantizer QT_8bit shape):
+    * per-dimension affine codes round((x_d − mn_d)/step_d) clamped to
+    * [0, 255], emitted as one byte per dimension — an 8× compression
+    * of a float64 embedding column (the stored-index form; the scan
+    * ranks in the compressed domain via [[Sq8AdcExpr]]). step_d ≤ 0
+    * (constant dimension) codes to 0. Arithmetic is plain IEEE in a
+    * fixed order; the DuckDB oracles replay codes exactly.
+    */
+  case class Sq8PackExpr(vec: Expression, mn: Expression, step: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+    override def first: Expression = vec
+    override def second: Expression = mn
+    override def third: Expression = step
+    override def checkInputDataTypes() = {
+      val a = requireDoubleArray(vec, "sq8_pack")
+      if (a.isFailure) a
+      else {
+        val b = requireDoubleArray(mn, "sq8_pack")
+        if (b.isFailure) b else requireDoubleArray(step, "sq8_pack")
+      }
+    }
+    override def nullSafeEval(v0: Any, m0: Any, s0: Any): Any = {
+      val v = v0.asInstanceOf[ArrayData].toDoubleArray()
+      val m = m0.asInstanceOf[ArrayData].toDoubleArray()
+      val s = s0.asInstanceOf[ArrayData].toDoubleArray()
+      val n = math.min(v.length, math.min(m.length, s.length))
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val code =
+          if (s(i) > 0) {
+            val r = roundHalfUp((v(i) - m(i)) / s(i))
+            math.min(255.0, math.max(0.0, r))
+          } else 0.0
+        out(i) = code.toInt.toByte
+        i += 1
+      }
+      out
+    }
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+      copy(vec = a, mn = b, step = c)
+  }
+
+  /** SQ8 dequantize: mn_d + code_d·step_d per dimension (codes read as
+    * unsigned bytes). Used once per stored row to precompute the
+    * reconstructed norm; scans never rebuild the full vector.
+    */
+  case class Sq8DequantExpr(codes: Expression, mn: Expression, step: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, false)
+    override def first: Expression = codes
+    override def second: Expression = mn
+    override def third: Expression = step
+    override def checkInputDataTypes() = {
+      val a = requireBinary(codes, "sq8_dequant")
+      if (a.isFailure) a
+      else {
+        val b = requireDoubleArray(mn, "sq8_dequant")
+        if (b.isFailure) b else requireDoubleArray(step, "sq8_dequant")
+      }
+    }
+    override def nullSafeEval(c0: Any, m0: Any, s0: Any): Any = {
+      val c = c0.asInstanceOf[Array[Byte]]
+      val m = m0.asInstanceOf[ArrayData].toDoubleArray()
+      val s = s0.asInstanceOf[ArrayData].toDoubleArray()
+      val n = math.min(c.length, math.min(m.length, s.length))
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = m(i) + (c(i) & 0xff).toDouble * s(i); i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+      copy(codes = a, mn = b, step = c)
+  }
+
+  /** SQ8 asymmetric distance computation: Σ_d qw_d · code_d with the
+    * query-side weights qw_d = qv_d·step_d precomputed once per query —
+    * the compressed-domain inner-product term (full score = qmin +
+    * this, where qmin = ⟨qv, mn⟩ is also per-query). Folds left from
+    * 0.0 in dimension order, matching the oracle's
+    * `list_reduce(list_prepend(0.0, …))` replay bit for bit.
+    */
+  case class Sq8AdcExpr(qw: Expression, codes: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes() = {
+      val a = requireDoubleArray(qw, "sq8_adc")
+      if (a.isFailure) a else requireBinary(codes, "sq8_adc")
+    }
+    override def left: Expression = qw
+    override def right: Expression = codes
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val w = a.asInstanceOf[ArrayData].toDoubleArray()
+      val c = b.asInstanceOf[Array[Byte]]
+      val n = math.min(w.length, c.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += w(i) * (c(i) & 0xff).toDouble; i += 1 }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(qw = l, codes = r)
+  }
+
   private def intArg(e: Expression, what: String): Int =
     if (e.foldable) e.eval() match {
       case v: Int => v
@@ -211,6 +333,9 @@ object VectorKernels {
     reg("long_eq_count", es => LongEqCountExpr(es(0), es(1)))
     reg("vec_dist2", es => VecDist2Expr(es(0), es(1)))
     reg("ordered_pair_sum", es => OrderedPairSumExpr(es(0)))
+    reg("sq8_pack", es => Sq8PackExpr(es(0), es(1), es(2)))
+    reg("sq8_dequant", es => Sq8DequantExpr(es(0), es(1), es(2)))
+    reg("sq8_adc", es => Sq8AdcExpr(es(0), es(1)))
   }
 
   private def active: SparkSession = SparkSession.active
@@ -235,5 +360,17 @@ object VectorKernels {
     register(active)
     call_function("hyperplane_sig", v, org.apache.spark.sql.functions.lit(bits),
       org.apache.spark.sql.functions.lit(seed), org.apache.spark.sql.functions.lit(dim))
+  }
+  def sq8Pack(v: Column, mn: Column, step: Column): Column = {
+    register(active)
+    call_function("sq8_pack", v, mn, step)
+  }
+  def sq8Dequant(codes: Column, mn: Column, step: Column): Column = {
+    register(active)
+    call_function("sq8_dequant", codes, mn, step)
+  }
+  def sq8Adc(qw: Column, codes: Column): Column = {
+    register(active)
+    call_function("sq8_adc", qw, codes)
   }
 }

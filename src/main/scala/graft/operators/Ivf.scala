@@ -260,4 +260,75 @@ object Ivf {
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "sim", "rank")
   }
+
+  /** IVF + SQ8 composed search (FAISS `IndexIVFScalarQuantizer` with a
+    * refine step): the coarse probes bound the scan to nprobe/k of the
+    * corpus via the same cluster_id equi-join as [[search]], the
+    * within-cluster ranking runs in the SQ8 compressed domain (byte
+    * codes + precomputed reconstructed norms — the scan never touches
+    * raw vectors), and only the per-query `shortlist` survivors pay an
+    * id equi-join back to exact vectors for the final rounded-cosine
+    * rerank. Both rankings round before ordering with an id tiebreak,
+    * so the DuckDB oracle replays coarse Lloyd + quantization + both
+    * rankings bit for bit.
+    */
+  def searchSq8(
+      indexed: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Model,
+      mn: Array[Double],
+      step: Array[Double],
+      shortlist: Int,
+      k: Int,
+      nprobe: Int,
+      roundTo: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorKernels
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val bcModel = spark.sparkContext.broadcast(model)
+    val probes = toVec(queries, idCol, vecCol)
+      .flatMap { case (qid, qv) =>
+        bcModel.value.nearest(qv, nprobe).map(c => (qid, c))
+      }
+      .toDF("query_id", "cluster_id")
+      .join(Similarity.sq8Queries(queries, idCol, vecCol, mn, step), "query_id")
+    val mnL = lit(mn)
+    val stepL = lit(step)
+    val codes =
+      VectorKernels.sq8Pack(transform(col(vecCol), _.cast("double")), mnL, stepL)
+    val dq = VectorKernels.sq8Dequant(col("codes"), mnL, stepL)
+    val members = indexed
+      .select(col(idCol).cast("long").as("corpus_id"), col("cluster_id"), codes.as("codes"))
+      .withColumn("dqn", sqrt(VectorKernels.vecDot(dq, dq)))
+    val pairs = probes
+      .join(members, "cluster_id")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("qv"), col("qn"),
+        round((col("qmin") + VectorKernels.sq8Adc(col("qw"), col("codes"))) /
+          (col("qn") * col("dqn")), roundTo).as("adc"))
+    val wAdc = Window.partitionBy("query_id").orderBy(desc("adc"), asc("corpus_id"))
+    val cand = pairs
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .drop("rn")
+    val exact = corpus.select(
+      col(idCol).cast("long").as("corpus_id"),
+      transform(col(vecCol), _.cast("double")).as("cv"))
+      .withColumn("cn", sqrt(VectorKernels.vecDot(col("cv"), col("cv"))))
+    val resc = broadcast(cand)
+      .join(exact, "corpus_id")
+      .select(col("query_id"), col("corpus_id"), col("adc"),
+        round(VectorKernels.vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo)
+          .as("sim"))
+    val wSim = Window.partitionBy("query_id").orderBy(desc("sim"), asc("corpus_id"))
+    resc
+      .withColumn("rank", row_number().over(wSim))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "adc", "sim", "rank")
+  }
 }

@@ -602,6 +602,114 @@ object Similarity {
     (amax.as("scale"), q, err)
   }
 
+  /** SQ8 scalar-quantizer training: per-DIMENSION (min, step) affine
+    * params over the corpus, step_d = (max_d − min_d)/255 — the FAISS
+    * `ScalarQuantizer QT_8bit` shape (vs [[int8Quantize]]'s per-VECTOR
+    * absmax, which compresses values but cannot serve a shared
+    * compressed-domain scan). Min/max are exact (no summation), so the
+    * 64-row result is deterministic under any partitioning; it is the
+    * k×2-double control plane of the index, same contract as the
+    * IVF/PQ codebook collects.
+    */
+  def sq8Train(corpus: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val stats = corpus
+      .select(posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i")
+      .collect()
+    val mn = stats.map(_.getDouble(1))
+    val step = stats.map { r =>
+      val d = r.getDouble(2) - r.getDouble(1)
+      if (d > 0) d / 255.0 else 0.0
+    }
+    (mn, step)
+  }
+
+  /** SQ8 compressed-domain columns for a corpus frame: packed byte
+    * codes (8× smaller than the float64 vectors — the column the scan
+    * reads) plus the reconstructed norm, computed ONCE per row at
+    * index-build time so the per-pair scan work is a single
+    * [[graft.functions.VectorKernels.Sq8AdcExpr]] fold over bytes.
+    */
+  def sq8Index(corpus: DataFrame, idCol: String, vecCol: String,
+      mn: Array[Double], step: Array[Double]): DataFrame = {
+    import graft.functions.VectorKernels
+    val mnL = lit(mn)
+    val stepL = lit(step)
+    val codes = VectorKernels.sq8Pack(transform(col(vecCol), _.cast("double")), mnL, stepL)
+    val withCodes = corpus.select(col(idCol).cast("long").as("corpus_id"), codes.as("codes"))
+    val dq = VectorKernels.sq8Dequant(col("codes"), mnL, stepL)
+    withCodes.withColumn("dqn", sqrt(VectorKernels.vecDot(dq, dq)))
+  }
+
+  /** Query-side SQ8 prep: the asymmetric-distance decomposition
+    * ⟨qv, dequant(codes)⟩ = ⟨qv, mn⟩ + Σ_d (qv_d·step_d)·code_d, so
+    * each query carries a constant `qmin`, a weight vector `qw`, and
+    * its own norm — all computed once per query row.
+    */
+  private[operators] def sq8Queries(queries: DataFrame, idCol: String, vecCol: String,
+      mn: Array[Double], step: Array[Double]): DataFrame = {
+    import graft.functions.VectorKernels
+    val qv = transform(col(vecCol), _.cast("double"))
+    queries.select(
+      col(idCol).cast("long").as("query_id"),
+      qv.as("qv"),
+      zip_with(qv, lit(step), (x, s) => x * s).as("qw"),
+      VectorKernels.vecDot(qv, lit(mn)).as("qmin"),
+      sqrt(VectorKernels.vecDot(qv, qv)).as("qn"))
+  }
+
+  /** SQ8 flat search + exact rerank (FAISS `IndexScalarQuantizer` with
+    * a refine step): the full scan ranks candidates by the rounded
+    * ADC cosine IN THE COMPRESSED DOMAIN — at 100 TB the scan reads
+    * the 8×-smaller byte-code column, never the raw vectors — takes
+    * the top `shortlist` per query, then ONE id equi-join refetches
+    * exact vectors for only those candidates and reranks by exact
+    * rounded cosine. Queries are the broadcast side by contract;
+    * ranking rounds to `roundTo` before ordering with an id tiebreak,
+    * so both stages replay deterministically in DuckDB.
+    */
+  def sq8Knn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      mn: Array[Double],
+      step: Array[Double],
+      shortlist: Int,
+      k: Int,
+      roundTo: Int = 4
+  ): DataFrame = {
+    import graft.functions.VectorKernels
+    val indexed = sq8Index(corpus, idCol, vecCol, mn, step)
+    val q = sq8Queries(queries, idCol, vecCol, mn, step)
+    val pairs = indexed
+      .crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("qv"), col("qn"),
+        round((col("qmin") + VectorKernels.sq8Adc(col("qw"), col("codes"))) /
+          (col("qn") * col("dqn")), roundTo).as("adc"))
+    val wAdc = Window.partitionBy("query_id").orderBy(desc("adc"), asc("corpus_id"))
+    val cand = pairs
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .drop("rn")
+    val exact = corpus.select(
+      col(idCol).cast("long").as("corpus_id"),
+      transform(col(vecCol), _.cast("double")).as("cv"))
+      .withColumn("cn", sqrt(VectorKernels.vecDot(col("cv"), col("cv"))))
+    val resc = broadcast(cand)
+      .join(exact, "corpus_id")
+      .select(col("query_id"), col("corpus_id"), col("adc"),
+        round(VectorKernels.vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo)
+          .as("sim"))
+    val wSim = Window.partitionBy("query_id").orderBy(desc("sim"), asc("corpus_id"))
+    resc
+      .withColumn("rank", row_number().over(wSim))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "adc", "sim", "rank")
+  }
+
   /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
     * k-means-cluster the embeddings, then compare pairs ONLY within a
     * cluster — ~1/k of the all-pairs cost, and the scale path is an

@@ -1017,6 +1017,137 @@ object TrainingData {
     }
   )
 
+  /** DuckDB fragments shared by the SQ8-family oracles (ss25/ss26):
+    * replay [[graft.operators.Similarity.sq8Train]]'s per-dimension
+    * (min, step) params — exact, no summation — then the byte codes
+    * (ROUND/clamp), the reconstructed norms, and the query-side
+    * asymmetric-distance decomposition ⟨qv, dequant⟩ = qmin +
+    * Σ (qv·step)·code. Assumes `b0(id, v)` is already defined; ends in
+    * `dqv(id, codes, dqn)` and `q(qid, qv, qn, qmin)`.
+    */
+  private def sq8CtesSql(dim: Int): String = {
+    val fold = ivfFoldSql(dim) _
+    val dqTerm = "(par.mnv[CAST(i AS INT)] + codes[CAST(i AS INT)] * par.stepv[CAST(i AS INT)])"
+    s"""mm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx
+       |      FROM (SELECT UNNEST(v) AS x, UNNEST(range(1, ${dim + 1})) AS i FROM b0)
+       |      GROUP BY i),
+       |par AS MATERIALIZED (SELECT list(mn ORDER BY i) AS mnv,
+       |               list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END ORDER BY i) AS stepv
+       |        FROM mm),
+       |cd AS (SELECT id, list_transform(range(1, ${dim + 1}),
+       |         i -> CASE WHEN par.stepv[CAST(i AS INT)] > 0
+       |           THEN LEAST(255.0, GREATEST(0.0,
+       |             ROUND((v[CAST(i AS INT)] - par.mnv[CAST(i AS INT)]) / par.stepv[CAST(i AS INT)])))
+       |           ELSE 0.0 END) AS codes
+       |       FROM b0, par),
+       |dqv AS (SELECT id, codes,
+       |          SQRT(${fold(s"$dqTerm * $dqTerm")}) AS dqn
+       |        FROM cd, par),
+       |q AS (SELECT b0.id AS qid, b0.v AS qv,
+       |        SQRT(${fold("b0.v[CAST(i AS INT)] * b0.v[CAST(i AS INT)]")}) AS qn,
+       |        ${fold("b0.v[CAST(i AS INT)] * par.mnv[CAST(i AS INT)]")} AS qmin
+       |      FROM b0, par WHERE b0.id < 50)""".stripMargin
+  }
+
+  /** Shared SQ8 ranking tail: compressed-domain candidate shortlist
+    * (top `shortlist` by rounded ADC cosine, id tiebreak) then the
+    * exact rounded-cosine rerank to top `k` — assumes `pairs(query_id,
+    * corpus_id, qv, qn, adc)`.
+    */
+  private def sq8RerankSql(dim: Int, shortlist: Int, k: Int): String = {
+    val fold = ivfFoldSql(dim) _
+    s"""cand AS (SELECT query_id, corpus_id, qv, qn, adc FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc DESC, corpus_id) AS rn
+       |    FROM pairs) WHERE rn <= $shortlist),
+       |resc AS (
+       |  SELECT c.query_id, c.corpus_id, c.adc,
+       |    ROUND(${fold("c.qv[CAST(i AS INT)] * cb.v[CAST(i AS INT)]")} /
+       |          (c.qn * SQRT(${fold("cb.v[CAST(i AS INT)] * cb.v[CAST(i AS INT)]")})), 4) AS sim
+       |  FROM cand c JOIN b0 cb ON cb.id = c.corpus_id)
+       |SELECT query_id, corpus_id, adc, sim, CAST(r AS INT) AS rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
+       |  FROM resc) WHERE r <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** SQ8 flat scan + exact rerank (FAISS IndexScalarQuantizer QT_8bit
+    * with a refine step) — the third quantization family next to PQ
+    * (ss04/ss05) and IVF-PQ (ss07/ss08): per-DIMENSION affine byte
+    * codes give an 8× smaller scan column with none of PQ's codebook
+    * training, and the asymmetric-distance scan ranks candidates
+    * without touching raw vectors; only the shortlist pays an id
+    * equi-join back to exact vectors. The oracle replays params,
+    * codes, both rankings bit for bit.
+    */
+  val ss25Sq8Rerank = Query(
+    "ss25_sq8_rerank", {
+      val (dim, shortlist, topK) = (64, 10, 3)
+      val fold = ivfFoldSql(dim) _
+      Some(
+        s"""WITH b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |${sq8CtesSql(dim)},
+           |pairs AS (
+           |  SELECT q.qid AS query_id, d.id AS corpus_id, q.qv, q.qn,
+           |    ROUND((q.qmin + ${fold(
+               "(q.qv[CAST(i AS INT)] * par.stepv[CAST(i AS INT)]) * d.codes[CAST(i AS INT)]")}) /
+           |          (q.qn * d.dqn), 4) AS adc
+           |  FROM q, dqv d, par WHERE d.id <> q.qid),
+           |${sq8RerankSql(dim, shortlist, topK)}""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val (mn, step) = Similarity.sq8Train(t.embeddings, "embedding")
+      Similarity
+        .sq8Knn(t.embeddings, t.embeddings.filter(col("vec_id") < 50),
+          "vec_id", "embedding", mn, step, shortlist = 10, k = 3)
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  /** IVF + SQ8 composed search (FAISS IndexIVFScalarQuantizer with a
+    * refine step): the coarse probes bound the scan to nprobe/k of the
+    * corpus, the within-cluster ranking runs on the 8×-compressed byte
+    * codes, and the shortlist reranks exactly — the composition that
+    * actually serves 100 TB (partition-pruned clusters × compressed
+    * scan). The oracle replays the coarse Lloyd (ss03's CTEs), the SQ8
+    * params/codes, the probe selection, and both rankings in one
+    * query.
+    */
+  val ss26IvfSq8 = Query(
+    "ss26_ivf_sq8", {
+      val (dim, ck, citers, nprobe, shortlist, topK) = (64, 16, 3, 4, 10, 3)
+      val dist = ivfDistSql(dim) _
+      val fold = ivfFoldSql(dim) _
+      val (idxCtes, last) = ivfIdxCtes(dim, ck, citers)
+      Some(
+        s"""WITH $idxCtes,
+           |${sq8CtesSql(dim)},
+           |probe AS (
+           |  SELECT qid, qv, qn, qmin, c FROM (
+           |    SELECT q.qid, q.qv, q.qn, q.qmin, $last.c, ROW_NUMBER() OVER (
+           |      PARTITION BY q.qid ORDER BY ${dist("q.qv", s"$last.cv")}, $last.c) AS rn
+           |    FROM q CROSS JOIN $last) WHERE rn <= $nprobe),
+           |mem AS (SELECT d.id, d.codes, d.dqn, idx.c FROM dqv d JOIN idx ON idx.id = d.id),
+           |pairs AS (
+           |  SELECT probe.qid AS query_id, mem.id AS corpus_id, probe.qv, probe.qn,
+           |    ROUND((probe.qmin + ${fold(
+               "(probe.qv[CAST(i AS INT)] * par.stepv[CAST(i AS INT)]) * mem.codes[CAST(i AS INT)]")}) /
+           |          (probe.qn * mem.dqn), 4) AS adc
+           |  FROM probe JOIN mem ON probe.c = mem.c, par WHERE mem.id <> probe.qid),
+           |${sq8RerankSql(dim, shortlist, topK)}""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val model = graft.operators.Ivf.train(t.embeddings, "vec_id", "embedding", k = 16, iters = 3)
+      val indexed = graft.operators.Ivf.index(t.embeddings, "vec_id", "embedding", model)
+      val (mn, step) = Similarity.sq8Train(t.embeddings, "embedding")
+      graft.operators.Ivf
+        .searchSq8(indexed, t.embeddings, t.embeddings.filter(col("vec_id") < 50),
+          "vec_id", "embedding", model, mn, step, shortlist = 10, k = 3, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }
+  )
+
   /** Capped multi-probe LSH ANN — ss16's probe fan-out over a
     * bucket-truncated corpus (ss18's bound applied to the multi-probe
     * family): candidates per query ≤ (bits+1) × cap, so the one
@@ -5185,6 +5316,6 @@ object TrainingData {
     td54NgramDecontam, dd19SimhashClasses, ss18CappedLshAnn,
     ss19CappedMultiprobe, td55QualityClassifier, td56ClassifierSample,
     ss20CappedRecall, ss21CappedTriangles, ss22CappedLinkpred,
-    ss23CappedLabelprop, ss24NnDescent
+    ss23CappedLabelprop, ss24NnDescent, ss25Sq8Rerank, ss26IvfSq8
   )
 }

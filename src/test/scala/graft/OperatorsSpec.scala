@@ -1685,4 +1685,91 @@ class OperatorsSpec extends SparkSpec {
     assert(mean(1.0) > mean(0.0) + 1e7, // ≥0.01 separation in 1e-9 grains
       s"mean score of positives must exceed negatives: $mean")
   }
+
+  // ── SQ8 scalar quantization (ss25/ss26) ──────────────────────────
+  test("sq8 pack/dequant: codes are bytes in [0,255], reconstruction within step/2") {
+    import graft.functions.VectorKernels
+    val (mn, step) = Similarity.sq8Train(emb, "embedding")
+    assert(mn.length == 64 && step.length == 64 && step.forall(_ >= 0))
+    val mnL = lit(mn)
+    val stepL = lit(step)
+    val codes = VectorKernels.sq8Pack(
+      transform(col("embedding"), _.cast("double")), mnL, stepL)
+    val rows = emb
+      .select(transform(col("embedding"), _.cast("double")).as("v"), codes.as("c"))
+      .select(col("v"), col("c"),
+        VectorKernels.sq8Dequant(col("c"), mnL, stepL).as("dq"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val c = r.getAs[Array[Byte]](1)
+      val dq = r.getSeq[Double](2)
+      assert(c.length == 64 && dq.length == 64)
+      v.indices.foreach { d =>
+        // quantization error bound: half a step (+ ulp slack)
+        val bound = step(d) / 2 + 1e-12
+        assert(math.abs(v(d) - dq(d)) <= bound,
+          s"dim $d: |${v(d)} - ${dq(d)}| > $bound")
+      }
+    }
+  }
+
+  test("sq8 ADC decomposition matches the dequantized inner product") {
+    import graft.functions.VectorKernels
+    val (mn, step) = Similarity.sq8Train(emb, "embedding")
+    val mnL = lit(mn)
+    val stepL = lit(step)
+    val qv = transform(col("embedding"), _.cast("double"))
+    val codes = VectorKernels.sq8Pack(qv, mnL, stepL)
+    // per row: qmin + sq8_adc(qw, codes) ≈ vec_dot(qv, dequant(codes))
+    // (same terms, different association — equal to ~1e-12 relative)
+    val got = emb
+      .select(
+        (VectorKernels.vecDot(qv, mnL) +
+          VectorKernels.sq8Adc(zip_with(qv, stepL, (x, s) => x * s), codes)).as("decomp"),
+        VectorKernels.vecDot(qv, VectorKernels.sq8Dequant(codes, mnL, stepL)).as("direct"))
+      .collect()
+    got.foreach { r =>
+      val (a, b) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)), s"$a vs $b")
+    }
+  }
+
+  test("sq8Knn with a full-corpus shortlist reranks to exactly the brute-force top-k") {
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 10)
+    val (mn, step) = Similarity.sq8Train(emb, "embedding")
+    val brute = Similarity
+      .bruteForceKnn(emb, queries, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val sq8 = Similarity
+      .sq8Knn(emb, queries, "vec_id", "embedding", mn, step, shortlist = n, k = 3)
+      .select("query_id", "corpus_id", "sim", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(sq8 == brute)
+  }
+
+  test("ivf sq8: all-cluster probes + full shortlist equal brute force; tight probes stay plausible") {
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 10)
+    val model = graft.operators.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val indexed = graft.operators.Ivf.index(emb, "vec_id", "embedding", model)
+    val (mn, step) = Similarity.sq8Train(emb, "embedding")
+    val brute = Similarity
+      .bruteForceKnn(emb, queries, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val full = graft.operators.Ivf
+      .searchSq8(indexed, emb, queries, "vec_id", "embedding", model, mn, step,
+        shortlist = n, k = 3, nprobe = 8)
+      .select("query_id", "corpus_id", "sim", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(full == brute)
+    // tight probes: a real subset search still returns k ranked rows per query
+    val tight = graft.operators.Ivf
+      .searchSq8(indexed, emb, queries, "vec_id", "embedding", model, mn, step,
+        shortlist = 10, k = 3, nprobe = 2)
+      .collect()
+    assert(tight.length == 30)
+  }
 }
