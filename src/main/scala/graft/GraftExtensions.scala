@@ -94,7 +94,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("sq8_dequant", "_FUNC_(codes, mn, step) - reconstruct array<double> from SQ8 codes.",
         es => graft.functions.VectorKernels.Sq8DequantExpr(es(0), es(1), es(2))),
       ("sq8_adc", "_FUNC_(qw, codes) - asymmetric SQ8 inner-product term over byte codes.",
-        es => graft.functions.VectorKernels.Sq8AdcExpr(es(0), es(1)))
+        es => graft.functions.VectorKernels.Sq8AdcExpr(es(0), es(1))),
+      ("sign_bits64", "_FUNC_(v, thr) - 1-bit-per-dimension sign code of an array<double>.",
+        es => graft.functions.VectorKernels.SignBits64Expr(es(0), es(1)))
     ).foreach { case (name, usage, builder) =>
       ext.injectFunction(
         (new FunctionIdentifier(name),

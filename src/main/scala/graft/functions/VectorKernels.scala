@@ -271,6 +271,36 @@ object VectorKernels {
       copy(qw = l, codes = r)
   }
 
+  /** Binary quantization (1 bit/dimension): bit d of the result is set
+    * iff v_d > thr_d, for d < min(len, 64) — a 64-dim embedding
+    * collapses to ONE long (64× compression; the candidate scan is
+    * xor + bit_count, both codegen'd built-ins). Pure comparisons, so
+    * the DuckDB oracle replays codes exactly; thresholds are the
+    * per-dimension decimal-exact corpus means (partition-invariant, the
+    * Lloyd-mean contract).
+    */
+  case class SignBits64Expr(vec: Expression, thr: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def left: Expression = vec
+    override def right: Expression = thr
+    override def checkInputDataTypes() = {
+      val a = requireDoubleArray(vec, "sign_bits64")
+      if (a.isFailure) a else requireDoubleArray(thr, "sign_bits64")
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val v = a.asInstanceOf[ArrayData].toDoubleArray()
+      val t = b.asInstanceOf[ArrayData].toDoubleArray()
+      val n = math.min(64, math.min(v.length, t.length))
+      var code = 0L
+      var d = 0
+      while (d < n) { if (v(d) > t(d)) code |= (1L << d); d += 1 }
+      code
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(vec = l, thr = r)
+  }
+
   private def intArg(e: Expression, what: String): Int =
     if (e.foldable) e.eval() match {
       case v: Int => v
@@ -336,6 +366,7 @@ object VectorKernels {
     reg("sq8_pack", es => Sq8PackExpr(es(0), es(1), es(2)))
     reg("sq8_dequant", es => Sq8DequantExpr(es(0), es(1), es(2)))
     reg("sq8_adc", es => Sq8AdcExpr(es(0), es(1)))
+    reg("sign_bits64", es => SignBits64Expr(es(0), es(1)))
   }
 
   private def active: SparkSession = SparkSession.active
@@ -372,5 +403,9 @@ object VectorKernels {
   def sq8Adc(qw: Column, codes: Column): Column = {
     register(active)
     call_function("sq8_adc", qw, codes)
+  }
+  def signBits64(v: Column, thr: Column): Column = {
+    register(active)
+    call_function("sign_bits64", v, thr)
   }
 }

@@ -625,6 +625,56 @@ object Dedup {
       .select("doc_id", "n_grams", "n_shared_grams", "n_eval_docs", "contaminated_frac")
   }
 
+  /** Fuzzy decontamination (the GPT-3/Pile eval-set near-dup filter):
+    * flag TRAIN documents whose MinHash-estimated Jaccard against some
+    * EVAL document reaches `threshold` — the LSH form of
+    * [[ngramDecontam]] for when exact n-gram overlap is too strict
+    * (paraphrased or lightly-edited benchmark leakage). Same sketch
+    * constants and band join as [[minHashCandidates]], but CROSS-corpus:
+    * the eval side is the broadcast side by contract (benchmarks are
+    * tiny next to a 100 TB corpus), so the corpus is never shuffled —
+    * band keys stream past the broadcast postings, and only candidate
+    * survivors re-fetch signatures for the agreement estimate. Returns
+    * one row per contaminated train doc: (doc_id, n_eval_docs,
+    * max_est).
+    */
+  def lshDecontam(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.35
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    def sigsOf(df: DataFrame, idName: String) = df
+      .select(col(idCol).as(idName), minHashSignature(col(textCol), k, numHashes).as("sig"))
+      .where(size(col("sig")) > 0)
+      .localCheckpoint()
+    def bandsOf(sigs: DataFrame, idName: String) = sigs
+      .select(col(idName), explode(lshBands(col("sig"), bands, r)).as("band"))
+      .select(col(idName), col("band.band_idx"), col("band.band_key"))
+    val trainSigs = sigsOf(train, "doc_id")
+    val evalSigs = sigsOf(eval, "eval_id")
+    val cand = bandsOf(trainSigs, "doc_id")
+      .join(broadcast(bandsOf(evalSigs, "eval_id")), Seq("band_idx", "band_key"))
+      .select("doc_id", "eval_id")
+      .distinct()
+    cand
+      .join(trainSigs.select(col("doc_id"), col("sig").as("sig_a")), "doc_id")
+      .join(broadcast(evalSigs.select(col("eval_id"), col("sig").as("sig_b"))), "eval_id")
+      .select(col("doc_id"), col("eval_id"),
+        (graft.functions.VectorKernels.longEqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+        max(col("est_jaccard")).as("max_est"))
+  }
+
   /** Exact-Jaccard verification RESTRICTED to a candidate pair set —
     * the post-LSH step of the dedup pipeline. The shingle explode is
     * semi-joined down to documents that appear in some candidate pair

@@ -710,6 +710,76 @@ object Similarity {
       .select("query_id", "corpus_id", "adc", "sim", "rank")
   }
 
+  /** Binary-quantization training: per-dimension thresholds = the
+    * corpus means, summed through per-value DECIMAL(28,14) casts so
+    * the 64 doubles are bit-identical under any partitioning (the
+    * Lloyd-mean contract from [[Ivf.train]]).
+    */
+  def bqTrain(corpus: DataFrame, vecCol: String): Array[Double] =
+    corpus
+      .select(posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg((sum(col("x").cast("decimal(28,14)")).cast("double") / count(lit(1))).as("t"))
+      .orderBy("i")
+      .collect()
+      .map(_.getDouble(1))
+
+  /** Binary-quantization search + exact rerank (the 1-bit ANN family —
+    * sign codes around the per-dimension mean): a 64-dim embedding
+    * becomes ONE long, candidates rank by Hamming distance (xor +
+    * bit_count — codegen'd built-ins over an 8-byte column, 64× less
+    * scan I/O than raw vectors), and only the per-query `shortlist`
+    * pays the id equi-join back to exact vectors for the rounded-cosine
+    * rerank. Ties break on corpus_id at both stages, so the DuckDB
+    * oracle replays thresholds, codes, Hamming and the rerank exactly.
+    */
+  def bqKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      thresholds: Array[Double],
+      shortlist: Int,
+      k: Int,
+      roundTo: Int = 4
+  ): DataFrame = {
+    import graft.functions.VectorKernels
+    val thrL = lit(thresholds)
+    val codes = corpus.select(
+      col(idCol).cast("long").as("corpus_id"),
+      VectorKernels.signBits64(transform(col(vecCol), _.cast("double")), thrL).as("code"))
+    val qv = transform(col(vecCol), _.cast("double"))
+    val q = queries.select(
+      col(idCol).cast("long").as("query_id"),
+      qv.as("qv"),
+      VectorKernels.signBits64(qv, thrL).as("qcode"),
+      sqrt(VectorKernels.vecDot(qv, qv)).as("qn"))
+    val pairs = codes
+      .crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("qv"), col("qn"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).as("ham"))
+    val wHam = Window.partitionBy("query_id").orderBy(asc("ham"), asc("corpus_id"))
+    val cand = pairs
+      .withColumn("rn", row_number().over(wHam))
+      .filter(col("rn") <= shortlist)
+      .drop("rn")
+    val exact = corpus.select(
+      col(idCol).cast("long").as("corpus_id"),
+      transform(col(vecCol), _.cast("double")).as("cv"))
+      .withColumn("cn", sqrt(VectorKernels.vecDot(col("cv"), col("cv"))))
+    val resc = broadcast(cand)
+      .join(exact, "corpus_id")
+      .select(col("query_id"), col("corpus_id"), col("ham"),
+        round(VectorKernels.vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo)
+          .as("sim"))
+    val wSim = Window.partitionBy("query_id").orderBy(desc("sim"), asc("corpus_id"))
+    resc
+      .withColumn("rank", row_number().over(wSim))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "ham", "sim", "rank")
+  }
+
   /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
     * k-means-cluster the embeddings, then compare pairs ONLY within a
     * cluster — ~1/k of the all-pairs cost, and the scale path is an

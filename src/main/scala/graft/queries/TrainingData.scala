@@ -266,6 +266,38 @@ object TrainingData {
     }
   )
 
+  /** Fuzzy decontamination ([[graft.operators.Dedup.lshDecontam]], the
+    * GPT-3/Pile eval-set near-dup filter): flag TRAIN docs whose
+    * MinHash-estimated Jaccard against some EVAL doc (td54's
+    * `doc_id % 10 = 7` split) reaches 0.35 — catches paraphrased
+    * benchmark leakage that td13's exact / td16's Bloom / td54's
+    * n-gram forms miss. The oracle reuses dd01's full MinHash chain
+    * restricted to cross pairs (a cross candidate band-matches
+    * regardless of which side banded), then aggregates per train doc.
+    */
+  val dd20LshDecontam = Query(
+    "dd20_lsh_decontam",
+    Some(
+      s"""WITH $minhashCandCtes,
+         |crossc AS (
+         |  SELECT CASE WHEN id_a % 10 = 7 THEN id_b ELSE id_a END AS doc_id,
+         |         CASE WHEN id_a % 10 = 7 THEN id_a ELSE id_b END AS eval_id,
+         |         est_jaccard
+         |  FROM cand WHERE (id_a % 10 = 7) <> (id_b % 10 = 7))
+         |SELECT doc_id, CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_docs,
+         |  MAX(est_jaccard) AS max_est
+         |FROM crossc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Dedup.lshDecontam(
+          t.documents.filter(col("doc_id") % 10 =!= 7),
+          t.documents.filter(col("doc_id") % 10 === 7),
+          "doc_id", "text", k = 3, numHashes = 64, bands = 16, threshold = 0.35),
+        "doc_id")
+    }
+  )
+
   /** The complete near-dup pipeline as ONE operator
     * (Dedup.dedupPipeline): MinHash → LSH candidates (est ≥ 0.35) →
     * exact-Jaccard verification on candidates only (≥ 0.5) →
@@ -1049,23 +1081,24 @@ object TrainingData {
        |      FROM b0, par WHERE b0.id < 50)""".stripMargin
   }
 
-  /** Shared SQ8 ranking tail: compressed-domain candidate shortlist
-    * (top `shortlist` by rounded ADC cosine, id tiebreak) then the
-    * exact rounded-cosine rerank to top `k` — assumes `pairs(query_id,
-    * corpus_id, qv, qn, adc)`.
+  /** Shared compressed-domain ranking tail (ss25/ss26/ss27): candidate
+    * shortlist (top `shortlist` by the approximate `score` ordered
+    * `dir`, id tiebreak) then the exact rounded-cosine rerank to top
+    * `k` — assumes `pairs(query_id, corpus_id, qv, qn, $score)`.
     */
-  private def sq8RerankSql(dim: Int, shortlist: Int, k: Int): String = {
+  private def sq8RerankSql(dim: Int, shortlist: Int, k: Int,
+      score: String = "adc", dir: String = "DESC"): String = {
     val fold = ivfFoldSql(dim) _
-    s"""cand AS (SELECT query_id, corpus_id, qv, qn, adc FROM (
+    s"""cand AS (SELECT query_id, corpus_id, qv, qn, $score FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |                                 ORDER BY adc DESC, corpus_id) AS rn
+       |                                 ORDER BY $score $dir, corpus_id) AS rn
        |    FROM pairs) WHERE rn <= $shortlist),
        |resc AS (
-       |  SELECT c.query_id, c.corpus_id, c.adc,
+       |  SELECT c.query_id, c.corpus_id, c.$score,
        |    ROUND(${fold("c.qv[CAST(i AS INT)] * cb.v[CAST(i AS INT)]")} /
        |          (c.qn * SQRT(${fold("cb.v[CAST(i AS INT)] * cb.v[CAST(i AS INT)]")})), 4) AS sim
        |  FROM cand c JOIN b0 cb ON cb.id = c.corpus_id)
-       |SELECT query_id, corpus_id, adc, sim, CAST(r AS INT) AS rank FROM (
+       |SELECT query_id, corpus_id, $score, sim, CAST(r AS INT) AS rank FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS r
        |  FROM resc) WHERE r <= $k ORDER BY query_id, rank""".stripMargin
   }
@@ -1144,6 +1177,51 @@ object TrainingData {
       graft.operators.Ivf
         .searchSq8(indexed, t.embeddings, t.embeddings.filter(col("vec_id") < 50),
           "vec_id", "embedding", model, mn, step, shortlist = 10, k = 3, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  /** Binary quantization + exact rerank — the 1-bit member of the
+    * compression ladder (SQ8 8×, PQ 16×, BQ 64×): sign codes around
+    * the per-dimension decimal-exact corpus mean collapse a 64-dim
+    * embedding to ONE BIGINT, candidates rank by Hamming distance
+    * (xor + bit_count over an 8-byte column), and the shortlist
+    * reranks with exact cosine. The oracle replays thresholds
+    * (Lloyd-mean DECIMAL(28,14) contract), the bit fold (MSB-first
+    * a·2+x over HUGEINT, reinterpreted signed), Hamming, and both
+    * rankings.
+    */
+  val ss27BinaryQuant = Query(
+    "ss27_binary_quant", {
+      val (dim, shortlist, topK) = (64, 10, 3)
+      val bitFold =
+        s"""list_reduce(list_prepend(0::HUGEINT, list_transform(range($dim, 0, -1),
+           |      i -> CASE WHEN v[CAST(i AS INT)] > tv.t[CAST(i AS INT)]
+           |           THEN 1::HUGEINT ELSE 0::HUGEINT END)),
+           |    (a, x) -> a * 2 + x)""".stripMargin
+      val fold = ivfFoldSql(dim) _
+      Some(
+        s"""WITH b0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |mt AS (SELECT i, CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS t
+           |       FROM (SELECT UNNEST(v) AS x, UNNEST(range(1, ${dim + 1})) AS i FROM b0)
+           |       GROUP BY i),
+           |tv AS MATERIALIZED (SELECT list(t ORDER BY i) AS t FROM mt),
+           |cdb AS MATERIALIZED (SELECT id, v, ${toSignedSql(s"($bitFold)")} AS code FROM b0, tv),
+           |q AS (SELECT id AS qid, v AS qv, code AS qcode,
+           |        SQRT(${fold("v[CAST(i AS INT)] * v[CAST(i AS INT)]")}) AS qn
+           |      FROM cdb WHERE id < 50),
+           |pairs AS (
+           |  SELECT q.qid AS query_id, c.id AS corpus_id, q.qv, q.qn,
+           |    CAST(bit_count(xor(c.code, q.qcode)) AS INT) AS ham
+           |  FROM q, cdb c WHERE c.id <> q.qid),
+           |${sq8RerankSql(dim, shortlist, topK, score = "ham", dir = "ASC")}""".stripMargin)
+    },
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      val thr = Similarity.bqTrain(t.embeddings, "embedding")
+      Similarity
+        .bqKnn(t.embeddings, t.embeddings.filter(col("vec_id") < 50),
+          "vec_id", "embedding", thr, shortlist = 10, k = 3)
         .orderBy("query_id", "rank")
     }
   )
@@ -5316,6 +5394,7 @@ object TrainingData {
     td54NgramDecontam, dd19SimhashClasses, ss18CappedLshAnn,
     ss19CappedMultiprobe, td55QualityClassifier, td56ClassifierSample,
     ss20CappedRecall, ss21CappedTriangles, ss22CappedLinkpred,
-    ss23CappedLabelprop, ss24NnDescent, ss25Sq8Rerank, ss26IvfSq8
+    ss23CappedLabelprop, ss24NnDescent, ss25Sq8Rerank, ss26IvfSq8,
+    ss27BinaryQuant, dd20LshDecontam
   )
 }

@@ -1772,4 +1772,50 @@ class OperatorsSpec extends SparkSpec {
       .collect()
     assert(tight.length == 30)
   }
+
+  test("binary quantization: codes are partition-invariant; full shortlist equals brute force") {
+    import graft.functions.VectorKernels
+    val thr = Similarity.bqTrain(emb, "embedding")
+    assert(thr.length == 64)
+    // thresholds from a different partitioning are bit-identical
+    assert(Similarity.bqTrain(emb.repartition(7), "embedding").toSeq == thr.toSeq)
+    // codes: bit d set iff v(d) > thr(d) — cross-check one row in Scala
+    val row = emb
+      .select(transform(col("embedding"), _.cast("double")).as("v"),
+        VectorKernels.signBits64(transform(col("embedding"), _.cast("double")), lit(thr))
+          .as("code"))
+      .head()
+    val v = row.getSeq[Double](0)
+    val expected = v.indices.take(64)
+      .foldLeft(0L)((acc, d) => if (v(d) > thr(d)) acc | (1L << d) else acc)
+    assert(row.getLong(1) == expected)
+    // with a full-corpus shortlist the exact rerank recovers brute-force top-k
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity
+      .bruteForceKnn(emb, queries, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val bq = Similarity
+      .bqKnn(emb, queries, "vec_id", "embedding", thr, shortlist = n, k = 3)
+      .select("query_id", "corpus_id", "sim", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(bq == brute)
+  }
+
+  test("lshDecontam flags near-identical train/eval docs and ignores disjoint ones") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different text about shipping metrics and quarterly parquet files"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tomorrow")
+    ).toDF("id", "t")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("id", "t")
+    val got = Dedup.lshDecontam(train, eval, "id", "t", threshold = 0.35)
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byId.contains(1L), s"identical doc must be flagged: ${got.mkString(",")}")
+    assert(byId(1L) == ((1L, 1.0))) // identical text → est 1.0 vs 1 eval doc
+    assert(!byId.contains(2L), "disjoint doc must not be flagged")
+  }
 }
