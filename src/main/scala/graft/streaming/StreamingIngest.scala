@@ -76,6 +76,52 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming fuzzy decontamination — the ingest-time form of
+    * [[graft.operators.Dedup.lshDecontam]]: drop arriving documents
+    * whose MinHash-estimated Jaccard against some document of a STATIC
+    * eval set reaches `threshold`. The eval index (signature + band
+    * array per eval doc) is computed once on the static side and
+    * broadcast, so each micro-batch is a STATELESS map + broadcast
+    * anti-join: no state store, no shuffle, unbounded-corpus safe. A
+    * candidate must share a band (`arrays_overlap` over the same band
+    * structs the batch operator joins on) AND clear the
+    * signature-agreement estimate — identical constants, so the
+    * surviving stream equals the batch filter row-for-row
+    * (StreamingSpec pins it).
+    */
+  def decontamStream(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.35
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val evalIdx = evalDocs
+      .select(graft.operators.Dedup.minHashSignature(col(textCol), k, numHashes).as("__sig_b"))
+      .where(size(col("__sig_b")) > 0)
+      .select(col("__sig_b"),
+        graft.operators.Dedup.lshBands(col("__sig_b"), bands, r).as("__bands_b"))
+    val enriched = docs
+      .withColumn("__sig",
+        graft.operators.Dedup.minHashSignature(col(textCol), k, numHashes))
+      // an empty signature (short doc) yields empty band_key slices,
+      // which can never equal an eval band's r values — no guard needed
+      .withColumn("__bands",
+        graft.operators.Dedup.lshBands(col("__sig"), bands, r))
+    enriched
+      .join(broadcast(evalIdx),
+        arrays_overlap(col("__bands"), col("__bands_b")) &&
+          (graft.functions.VectorKernels.longEqCount(col("__sig"), col("__sig_b"))
+            .cast("double") / numHashes) >= threshold,
+        "left_anti")
+      .drop("__sig", "__bands")
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * count + sum(value) per (window, event_type). Late rows beyond the
     * watermark are dropped; state is bounded by watermark horizon ×

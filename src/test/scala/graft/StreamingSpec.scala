@@ -284,6 +284,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("pq_stream").count() == batch.count())
   }
 
+  test("decontamStream drops exactly the docs the batch lshDecontam flags") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft-decontam-stream").toString
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+    val eval = docs.filter(col("doc_id") % 10 === 7)
+    train.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingIngest
+      .decontamStream(stream, eval, "doc_id", "text", threshold = 0.35)
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("decontam_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("decontam_out").collect().map(_.getLong(0)).toSet
+    val flagged = Dedup.lshDecontam(train, eval, "doc_id", "text", threshold = 0.35)
+      .collect().map(_.getLong(0)).toSet
+    val want = train.select("doc_id").collect().map(_.getLong(0)).toSet -- flagged
+    assert(flagged.nonEmpty, "fixture must actually flag something")
+    assert(got == want,
+      s"stream-vs-batch drift: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
+
   test("native session_window stream closes the same sessions as the batch aggregation") {
     val dir = Files.createTempDirectory("graft-sesswin-stream").toString
     val batch = Tables(spark, "/root/testdata/sf0.001").events

@@ -53,6 +53,10 @@ SUBSET = [
     "ss22_capped_linkpred",    # capped-LSH kNN graph + common neighbours (linear again at bits=12)
     "ss23_capped_labelprop",   # capped-LSH kNN graph + label prop
     "ss24_nn_descent",         # 2-round NN-Descent kNN-graph refinement
+    "ss25_sq8_rerank",         # SQ8 compressed-domain scan + exact rerank
+    "ss26_ivf_sq8",            # IVF probes x SQ8 compressed scan
+    "ss27_binary_quant",       # 1-bit Hamming scan + exact rerank
+    "dd20_lsh_decontam",       # MinHash fuzzy eval-decontam (broadcast eval)
     "dd01_minhash_lsh",      # MinHash band join (linear dedup path)
     "dd12_span_dedup",       # exploded window spans (shuffle-volume heavy)
     "dd18_cdc_chunks",       # content-defined chunking
