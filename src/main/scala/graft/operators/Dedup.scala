@@ -675,6 +675,73 @@ object Dedup {
         max(col("est_jaccard")).as("max_est"))
   }
 
+  /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo 1995
+    * — the record-linkage classic, complementary to LSH banding): sort
+    * the corpus by a BLOCKING KEY (first `keyLen` chars of the
+    * dedup-normalized text), compare each row only against the next
+    * `window` rows in that order, estimate similarity from MinHash
+    * signature agreement. Catches prefix-similar near-dups at O(N·w)
+    * pairs where banding needs a band collision.
+    *
+    * Scale shape: the global sort ranks come from range partitioning +
+    * per-partition counts folded into offsets (the td36 pattern — one
+    * control-plane collect of partition sizes, NO single-task window);
+    * candidates are a narrow rank equi-join (each row probes its next
+    * `window` rank slots), and the estimate is the native
+    * signature-agreement kernel per surviving pair. Deterministic:
+    * (key, id) is a total order, so ranks — and therefore pairs — are
+    * partition-invariant and replay exactly in DuckDB.
+    */
+  def sortedNeighborhood(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 3,
+      k: Int = 3,
+      numHashes: Int = 64,
+      keyLen: Int = 24,
+      threshold: Double = 0.35
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .select(col(idCol).cast("long").as("id"),
+        substring(graft.operators.TextAnalysis.normalizeForDedup(col(textCol)), 1, keyLen)
+          .as("key"),
+        minHashSignature(col(textCol), k, numHashes).as("sig"))
+      .where(size(col("sig")) > 0)
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    // frozen once: both passes must observe the same partitioning
+    val sorted = keyed
+      .repartitionByRange(parts, col("key").asc, col("id").asc)
+      .sortWithinPartitions(col("key").asc, col("id").asc)
+      .localCheckpoint()
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) => Iterator.single((pid, it.size.toLong)) }
+      .collect()
+      .sortBy(_._1)
+    val offsets = new Array[Long](counts.length)
+    var acc = 0L
+    counts.foreach { case (pid, n) => offsets(pid) = acc; acc += n }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val ranked = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var r = bcOff.value(pid)
+        it.map { row => r += 1; (r, row.getLong(0), row.getSeq[Long](2)) }
+      }
+      .toDF("rank", "id", "sig")
+    val probes = ranked.select(
+      col("id").as("id_a"), col("sig").as("sig_a"),
+      explode(sequence(col("rank") + 1, col("rank") + window)).as("rank_b"))
+    probes
+      .join(ranked.select(col("rank").as("rank_b"), col("id").as("id_b"),
+        col("sig").as("sig_b")), "rank_b")
+      .select(col("id_a"), col("id_b"),
+        (graft.functions.VectorKernels.longEqCount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Exact-Jaccard verification RESTRICTED to a candidate pair set —
     * the post-LSH step of the dedup pipeline. The shingle explode is
     * semi-joined down to documents that appear in some candidate pair

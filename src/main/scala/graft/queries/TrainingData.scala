@@ -298,6 +298,44 @@ object TrainingData {
     }
   )
 
+  /** Sorted-neighborhood near-dup candidates
+    * ([[graft.operators.Dedup.sortedNeighborhood]], Hernández & Stolfo
+    * 1995): sort by the first 24 chars of the dedup-normalized text,
+    * compare each doc against the next 3 in that order via MinHash
+    * signature agreement — O(N·w) pairs, the record-linkage
+    * complement to dd01's band joins. The oracle reuses dd01's
+    * signature CTEs (unreferenced banding CTEs prune away), ranks with
+    * the same (key, id) total order, and replays the windowed rank
+    * join and the agreement estimate exactly.
+    */
+  val dd21SortedNeighborhood = Query(
+    "dd21_sorted_neighborhood",
+    Some(
+      s"""WITH $minhashCandCtes,
+         |keyed AS (
+         |  SELECT s.doc_id AS id,
+         |    SUBSTRING(TRIM(regexp_replace(regexp_replace(LOWER(d.text), '[^a-z0-9\\s]', ' ', 'g'),
+         |                                  '\\s+', ' ', 'g')), 1, 24) AS key,
+         |    s.sg
+         |  FROM sigs s JOIN documents d USING (doc_id)),
+         |ranked AS MATERIALIZED (
+         |  SELECT id, sg, ROW_NUMBER() OVER (ORDER BY key, id) AS r FROM keyed),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(LEN(list_filter(range(1, 65),
+         |      j -> a.sg[CAST(j AS INT)] = b.sg[CAST(j AS INT)])) AS DOUBLE) / 64 AS est_jaccard
+         |  FROM ranked a JOIN ranked b ON b.r BETWEEN a.r + 1 AND a.r + 3)
+         |SELECT id_a, id_b, est_jaccard FROM pairs
+         |WHERE est_jaccard >= 0.35 ORDER BY id_a, id_b""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Dedup.sortedNeighborhood(t.documents, "doc_id", "text",
+          window = 3, k = 3, numHashes = 64, keyLen = 24, threshold = 0.35),
+        "id_a", "id_b")
+    }
+  )
+
   /** The complete near-dup pipeline as ONE operator
     * (Dedup.dedupPipeline): MinHash → LSH candidates (est ≥ 0.35) →
     * exact-Jaccard verification on candidates only (≥ 0.5) →
@@ -5395,6 +5433,6 @@ object TrainingData {
     ss19CappedMultiprobe, td55QualityClassifier, td56ClassifierSample,
     ss20CappedRecall, ss21CappedTriangles, ss22CappedLinkpred,
     ss23CappedLabelprop, ss24NnDescent, ss25Sq8Rerank, ss26IvfSq8,
-    ss27BinaryQuant, dd20LshDecontam
+    ss27BinaryQuant, dd20LshDecontam, dd21SortedNeighborhood
   )
 }

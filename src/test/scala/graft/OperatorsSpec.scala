@@ -1802,6 +1802,30 @@ class OperatorsSpec extends SparkSpec {
     assert(bq == brute)
   }
 
+  test("sortedNeighborhood: window bounds comparisons; ranks are partition-invariant") {
+    // docs 1/2/3 share the 24-char blocking prefix, so their rank order
+    // is the id tiebreak: doc 2 sits BETWEEN the identical pair 1 and 3
+    val docs = Seq(
+      (1L, "alpha alpha common tail words here one two three four"),
+      (2L, "alpha alpha common tail but totally different after that point"),
+      (3L, "alpha alpha common tail words here one two three four"), // identical to 1
+      (4L, "zeta omega unrelated trailing content five four three two")
+    ).toDF("id", "t")
+    // w=2: doc 3 is 2 ranks after doc 1 (doc 2 sorts between) → flagged
+    val w2 = Dedup.sortedNeighborhood(docs, "id", "t", window = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(w2 == Set((1L, 3L, 1.0)), s"got $w2")
+    // w=1: the identical pair is OUT of the window → nothing flagged
+    val w1 = Dedup.sortedNeighborhood(docs, "id", "t", window = 1, threshold = 0.9)
+      .collect()
+    assert(w1.isEmpty, w1.mkString(","))
+    // partition-invariance: ranks from a different input partitioning
+    val re = Dedup.sortedNeighborhood(docs.repartition(5), "id", "t",
+      window = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(re == w2)
+  }
+
   test("lshDecontam flags near-identical train/eval docs and ignores disjoint ones") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
