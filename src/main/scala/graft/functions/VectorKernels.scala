@@ -166,13 +166,22 @@ object VectorKernels {
     if (x.isNaN || x.isInfinite) x
     else java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  private def requireSameDim(a: Int, b: Int, who: String): Unit =
+    if (a != b)
+      throw new IllegalArgumentException(
+        s"$who: dimension mismatch ($a vs $b) — quantizer params and vectors must share one dim")
+
   /** SQ8 scalar-quantizer pack (FAISS ScalarQuantizer QT_8bit shape):
     * per-dimension affine codes round((x_d − mn_d)/step_d) clamped to
     * [0, 255], emitted as one byte per dimension — an 8× compression
     * of a float64 embedding column (the stored-index form; the scan
     * ranks in the compressed domain via [[Sq8AdcExpr]]). step_d ≤ 0
     * (constant dimension) codes to 0. Arithmetic is plain IEEE in a
-    * fixed order; the DuckDB oracles replay codes exactly.
+    * fixed order; the DuckDB oracles replay codes exactly. A vector
+    * whose length disagrees with the trained params, or that carries a
+    * NaN dimension, FAILS loudly — silent truncation would yield short
+    * codes with silently wrong scores, and NaN diverges from DuckDB's
+    * ROUND/LEAST/GREATEST propagation.
     */
   case class Sq8PackExpr(vec: Expression, mn: Expression, step: Expression)
       extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
@@ -192,10 +201,14 @@ object VectorKernels {
       val v = v0.asInstanceOf[ArrayData].toDoubleArray()
       val m = m0.asInstanceOf[ArrayData].toDoubleArray()
       val s = s0.asInstanceOf[ArrayData].toDoubleArray()
-      val n = math.min(v.length, math.min(m.length, s.length))
+      requireSameDim(v.length, m.length, "sq8_pack")
+      requireSameDim(v.length, s.length, "sq8_pack")
+      val n = v.length
       val out = new Array[Byte](n)
       var i = 0
       while (i < n) {
+        if (v(i).isNaN)
+          throw new IllegalArgumentException(s"sq8_pack: NaN at dimension $i")
         val code =
           if (s(i) > 0) {
             val r = roundHalfUp((v(i) - m(i)) / s(i))
@@ -232,7 +245,9 @@ object VectorKernels {
       val c = c0.asInstanceOf[Array[Byte]]
       val m = m0.asInstanceOf[ArrayData].toDoubleArray()
       val s = s0.asInstanceOf[ArrayData].toDoubleArray()
-      val n = math.min(c.length, math.min(m.length, s.length))
+      requireSameDim(c.length, m.length, "sq8_dequant")
+      requireSameDim(c.length, s.length, "sq8_dequant")
+      val n = c.length
       val out = new Array[Double](n)
       var i = 0
       while (i < n) { out(i) = m(i) + (c(i) & 0xff).toDouble * s(i); i += 1 }
@@ -261,7 +276,8 @@ object VectorKernels {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val w = a.asInstanceOf[ArrayData].toDoubleArray()
       val c = b.asInstanceOf[Array[Byte]]
-      val n = math.min(w.length, c.length)
+      requireSameDim(w.length, c.length, "sq8_adc")
+      val n = w.length
       var s = 0.0
       var i = 0
       while (i < n) { s += w(i) * (c(i) & 0xff).toDouble; i += 1 }
@@ -291,7 +307,8 @@ object VectorKernels {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val v = a.asInstanceOf[ArrayData].toDoubleArray()
       val t = b.asInstanceOf[ArrayData].toDoubleArray()
-      val n = math.min(64, math.min(v.length, t.length))
+      requireSameDim(v.length, t.length, "sign_bits64")
+      val n = math.min(64, v.length)
       var code = 0L
       var d = 0
       while (d < n) { if (v(d) > t(d)) code |= (1L << d); d += 1 }

@@ -296,7 +296,8 @@ object Ivf {
         bcModel.value.nearest(qv, nprobe).map(c => (qid, c))
       }
       .toDF("query_id", "cluster_id")
-      .join(Similarity.sq8Queries(queries, idCol, vecCol, mn, step), "query_id")
+      .join(Similarity.sq8Queries(queries, idCol, vecCol, mn, step)
+        .drop("qv"), "query_id")
     val mnL = lit(mn)
     val stepL = lit(step)
     val codes =
@@ -305,10 +306,12 @@ object Ivf {
     val members = indexed
       .select(col(idCol).cast("long").as("corpus_id"), col("cluster_id"), codes.as("codes"))
       .withColumn("dqn", sqrt(VectorKernels.vecDot(dq, dq)))
+    // Shortlist window shuffles ONLY (query_id, corpus_id, adc); qv/qn
+    // re-join from the (small, per-query) probe frame after the filter.
     val pairs = probes
       .join(members, "cluster_id")
       .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"), col("qv"), col("qn"),
+      .select(col("query_id"), col("corpus_id"),
         round((col("qmin") + VectorKernels.sq8Adc(col("qw"), col("codes"))) /
           (col("qn") * col("dqn")), roundTo).as("adc"))
     val wAdc = Window.partitionBy("query_id").orderBy(desc("adc"), asc("corpus_id"))
@@ -320,8 +323,11 @@ object Ivf {
       col(idCol).cast("long").as("corpus_id"),
       transform(col(vecCol), _.cast("double")).as("cv"))
       .withColumn("cn", sqrt(VectorKernels.vecDot(col("cv"), col("cv"))))
+    val qSlim = Similarity.sq8Queries(queries, idCol, vecCol, mn, step)
+      .select(col("query_id"), col("qv"), col("qn"))
     val resc = broadcast(cand)
       .join(exact, "corpus_id")
+      .join(broadcast(qSlim), "query_id")
       .select(col("query_id"), col("corpus_id"), col("adc"),
         round(VectorKernels.vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo)
           .as("sim"))

@@ -345,6 +345,378 @@ object Quantiles {
     spark.createDataset(out).toDF(groupCol, "p", "value")
   }
 
+  /** Exact per-group (median, MAD) in TWO data scans, typical case —
+    * the fused form of x24's two [[refinedPercentiles]] calls (which
+    * pay ~6 scans: stats + 2–3 histogram passes, twice).
+    *
+    * Both selections interrogate the SAME column: MAD = the median of
+    * |x − med|, and count(|x − med| ≤ t) = count(x ∈ [med−t, med+t]),
+    * so one sufficiently fine histogram of x brackets BOTH order
+    * statistics. The histogram needs no prior min/max pass because
+    * cells are keyed by the top `mantissaBits` bits of the IEEE-754
+    * representation (sign + exponent + mantissa prefix): distinct
+    * prefixes are DISJOINT value intervals ~2^−mantissaBits relative
+    * width, so binning is range-free and the stats (n per group) fall
+    * out of the same aggregation.
+    *
+    * Scan 1: cells (count, exact min, exact max) per (group, bit
+    * prefix) — integer counts + min/max, commutative/associative, one
+    * map-side-combining reduceByKey; ≤ groups × binades × 2^mantissaBits
+    * cells, nothing corpus-sized moves. Driver: locate the median's
+    * bracketing cell(s); with the median known only as an interval,
+    * INTERVAL ARITHMETIC over the retained cells brackets the MAD rank
+    * conservatively (each cell's |x − med| range widens by the median
+    * cell's width), selecting the few ambiguous cells on either side
+    * of x ≈ med ± MAD.
+    *
+    * Scan 2: collect exact (value, count) for rows in the ambiguous
+    * cells only (distinct-value aggregation, ≤ `collectBudget` rows by
+    * the pre-checked cell counts). Driver: resolve the median exactly,
+    * recompute each uncollected cell's |x − med| interval with the now
+    * EXACT median (a subset of the conservative interval, so every
+    * cell that could straddle the MAD rank was collected), walk
+    * offset + sorted exact distances to the MAD order statistics.
+    *
+    * Values are bit-identical to the two-refinedPercentiles form (both
+    * return exact order statistics; interpolation replays
+    * `Percentile`'s arithmetic term-for-term). Falls back to that form
+    * when any budget trips (group cardinality, cell count, collect
+    * rows) — correctness is never budget-dependent. Null/NaN semantics
+    * match [[refinedPercentiles]] (null values skipped, null group
+    * kept, all-null group dropped; NaN unsupported).
+    *
+    * @return (groupCol, med, mad), one row per group
+    */
+  def madByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      mantissaBits: Int = 12,
+      maxGroups: Int = 256,
+      maxCells: Long = 4000000L,
+      collectBudget: Long = 131072L
+  ): DataFrame =
+    madCore(df, groupCol, valueCol, None, mantissaBits, maxGroups, maxCells, collectBudget)
+
+  /** [[madByGroup]] extended with the robust-outlier summary the MAD
+    * exists for: per group (med, mad, n, n_outliers) where an outlier
+    * is a row with |x − med| > k·MAD — in the SAME two scans. The
+    * outlier threshold is one more selection boundary over the same
+    * retained histogram: with MAD bracketed as an interval before the
+    * terminal scan, the cells possibly straddling x = med ± k·MAD join
+    * the terminal collect, and the exact count resolves on the driver
+    * (cells entirely inside/outside the threshold band classify by
+    * their exact min/max; collected rows compare exactly). The
+    * separate corpus-sized COUNT-aggregate scan the naive plan pays
+    * disappears. `n` counts non-null values (the rows a percentile
+    * sees).
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 1.5,
+      mantissaBits: Int = 12,
+      maxGroups: Int = 256,
+      maxCells: Long = 4000000L,
+      collectBudget: Long = 131072L
+  ): DataFrame = {
+    require(k >= 0, s"madOutliers: k must be non-negative, got $k")
+    madCore(df, groupCol, valueCol, Some(k), mantissaBits, maxGroups, maxCells, collectBudget)
+  }
+
+  private def madCore(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      outlierK: Option[Double],
+      mantissaBits: Int,
+      maxGroups: Int,
+      maxCells: Long,
+      collectBudget: Long
+  ): DataFrame = {
+    require(mantissaBits >= 1 && mantissaBits <= 32,
+      s"madByGroup: mantissaBits must be in [1, 32], got $mantissaBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // group keys ride through groupBy and an equi-join, which merge or
+    // drop nulls — encode into a never-null key with a collision-free
+    // sentinel prefix (the distributedPercentiles pattern); the output
+    // rows are built on the driver, which decodes
+    val base = df
+      .select(
+        when(col(groupCol).isNull, lit("\u0000"))
+          .otherwise(concat(lit("\u0001"), col(groupCol).cast("string"))).as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    def dec(g: String): String = if (g == "\u0000") null else g.substring(1)
+    val decodeCol = when(col("g") === lit("\u0000"), lit(null).cast("string"))
+      .otherwise(expr("substring(g, 2)")).as(groupCol)
+    // budget fallback: the two-refinedPercentiles form (exact, slower);
+    // same sentinel encoding so null groups survive its equi-joins
+    def fallback(): DataFrame = {
+      val med = refinedPercentiles(base, "g", "v", Seq(0.5))
+        .select(col("g"), col("value").as("med"))
+      val dev = base.join(broadcast(med), "g")
+        .select(col("g"), col("med"), abs(col("v") - col("med")).as("adev"))
+      val mad = refinedPercentiles(dev.select("g", "adev"), "g", "adev", Seq(0.5))
+        .select(col("g"), col("value").as("mad"))
+      outlierK match {
+        case None =>
+          med.join(mad, "g").select(decodeCol, col("med"), col("mad"))
+            .orderBy(asc_nulls_first(groupCol))
+        case Some(k) =>
+          dev.join(broadcast(mad), "g")
+            .groupBy("g", "med", "mad")
+            .agg(count(lit(1)).as("n"),
+              count(when(col("adev") > lit(k) * col("mad"), 1)).as("n_outliers"))
+            .select(decodeCol, col("med"), col("mad"), col("n"), col("n_outliers"))
+            .orderBy(asc_nulls_first(groupCol))
+      }
+    }
+    val shift = 52 - mantissaBits
+    val keyed = base.withColumn("k", graft.functions.DoubleBitsShift(col("v"), shift))
+    // scan 1: ONE map-side-combining hash aggregation inside
+    // whole-stage codegen — the stats and the histogram in the same
+    // pass. A plain collect, NOT limit(maxCells): CollectLimitExec
+    // executes partitions in scale-up rounds, re-running the
+    // aggregation several times; a cell blow-up (wild exponent spread)
+    // is instead caught by driver.maxResultSize and the maxCells
+    // post-check, both routing to the refinement fallback.
+    val cells0 =
+      try
+        keyed.groupBy("g", "k")
+          .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+          .collect()
+      catch {
+        case e: org.apache.spark.SparkException
+            if e.getMessage != null && e.getMessage.contains("maxResultSize") =>
+          return fallback()
+      }
+    if (cells0.length > maxCells) return fallback()
+    val cells = cells0.map(r =>
+      ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+    val byGroup = cells.groupBy(_._1._1)
+    if (byGroup.size > maxGroups) return fallback()
+
+    // per-group driver state: sorted disjoint cells + prefix sums
+    final case class Cell(mn: Double, mx: Double, c: Long, key: Long)
+    final case class G(
+        g: String, n: Long, cells: Array[Cell], prefix: Array[Long],
+        // median ranks and their resolution
+        rl: Long, rh: Long, pos: Double,
+        var medLo: Double, var medHi: Double,
+        var madLoB: Double, var madHiB: Double, // conservative MAD bracket
+        collectKeys: scala.collection.mutable.HashSet[Long])
+    val groups = byGroup.map { case (g, rows) =>
+      val cs = rows.map { case ((_, k), (c, mn, mx)) => Cell(mn, mx, c, k) }
+        .sortBy(c => (c.mn, c.key))
+      val prefix = new Array[Long](cs.length)
+      var acc = 0L
+      var i = 0
+      while (i < cs.length) { prefix(i) = acc; acc += cs(i).c; i += 1 }
+      val n = acc
+      val pos = (n - 1) * 0.5
+      G(g, n, cs, prefix, math.floor(pos).toLong, math.ceil(pos).toLong, pos,
+        0.0, 0.0, 0.0, 0.0, scala.collection.mutable.HashSet.empty[Long])
+    }.toArray
+
+    // bracket the median; mark unresolved median cells for collection
+    // (cells with one distinct value, or rank hitting a cell's exact
+    // observed bound, resolve without collection)
+    def cellOfRank(gs: G, r: Long): Int = {
+      var i = java.util.Arrays.binarySearch(gs.prefix, r)
+      if (i < 0) i = -i - 2
+      while (i + 1 < gs.prefix.length && gs.prefix(i + 1) <= r) i += 1
+      i
+    }
+    def rankBound(gs: G, r: Long): (Double, Double) = { // (lo, hi); lo==hi when exact
+      val i = cellOfRank(gs, r)
+      val cell = gs.cells(i)
+      if (cell.mn == cell.mx) (cell.mn, cell.mn)
+      else if (r == gs.prefix(i)) (cell.mn, cell.mn)
+      else if (r == gs.prefix(i) + cell.c - 1) (cell.mx, cell.mx)
+      else { gs.collectKeys += cell.key; (cell.mn, cell.mx) }
+    }
+    for (gs <- groups) {
+      val (l1, h1) = rankBound(gs, gs.rl)
+      val (l2, h2) = rankBound(gs, gs.rh)
+      gs.medLo = math.min(l1, l2); gs.medHi = math.max(h1, h2)
+    }
+    // conservative MAD bracket via interval arithmetic with med ∈ [medLo, medHi]
+    for (gs <- groups) {
+      val dLo = gs.cells.map { c =>
+        if (c.mx < gs.medLo) gs.medLo - c.mx
+        else if (c.mn > gs.medHi) c.mn - gs.medHi
+        else 0.0
+      }
+      val dHi = gs.cells.map(c => math.max(gs.medHi - c.mn, c.mx - gs.medLo))
+      def inf(order: Array[Int], bound: Array[Double], target: Long): Double = {
+        var cum = 0L; var i = 0
+        while (i < order.length) {
+          cum += gs.cells(order(i)).c
+          if (cum >= target) return bound(order(i))
+          i += 1
+        }
+        bound(order.last)
+      }
+      val byLo = Array.range(0, gs.cells.length).sortBy(dLo)
+      val byHi = Array.range(0, gs.cells.length).sortBy(dHi)
+      gs.madLoB = Double.MaxValue; gs.madHiB = 0.0
+      for (r <- Set(gs.rl, gs.rh)) {
+        val tLower = inf(byLo, dLo, r + 1) // possible-below reaches r+1
+        val tUpper = inf(byHi, dHi, r + 1) // definite-below reaches r+1
+        gs.madLoB = math.min(gs.madLoB, tLower); gs.madHiB = math.max(gs.madHiB, tUpper)
+        var i = 0
+        while (i < gs.cells.length) {
+          // cells that could straddle the rank value; single-value cells
+          // resolve exactly once med is known, no collection needed
+          if (dLo(i) <= tUpper && dHi(i) >= tLower && gs.cells(i).mn != gs.cells(i).mx)
+            gs.collectKeys += gs.cells(i).key
+          i += 1
+        }
+      }
+      // outlier threshold = one more selection boundary: mark the cells
+      // that could straddle |x − med| = k·MAD under the conservative
+      // med and MAD intervals (the interpolated MAD is a convex
+      // combination of its two rank values, so it stays in the bracket)
+      for (k <- outlierK) {
+        val tLo = k * gs.madLoB
+        val tHi = k * gs.madHiB
+        var i = 0
+        while (i < gs.cells.length) {
+          if (dLo(i) <= tHi && dHi(i) >= tLo && gs.cells(i).mn != gs.cells(i).mx)
+            gs.collectKeys += gs.cells(i).key
+          i += 1
+        }
+      }
+    }
+    val collectRows = groups.map(gs =>
+      gs.cells.iterator.filter(c => gs.collectKeys(c.key)).map(_.c).sum).sum
+    if (collectRows > collectBudget) return fallback()
+
+    // scan 2: exact distinct (value, count) for the marked cells only —
+    // a broadcast semi-join on (g, cell key) keeps the probe inside
+    // whole-stage codegen; −0.0/0.0 merge in the grouping key, which is
+    // numerically transparent to every consumer (|x−med| agrees)
+    val keyRows: Seq[(String, Long)] =
+      groups.iterator.flatMap(gs => gs.collectKeys.iterator.map(k => (gs.g, k))).toSeq
+    val exactRows: Array[(String, Double, Long)] =
+      if (keyRows.isEmpty) Array.empty
+      else keyed.join(broadcast(keyRows.toDF("g", "k")), Seq("g", "k"))
+        .groupBy("g", "v").agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val exactByGroup: Map[String, Array[(Double, Long)]] = exactRows
+      .groupBy(_._1)
+      .map { case (g, rows) => g -> rows.map(t => (t._2, t._3)).sortBy(_._1) }
+
+    // driver resolution: exact median, then exact MAD order statistics
+    // (encoded keys sort with the null sentinel first, matching
+    // asc_nulls_first on the decoded column)
+    val resolved = groups.sortBy(_.g).map { gs =>
+      val vals = exactByGroup.getOrElse(gs.g, Array.empty)
+      def valueAtRank(r: Long): Double = { // rank in x-space
+        val i = cellOfRank(gs, r)
+        val cell = gs.cells(i)
+        if (cell.mn == cell.mx) cell.mn
+        else if (r == gs.prefix(i)) cell.mn
+        else if (r == gs.prefix(i) + cell.c - 1) cell.mx
+        else {
+          // walk the collected distinct values of this cell
+          var local = r - gs.prefix(i)
+          var j = 0
+          var res = Double.NaN
+          while (j < vals.length && res.isNaN) {
+            val (v, c) = vals(j)
+            if (v >= cell.mn && v <= cell.mx) {
+              if (local < c) res = v else local -= c
+            }
+            j += 1
+          }
+          assert(!res.isNaN, s"madByGroup: median rank $r unresolved in cell ${cell.key}")
+          res
+        }
+      }
+      val vMedLo = valueAtRank(gs.rl)
+      val vMedHi = valueAtRank(gs.rh)
+      val med =
+        if (gs.rl == gs.rh) vMedLo
+        else (gs.rh - gs.pos) * vMedLo + (gs.pos - gs.rl) * vMedHi // Percentile's form
+      // exact |x − med| points: collected rows plus single-value
+      // uncollected cells (their distance is a point once med is known)
+      val pts = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+        for ((v, c) <- vals) b += ((math.abs(v - med), c))
+        for (cell <- gs.cells if !gs.collectKeys(cell.key) && cell.mn == cell.mx)
+          b += ((math.abs(cell.mn - med), cell.c))
+        b.sortBy(_._1).toArray
+      }
+      // uncollected multi-value cells as exact distance intervals; by
+      // the conservative-bracket construction none straddles a target
+      // rank value, so count(dist ≤ v_r) = points ≤ v_r + intervals
+      // with dhi ≤ v_r — a merged two-pointer walk finds v_r as the
+      // first point where that lower-bound count reaches r+1 (for any
+      // point below v_r the same expression undercounts the true
+      // cumulative, which is itself ≤ r there, so it cannot fire early)
+      val ivs = gs.cells.iterator
+        .filter(c => !gs.collectKeys(c.key) && c.mn != c.mx)
+        .map { c =>
+          val dhi = math.max(med - c.mn, c.mx - med)
+          val dlo =
+            if (c.mx < med) med - c.mx
+            else if (c.mn > med) c.mn - med
+            else 0.0
+          (dlo, dhi, c.c)
+        }
+        .toArray
+        .sortBy(_._2) // by dhi, for the below-count sweep
+      def distAtRank(r: Long): Double = {
+        var cum = 0L
+        var iIv = 0
+        var i = 0
+        while (i < pts.length) {
+          val d = pts(i)._1
+          while (iIv < ivs.length && ivs(iIv)._2 <= d) { cum += ivs(iIv)._3; iIv += 1 }
+          cum += pts(i)._2
+          if (cum >= r + 1) return d
+          i += 1
+        }
+        throw new AssertionError(
+          s"madByGroup: MAD rank $r unresolved for group ${gs.g} — bracket invariant broken")
+      }
+      val dLoV = distAtRank(gs.rl)
+      val dHiV = if (gs.rh == gs.rl) dLoV else distAtRank(gs.rh)
+      val mad =
+        if (gs.rl == gs.rh) dLoV
+        else (gs.rh - gs.pos) * dLoV + (gs.pos - gs.rl) * dHiV
+      // exact outlier count from the same structures: every cell that
+      // could straddle the threshold was collected, so the uncollected
+      // intervals classify whole (strict >, matching `adev > k·mad`)
+      val nOut = outlierK.map { k =>
+        val t = k * mad
+        var out = 0L
+        for ((d, c) <- pts) if (d > t) out += c
+        for ((dlo, dhi, c) <- ivs) {
+          if (dlo > t) out += c
+          else if (dhi > t)
+            throw new AssertionError(
+              s"madOutliers: threshold straddle for group ${gs.g} — bracket invariant broken")
+        }
+        out
+      }
+      (dec(gs.g), med, mad, gs.n, nOut.getOrElse(0L))
+    }
+    outlierK match {
+      case Some(_) =>
+        spark.createDataset(resolved.toSeq)
+          .toDF(groupCol, "med", "mad", "n", "n_outliers")
+      case None =>
+        spark.createDataset(resolved.toSeq.map(t => (t._1, t._2, t._3)))
+          .toDF(groupCol, "med", "mad")
+    }
+  }
+
   /** High-cardinality path: nothing proportional to the number of
     * groups touches the driver. Offsets = a running sum over the tiny
     * counts frame, window-partitioned BY GROUP (each window holds only

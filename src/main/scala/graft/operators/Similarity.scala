@@ -235,18 +235,49 @@ object Similarity {
       .groupByKey(_._1)
       .cogroup(queriesRepl.groupByKey(_._1)) { (_, cIt, qIt) =>
         val block = cIt.toArray // ONE corpus block, bounded by |corpus|/B
+        // per-query scratch, reused across the block's queries
+        val ids = new Array[Long](block.length)
+        val raws = new Array[Double](block.length)
+        val topRaw = new Array[Double](k)
+        val step = math.pow(10, -scale)
         qIt.flatMap { case (_, qid, qv, nQ) =>
-          // (negSim, corpusId) sorts best-first with the id tiebreak;
-          // sorting the block's scores is fine per-block (bounded size)
-          val scored = new scala.collection.mutable.ArrayBuffer[(Double, Long)](block.length)
+          // phase 1: RAW scores only, tracking the k-th largest raw —
+          // rounding is monotone and |round(x) − x| ≤ step/2, so any
+          // candidate with raw < (kth raw − step) rounds strictly below
+          // k candidates and can never reach the rounded top-k; only
+          // the survivors pay the BigDecimal rounding (the previous
+          // per-pair rounding dominated the whole kernel)
+          java.util.Arrays.fill(topRaw, Double.NegativeInfinity)
+          var m = 0
           block.foreach { case (_, cid, cv, nC) =>
             if (cid != qid) {
               var dot = 0.0; var j = 0
               while (j < qv.length) { dot += qv(j) * cv(j); j += 1 }
-              val sim = BigDecimal(dot / (nQ * nC))
-                .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
-              scored += ((-sim, cid))
+              val raw = dot / (nQ * nC)
+              ids(m) = cid; raws(m) = raw; m += 1
+              if (raw > topRaw(0)) { // topRaw(0) holds the current min
+                topRaw(0) = raw
+                var mi = 0; var ii = 1
+                while (ii < k) { if (topRaw(ii) < topRaw(mi)) mi = ii; ii += 1 }
+                if (mi != 0) {
+                  val t = topRaw(0); topRaw(0) = topRaw(mi); topRaw(mi) = t
+                }
+              }
             }
+          }
+          val cut =
+            if (m >= k) topRaw(0) - step - 1e-12 else Double.NegativeInfinity
+          // phase 2: round the handful of survivors, then the same
+          // (rounded desc, corpus_id asc) order as before
+          val scored = new scala.collection.mutable.ArrayBuffer[(Double, Long)](k + 8)
+          var i = 0
+          while (i < m) {
+            if (raws(i) >= cut) {
+              val sim = BigDecimal(raws(i))
+                .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+              scored += ((-sim, ids(i)))
+            }
+            i += 1
           }
           scored.sorted.take(k).map { case (negSim, cid) => (qid, cid, -negSim) }
         }
@@ -683,10 +714,14 @@ object Similarity {
     import graft.functions.VectorKernels
     val indexed = sq8Index(corpus, idCol, vecCol, mn, step)
     val q = sq8Queries(queries, idCol, vecCol, mn, step)
+    // The shortlist window shuffles ONLY (query_id, corpus_id, adc) — the
+    // 64-double qv/qn are re-joined from the broadcast query frame after
+    // the top-`shortlist` filter, so the ranking shuffle stays narrower
+    // than the byte-code column the scan was compressed to read.
     val pairs = indexed
       .crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"), col("qv"), col("qn"),
+      .select(col("query_id"), col("corpus_id"),
         round((col("qmin") + VectorKernels.sq8Adc(col("qw"), col("codes"))) /
           (col("qn") * col("dqn")), roundTo).as("adc"))
     val wAdc = Window.partitionBy("query_id").orderBy(desc("adc"), asc("corpus_id"))
@@ -700,6 +735,7 @@ object Similarity {
       .withColumn("cn", sqrt(VectorKernels.vecDot(col("cv"), col("cv"))))
     val resc = broadcast(cand)
       .join(exact, "corpus_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), "query_id")
       .select(col("query_id"), col("corpus_id"), col("adc"),
         round(VectorKernels.vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo)
           .as("sim"))
@@ -754,10 +790,12 @@ object Similarity {
       qv.as("qv"),
       VectorKernels.signBits64(qv, thrL).as("qcode"),
       sqrt(VectorKernels.vecDot(qv, qv)).as("qn"))
+    // Shortlist window shuffles ONLY (query_id, corpus_id, ham); qv/qn
+    // re-join from the broadcast query frame after the filter.
     val pairs = codes
       .crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"), col("qv"), col("qn"),
+      .select(col("query_id"), col("corpus_id"),
         bit_count(col("code").bitwiseXOR(col("qcode"))).as("ham"))
     val wHam = Window.partitionBy("query_id").orderBy(asc("ham"), asc("corpus_id"))
     val cand = pairs
@@ -770,6 +808,7 @@ object Similarity {
       .withColumn("cn", sqrt(VectorKernels.vecDot(col("cv"), col("cv"))))
     val resc = broadcast(cand)
       .join(exact, "corpus_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), "query_id")
       .select(col("query_id"), col("corpus_id"), col("ham"),
         round(VectorKernels.vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo)
           .as("sim"))

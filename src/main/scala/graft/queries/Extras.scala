@@ -748,15 +748,17 @@ object Extras {
     * tolerance. The deviation frame feeds two consumers (the MAD
     * rank pass and the outlier count), so it is materialized once.
     *
-    * Memory shape: both medians come from
-    * [[graft.operators.Quantiles.refinedPercentiles]] — exact
-    * selection by iterative histogram refinement, NO per-group value
-    * buffer, NO global sort, no corpus-sized materialization — which
-    * is bit-identical to `percentile()` (OperatorsSpec) and hence to
-    * this PERCENTILE_CONT oracle. The earlier range-sort form
-    * ([[graft.operators.Quantiles.rankedPercentiles]]) paid two full
-    * sorts plus three corpus-sized block-manager round-trips and read
-    * 42.5 s at sf10; the selection form reads 22.1 s on scans alone.
+    * Memory shape: the whole answer comes from ONE call to
+    * [[graft.operators.Quantiles.madOutliers]] — the fused selection
+    * that brackets median, MAD AND the outlier threshold from a single
+    * range-free bits-histogram scan (count(|x−med| ≤ t) = count(x ∈
+    * [med−t, med+t]), so every statistic interrogates the same column)
+    * plus one terminal collect of the ambiguous cells, NO per-group
+    * value buffer, NO global sort, no corpus-sized materialization —
+    * bit-identical to `percentile()` (OperatorsSpec parity) and hence
+    * to this PERCENTILE_CONT oracle. History: the range-sort form read
+    * 42.5 s at sf10, two separate refinedPercentiles selections 22.1 s
+    * (~6 scans), the fused form pays 2 scans total (cells + terminal).
     * [[x32MadSampled]] remains the sampled-threshold variant.
     */
   val x24MadOutliers = Query(
@@ -780,24 +782,11 @@ object Extras {
       import graft.operators.Quantiles
       val t = Tables(spark, dir)
       val li = t.lineitem.select("l_returnflag", "l_extendedprice")
-      val med = Quantiles.refinedPercentiles(li, "l_returnflag", "l_extendedprice", Seq(0.5))
-        .select(col("l_returnflag"), col("value").as("med"))
-      // dev feeds several passes but is NOT materialized: it is a
-      // 2-column scan + broadcast join + one abs — recomputing it
-      // costs less than writing a corpus-sized frame to the block
-      // manager and reading it back (measured at sf10: the
-      // checkpointed form ran 42.5 s; with selection medians, 22.1 s)
-      val dev = li.join(broadcast(med), "l_returnflag")
-        .withColumn("adev", abs(col("l_extendedprice") - col("med")))
-      val mad = Quantiles.refinedPercentiles(
-        dev.select("l_returnflag", "adev"), "l_returnflag", "adev", Seq(0.5))
-        .select(col("l_returnflag"), col("value").as("mad"))
-      dev
-        .join(broadcast(mad), "l_returnflag")
-        .groupBy("l_returnflag", "med", "mad")
-        .agg(count(lit(1)).as("n"),
-          count(when(col("adev") > lit(1.5) * col("mad"), 1)).as("n_outliers"))
-        .orderBy("l_returnflag")
+      // med, mad, n AND n_outliers from the same two scans: the outlier
+      // threshold is one more selection boundary over the retained
+      // histogram, so the naive plan's separate corpus-sized
+      // count-aggregate scan disappears (3 scans → 2)
+      Quantiles.madOutliers(li, "l_returnflag", "l_extendedprice", k = 1.5)
     }
   )
 

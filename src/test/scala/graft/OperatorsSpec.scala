@@ -924,6 +924,102 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("madByGroup fuses median+MAD and is bit-identical to the percentile() form") {
+    import graft.operators.Quantiles
+    val li = Tables(spark, sf).lineitem
+    def reference(df: org.apache.spark.sql.DataFrame): Seq[(String, Double, Double)] = {
+      val med = df.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      df.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+        .groupBy("l_returnflag")
+        .agg(min("med").as("med"), expr("percentile(adev, 0.5)").as("mad"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    }
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    val ref = reference(li.select("l_returnflag", "l_extendedprice"))
+    val fused = collect(Quantiles.madByGroup(li, "l_returnflag", "l_extendedprice"))
+    assert(fused == ref, "fused selection must replay percentile-median and percentile-MAD bit-exactly")
+    assert(collect(Quantiles.madByGroup(
+      li.repartition(7), "l_returnflag", "l_extendedprice")) == fused,
+      "bits-histogram cells are partition-invariant")
+    // coarse cells (2 mantissa bits) force wide ambiguity brackets and a
+    // large terminal collect — stresses the interval-arithmetic path
+    assert(collect(Quantiles.madByGroup(
+      li, "l_returnflag", "l_extendedprice", mantissaBits = 2)) == fused,
+      "coarse cells must still resolve exactly")
+    // zero collect budget forces the two-refinedPercentiles fallback
+    assert(collect(Quantiles.madByGroup(
+      li, "l_returnflag", "l_extendedprice", collectBudget = 0L)) == fused,
+      "budget fallback must agree bit-exactly")
+  }
+
+  test("madOutliers counts threshold exceedances exactly from the same two scans") {
+    import graft.operators.Quantiles
+    val li = Tables(spark, sf).lineitem
+    def reference(k: Double): Seq[(String, Double, Double, Long, Long)] = {
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+      val mad = dev.groupBy("l_returnflag").agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("adev") > lit(k) * col("mad"), 1)).as("n_outliers"))
+        .select("l_returnflag", "med", "mad", "n", "n_outliers")
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+        .sorted.toSeq
+    }
+    def run(k: Double, mb: Int = 12) =
+      Quantiles.madOutliers(li, "l_returnflag", "l_extendedprice", k = k, mantissaBits = mb)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+        .sorted.toSeq
+    for (k <- Seq(1.5, 0.5, 3.0)) {
+      val ref = reference(k)
+      assert(run(k) == ref, s"k=$k")
+      assert(run(k, mb = 2) == ref, s"k=$k coarse cells") // wide brackets, big collect
+    }
+    // budget fallback path must agree too
+    assert(Quantiles.madOutliers(li, "l_returnflag", "l_extendedprice", k = 1.5,
+      collectBudget = 0L)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .sorted.toSeq == reference(1.5))
+  }
+
+  test("property: madByGroup equals percentile() MAD on random data with ties, nulls, negatives") {
+    import graft.operators.Quantiles
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.chooseNum(4, 120)
+      gs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      vs <- Gen.listOfN(n, Gen.chooseNum(-40, 40).map(_ * 0.25))
+      nullIdx <- Gen.listOfN(n / 5, Gen.chooseNum(0, n - 1))
+    } yield (gs.zip(vs), nullIdx.toSet)
+    Iterator.continually(gen.sample).flatten.take(12).foreach { case (rows, nullIdx) =>
+      val data = rows.zipWithIndex.map { case ((g, v), i) =>
+        (g, if (nullIdx(i)) null.asInstanceOf[java.lang.Double] else java.lang.Double.valueOf(v))
+      }
+      val df = data.toDF("g", "v")
+      val med = df.filter(col("v").isNotNull).groupBy("g")
+        .agg(expr("percentile(v, 0.5)").as("med"))
+      val ref = df.join(broadcast(med), "g")
+        .withColumn("adev", abs(col("v") - col("med")))
+        .groupBy("g")
+        .agg(min("med").as("med"), expr("percentile(adev, 0.5)").as("mad"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+      // tiny mantissa bits → single-binade coarse cells, exercising every
+      // resolution branch (exact bounds, point cells, interval sweep)
+      val fused = Quantiles.madByGroup(df, "g", "v", mantissaBits = 3)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+      assert(fused == ref, s"data=$data")
+    }
+  }
+
   test("rankedPercentiles at 100k groups routes distributed and stays bit-identical") {
     import graft.operators.Quantiles
     val nGroups = 100000L
