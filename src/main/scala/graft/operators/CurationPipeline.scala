@@ -52,7 +52,15 @@ object CurationPipeline {
         maxRepetitionRatio = 0.65, maxPunctRatio = 0.3),
       shardSize: Long = 64L,
       maxIndexFiles: Long = 48L,
-      nearDupThreshold: Double = 0.5
+      nearDupThreshold: Double = 0.5,
+      // eval suite for fuzzy decontamination (the GPT-3 recipe's
+      // eval-set near-dup filter, [[Dedup.lshDecontam]]): when set,
+      // quality survivors whose MinHash-estimated Jaccard against any
+      // eval doc reaches `decontamThreshold` are dropped BEFORE the
+      // dedup indexes learn them. The eval side is broadcast by
+      // contract (benchmarks are tiny next to a 100 TB corpus).
+      decontamEval: Option[DataFrame] = None,
+      decontamThreshold: Double = 0.35
   ) {
     def lshPath: String = s"$workDir/lsh"
     def fingerprintPath: String = s"$workDir/fp"
@@ -67,7 +75,8 @@ object CurationPipeline {
       datasetId: Long,
       nFresh: Long,
       nNearDupCandidates: Long,
-      compacted: Boolean)
+      compacted: Boolean,
+      nContaminated: Long = 0L)
 
   /** Ingest one delivery batch (columns ⊇ doc_id, text, source).
     *
@@ -91,7 +100,23 @@ object CurationPipeline {
       registry: DatasetRegistry,
       cfg: Config
   ): DeliveryResult = {
-    val (kept, _) = TextAnalysis.qualityFilter(batch, col("text"), cfg.thresholds)
+    val (kept0, _) = TextAnalysis.qualityFilter(batch, col("text"), cfg.thresholds)
+    // fuzzy eval-set decontamination between the quality gate and the
+    // dedup ingest: contamination is a function of the TEXT (identical
+    // text → identical signature → identical flag), so dropping here
+    // commutes with the incremental first-delivery-wins dedup and the
+    // composed outcome replays deterministically whatever the delivery
+    // interleaving
+    var nContaminated = 0L
+    val kept = cfg.decontamEval match {
+      case Some(ev) =>
+        val flagged = Dedup.lshDecontam(
+          kept0, ev, "doc_id", "text", threshold = cfg.decontamThreshold)
+          .select("doc_id")
+        nContaminated = flagged.count()
+        kept0.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      case None => kept0
+    }
     val id = registry.insert(cfg.datasetdate, label, datasettypeid = 1, datasourceid = 1)
     var nFresh = 0L
     val ing = Dedup.ingestBatch(
@@ -110,7 +135,7 @@ object CurationPipeline {
     // re-deliveries are already gone via the fingerprint anti-join)
     val nNear = ing.nearDups.count()
     if (nFresh == 0) registry.setStatus(id, DatasetStatus.Empty)
-    DeliveryResult(label, id, nFresh, nNear, ing.compacted)
+    DeliveryResult(label, id, nFresh, nNear, ing.compacted, nContaminated)
   }
 
   /** Pack the curated store into hash-assigned shards, write the

@@ -650,6 +650,14 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
+    // train and eval may live in DIFFERENT sessions (a foreachBatch
+    // micro-batch analyzes in a cloned session while the eval suite
+    // came from the main one) — register the kernels on both, not just
+    // on whatever SparkSession.active happens to be
+    Seq(train.sparkSession, eval.sparkSession).foreach { s =>
+      graft.functions.Sketches.register(s)
+      graft.functions.VectorKernels.register(s)
+    }
     def sigsOf(df: DataFrame, idName: String) = df
       .select(col(idCol).as(idName), minHashSignature(col(textCol), k, numHashes).as("sig"))
       .where(size(col("sig")) > 0)

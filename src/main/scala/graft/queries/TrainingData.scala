@@ -2377,24 +2377,33 @@ object TrainingData {
   private val e2eWorkDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The composed end-to-end curation pipeline as ONE verifiable row
-    * (operators.CurationPipeline — quality gate → incremental
-    * exact/LSH dedup ingest with auto-compaction → registry version
-    * commit → hash-sharded packing → manifest audit), fed four
-    * deliveries from a staged landing zone: shards 0, 1, 2 and then a
-    * RE-DELIVERY of shard 0, whose rows must all die in the
-    * fingerprint anti-join and leave only an Empty registry version
-    * behind. The oracle replays the externally-determined outcome —
-    * quality thresholds (td49's), first-delivery-wins exact dedup
+    * (operators.CurationPipeline — quality gate → FUZZY EVAL-SET
+    * DECONTAMINATION (dd20's MinHash-LSH filter, the GPT-3 recipe
+    * stage) → incremental exact/LSH dedup ingest with auto-compaction
+    * → registry version commit → hash-sharded packing → manifest
+    * audit), fed four deliveries from a staged landing zone: shards
+    * 0, 1, 2 and then a RE-DELIVERY of shard 0, whose rows must all
+    * die in the fingerprint anti-join and leave only an Empty registry
+    * version behind. The eval suite is the td54/dd20 `doc_id % 10 = 7`
+    * split — and the corpus CONTAINS it, so decontam must drop both
+    * the delivered eval members themselves (self-leak: a doc
+    * band-matches its own eval copy at est 1.0) and their near-dups.
+    * The oracle replays the externally-determined outcome — quality
+    * thresholds (td49's), the dd01 MinHash chain restricted to cross
+    * pairs plus the self-leak rule, first-delivery-wins exact dedup
     * (delivery order = shard number, then doc_id), and the dd03-hash
     * shard assignment — so a green row proves the COMPOSITION
     * (including the re-delivery) preserved exactly the documents and
-    * counts it should, at any scale.
+    * counts it should, at any scale. Decontam commutes with the
+    * incremental dedup because contamination is a function of the
+    * text alone (identical text → identical signature → same flag).
     */
   val in09CurationE2e = Query(
     "in09_curation_e2e", {
       val signed = toSignedSql(s"(${fmixSql(s"(${foldSql("CAST(doc_id AS VARCHAR)")})")})")
       Some(
-        s"""WITH w AS (SELECT doc_id, text,
+        s"""WITH $minhashCandCtes,
+           |w AS (SELECT doc_id, text,
            |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
            |       ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS toks
            |FROM documents),
@@ -2410,10 +2419,17 @@ object TrainingData {
            |kept AS (SELECT doc_id, text FROM f
            |  WHERE NOT (n_tokens < 25 OR n_tokens > 1000000
            |             OR rep > 0.65 OR punct > 0.3)),
+           |cont AS MATERIALIZED (
+           |  SELECT CASE WHEN id_a % 10 = 7 THEN id_b ELSE id_a END AS doc_id
+           |  FROM cand WHERE (id_a % 10 = 7) <> (id_b % 10 = 7)
+           |  UNION
+           |  SELECT doc_id FROM sigs WHERE doc_id % 10 = 7),
+           |decon AS (SELECT doc_id, text FROM kept
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
            |ded AS MATERIALIZED (SELECT doc_id FROM (
            |    SELECT doc_id,
            |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id % 3, doc_id) AS rn
-           |    FROM kept) WHERE rn = 1),
+           |    FROM decon) WHERE rn = 1),
            |ns AS (SELECT GREATEST(1, (COUNT(*) + 63) // 64) AS n_shards FROM ded),
            |h AS (SELECT doc_id, $signed AS hv FROM ded),
            |sh AS (SELECT ((hv % (SELECT n_shards FROM ns)) + (SELECT n_shards FROM ns))
@@ -2442,7 +2458,8 @@ object TrainingData {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(prev), true)
       }
-      val cfg = CurationPipeline.Config(work, java.sql.Date.valueOf("2026-01-01"))
+      val cfg = CurationPipeline.Config(work, java.sql.Date.valueOf("2026-01-01"),
+        decontamEval = Some(t.documents.filter(col("doc_id") % 10 === 7)))
       val reg = new graft.registry.DatasetRegistry(spark, cfg.registryPath)
       Seq(0, 1, 2, 0).foreach { s => // 0 again = the re-delivery
         val batch = spark.read.schema(t.documents.schema).json(s"$landing/shard_$s")
@@ -5231,12 +5248,19 @@ object TrainingData {
     }
   )
 
+  /** Batch curation pipeline: quality gate → fuzzy eval-set
+    * decontamination (dd20's filter; eval = the `doc_id % 10 = 7`
+    * split, which the corpus CONTAINS — both the delivered eval
+    * members and their near-dups must go) → exact dedup →
+    * deterministic split assignment. The GPT-3 recipe end to end.
+    */
   val td49CurationPipeline = Query(
     "td49_curation_pipeline", {
       val fold = foldSql("CAST(doc_id AS VARCHAR)")
       val signed = toSignedSql(s"(${fmixSql(s"($fold)")})")
       Some(
-        s"""WITH w AS (SELECT doc_id, text, source,
+        s"""WITH $minhashCandCtes,
+           |w AS (SELECT doc_id, text, source,
            |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN []::VARCHAR[]
            |       ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS toks
            |FROM documents),
@@ -5252,10 +5276,17 @@ object TrainingData {
            |kept AS (SELECT doc_id, text, source FROM f
            |  WHERE NOT (n_tokens < 25 OR n_tokens > 1000000
            |             OR rep > 0.65 OR punct > 0.3)),
+           |cont AS MATERIALIZED (
+           |  SELECT CASE WHEN id_a % 10 = 7 THEN id_b ELSE id_a END AS doc_id
+           |  FROM cand WHERE (id_a % 10 = 7) <> (id_b % 10 = 7)
+           |  UNION
+           |  SELECT doc_id FROM sigs WHERE doc_id % 10 = 7),
+           |decon AS (SELECT doc_id, text, source FROM kept
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
            |ded AS (SELECT doc_id, source FROM (
            |    SELECT doc_id, source,
            |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-           |    FROM kept) WHERE rn = 1),
+           |    FROM decon) WHERE rn = 1),
            |h AS MATERIALIZED (SELECT doc_id, source, $signed AS hv FROM ded),
            |r AS (SELECT doc_id, source,
            |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS INT)
@@ -5270,10 +5301,14 @@ object TrainingData {
       import org.apache.spark.sql.expressions.Window
       graft.functions.MixedHash64.register(spark)
       val t = Tables(spark, dir)
-      val (kept, _) = TextAnalysis.qualityFilter(t.documents, col("text"),
+      val (kept0, _) = TextAnalysis.qualityFilter(t.documents, col("text"),
         TextAnalysis.QualityThresholds(
           minTokens = 25, maxTokens = 1000000,
           maxRepetitionRatio = 0.65, maxPunctRatio = 0.3))
+      val flagged = Dedup.lshDecontam(
+        kept0, t.documents.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", threshold = 0.35).select("doc_id")
+      val kept = kept0.join(broadcast(flagged), Seq("doc_id"), "left_anti")
       val deduped = Dedup.exactDedup(kept, "doc_id", Seq("text"))
       val hv = graft.functions.MixedHash64(col("doc_id").cast("string"))
       val w = Window.partitionBy("source").orderBy(hv, col("doc_id"))

@@ -42,7 +42,8 @@ class PipelineSpec extends SparkSpec {
 
     val cfg = CurationPipeline.Config(
       s"$root/work", java.sql.Date.valueOf("2026-01-01"),
-      maxIndexFiles = 2L) // fire the Q33 compaction trigger on every append
+      maxIndexFiles = 2L, // fire the Q33 compaction trigger on every append
+      decontamEval = Some(docs.filter(col("doc_id") % 10 === 7))) // in09's eval split
     val reg = new DatasetRegistry(spark, cfg.registryPath)
     val results = new java.util.concurrent.ConcurrentLinkedQueue[CurationPipeline.DeliveryResult]
 
@@ -126,7 +127,8 @@ class PipelineSpec extends SparkSpec {
     stage(0, "d1_shard0"); stage(1, "d2_shard1")
     stage(2, "d3_shard2"); stage(0, "d4_shard0_again")
 
-    val cfg = CurationPipeline.Config(s"$root/work", crashDate)
+    val cfg = CurationPipeline.Config(s"$root/work", crashDate,
+      decontamEval = Some(docs.filter(col("doc_id") % 10 === 7))) // in09's eval split
     val reg = new DatasetRegistry(spark, cfg.registryPath)
     val results = new java.util.concurrent.ConcurrentLinkedQueue[CurationPipeline.DeliveryResult]
     val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
