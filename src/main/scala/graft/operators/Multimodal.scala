@@ -10,12 +10,20 @@ import org.apache.spark.sql.types._
   * decoder instance amortizes over a whole batch of rows (the same
   * batch shape `mapInPandas`/Arrow gives Python pipelines).
   *
-  * The actual codec is STUBBED — this container has no image/audio
-  * libraries — behind [[MediaDecoder]]; [[StubDecoder]] produces
-  * deterministic fake features from the bytes. The Spark-side
-  * contract (schema, partitioning, batch iteration, frame explode) is
-  * real and tested; swapping in a JNI/ffmpeg decoder is a one-class
-  * change.
+  * Two codecs behind the [[MediaDecoder]] seam:
+  *   - [[ImageIODecoder]] — a REAL JDK-only image decoder
+  *     (`javax.imageio`: PNG, JPEG, GIF, BMP): mime sniffed from magic
+  *     bytes, dimensions and frame count from the decoded stream,
+  *     checksum folded over the decoded ARGB pixels, and a 63-bit
+  *     average-hash over a 9×7 luma grid ([[pixelAHash63]]) that feeds
+  *     the same banded near-dup join as the byte-level pHash;
+  *   - [[StubDecoder]] — deterministic fake features from the raw
+  *     bytes, kept as the ORACLE-REPLAYABLE path (DuckDB can replay a
+  *     byte fold; it cannot replay an IDCT): mm02's row pins the
+  *     partition-wise plumbing bit-for-bit through the stub while
+  *     MultimodalSpec drives the real decoder over real PNG/JPEG/BMP
+  *     bytes.
+  * Audio/video stay stubbed — those codecs are not in the JDK.
   */
 object Multimodal {
 
@@ -58,6 +66,127 @@ object Multimodal {
         n_frames = 1 + math.floorMod(h >>> 20, 64).toInt,
         checksum = h
       )
+    }
+  }
+
+  /** Magic-byte mime sniff for the JDK-decodable image formats. */
+  private[operators] def sniffImageMime(b: Array[Byte]): Option[String] =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some("image/png")
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff)
+      Some("image/jpeg")
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      Some("image/gif")
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+      Some("image/bmp")
+    else None
+
+  private def byteFnv(bytes: Array[Byte]): Long = {
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < bytes.length) { h = h * 1000003L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Real JDK-only image decode (`javax.imageio`): PNG/JPEG/GIF/BMP.
+    * Dimensions come from the decoded first frame, `n_frames` from the
+    * reader's image count (animated GIFs > 1), and the checksum folds
+    * the decoded ARGB pixels (so two byte-distinct encodings of the
+    * same pixels collide — the property the dedup family wants from a
+    * decode-level fingerprint). Bytes that fail the sniff or the
+    * decode degrade to `application/octet-stream` with zero dimensions
+    * and the byte-fold checksum — a curation pipeline quarantines
+    * them, it does not crash. One decoder instance per partition
+    * ([[decodeFeatures]]); `ImageIO` file caching is disabled so
+    * decode never touches executor-local disk.
+    */
+  final class ImageIODecoder extends MediaDecoder {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+      val mime = sniffImageMime(bytes)
+      val img = mime.flatMap(_ => ImageIODecoder.readImage(bytes))
+      (mime, img) match {
+        case (Some(m), Some((bi, nFrames))) =>
+          MediaFeatures(id, m, bytes.length.toLong,
+            bi.getWidth, bi.getHeight, nFrames, ImageIODecoder.pixelFnv(bi))
+        case _ =>
+          MediaFeatures(id, "application/octet-stream", bytes.length.toLong,
+            0, 0, 0, byteFnv(bytes))
+      }
+    }
+  }
+
+  object ImageIODecoder {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Decode the first frame + count frames; None when undecodable. */
+    private[operators] def readImage(
+        bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, Int)] = {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val img = r.read(0)
+          val n =
+            try math.max(1, r.getNumImages(true))
+            catch { case _: Exception => 1 }
+          Some((img, n))
+        } finally r.dispose()
+      } catch {
+        case _: Exception => None
+      } finally in.close()
+    }
+
+    /** FNV-style fold over the decoded ARGB raster, row-major. */
+    private[operators] def pixelFnv(bi: java.awt.image.BufferedImage): Long = {
+      var h = 1469598103934665603L
+      var y = 0
+      while (y < bi.getHeight) {
+        var x = 0
+        while (x < bi.getWidth) {
+          h = h * 1000003L + (bi.getRGB(x, y) & 0xffffffffL)
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+
+    /** 63-bit average-hash over REAL PIXELS: a 9×7 grid of luma
+      * samples (integer BT.601 weights), bit j set iff
+      * `luma_j × 63 > Σ luma` — the same above-mean rule as the
+      * byte-level [[graft.functions.Sketches.PHash63Expr]], so the
+      * downstream banded join is shared verbatim. Near-identical
+      * images (re-encode, small noise) agree on most grid bits;
+      * unrelated images do not.
+      */
+    private[operators] def pixelAHash63(bi: java.awt.image.BufferedImage): Long = {
+      val w = bi.getWidth
+      val h = bi.getHeight
+      val luma = new Array[Long](63)
+      var sum = 0L
+      var j = 0
+      while (j < 63) {
+        val x = if (w == 1) 0 else ((j % 9) * (w - 1)) / 8
+        val y = if (h == 1) 0 else ((j / 9) * (h - 1)) / 6
+        val rgb = bi.getRGB(x, y)
+        val l = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)) / 1000L
+        luma(j) = l
+        sum += l
+        j += 1
+      }
+      var code = 0L
+      j = 0
+      while (j < 63) {
+        if (luma(j) * 63 > sum) code |= (1L << j)
+        j += 1
+      }
+      code
     }
   }
 
@@ -121,10 +250,41 @@ object Multimodal {
       idCol: String,
       payloadCol: String,
       maxHamming: Int = 12
-  ): DataFrame = {
-    val sk = df
-      .select(col(idCol).as("id"),
-        graft.functions.Sketches.pHash63Col(col(payloadCol)).as("h"))
+  ): DataFrame =
+    phashPairsFromHashes(
+      df.select(col(idCol).as("id"),
+        graft.functions.Sketches.pHash63Col(col(payloadCol)).as("h")),
+      maxHamming)
+
+  /** Perceptual near-dup over REAL DECODED PIXELS: partition-wise
+    * [[ImageIODecoder]] decode → [[ImageIODecoder.pixelAHash63]] luma
+    * grid hash → the same Manku banded join as [[phashPairs]].
+    * Undecodable payloads drop out (they have no pixels to compare;
+    * [[decodeFeatures]] is where they surface for quarantine). Byte-
+    * identical copies, re-encodes and lightly-noised variants collide;
+    * the shuffle carries one long per image, never pixels or payloads.
+    */
+  def imagePhashPairs(media: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          sniffImageMime(bytes).flatMap(_ => ImageIODecoder.readImage(bytes))
+            .map { case (bi, _) => (id, ImageIODecoder.pixelAHash63(bi)) }
+        }
+      }
+      .toDF("id", "h")
+    phashPairsFromHashes(hashes, maxHamming)
+  }
+
+  /** The shared banded-join tail: candidates collide on one of four
+    * 16-bit bands of a 63-bit hash, verified by exact hamming.
+    */
+  private def phashPairsFromHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val sk = hashes
       .localCheckpoint() // consumed by the band explode AND both verify lookups
     val banded = sk.select(
       col("id"),
