@@ -57,6 +57,7 @@ SUBSET = [
     "ss26_ivf_sq8",            # IVF probes x SQ8 compressed scan
     "ss27_binary_quant",       # 1-bit Hamming scan + exact rerank
     "dd20_lsh_decontam",       # MinHash fuzzy eval-decontam (broadcast eval)
+    "dd21_sorted_neighborhood",  # O(N*w) sorted-neighborhood candidates
     "dd01_minhash_lsh",      # MinHash band join (linear dedup path)
     "dd12_span_dedup",       # exploded window spans (shuffle-volume heavy)
     "dd18_cdc_chunks",       # content-defined chunking
