@@ -29,7 +29,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val TimeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "180").toLong
-  private val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+  // default 3 measured runs (was 5): the r10 driver bench timed out
+  // (rc=124) on a degraded host mid-sf1 — a complete 3-run artifact
+  // beats a truncated 5-run one, and the medians-of-3 sit inside the
+  // host's own ±15-30% jitter band anyway. Campaigns that want more
+  // runs set SPARK_GRAFT_BENCH_RUNS explicitly.
+  private val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
 
   /** Median of the valid (≥0) times; -1 if every run failed. */
   private def median(xs: Seq[Double]): Double = {
@@ -225,7 +230,7 @@ object Bench {
       if (sfDir.contains("sf0.1")) "1" else "0") != "0"
     val (sf1Section, sf1Total) = if (!sf1Enabled) ("", None) else {
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/.tmp/sf1")
-      val sf1Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_SF1", "3").toInt
+      val sf1Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_SF1", "2").toInt
       val genSec =
         if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) 0.0
         else {
