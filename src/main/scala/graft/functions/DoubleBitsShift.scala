@@ -59,8 +59,15 @@ object DoubleBitsShift {
       },
       "built-in")
 
-  def apply(v: Column, shift: Int): Column = {
-    register(SparkSession.active)
+  /** Column builder. Registration happens on the session that will
+    * ANALYZE the column, passed by the caller — `SparkSession.active`
+    * is the wrong session inside `foreachBatch` (micro-batches analyze
+    * in a CLONED session whose registry doesn't see the parent's temp
+    * functions; the same cross-session class of bug fixed in
+    * [[graft.operators.Dedup.lshDecontam]]).
+    */
+  def apply(spark: SparkSession, v: Column, shift: Int): Column = {
+    register(spark)
     call_function(name, v, lit(shift))
   }
 }

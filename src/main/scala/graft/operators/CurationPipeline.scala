@@ -108,11 +108,21 @@ object CurationPipeline {
     // composed outcome replays deterministically whatever the delivery
     // interleaving
     var nContaminated = 0L
+    var flaggedBlocks: Option[DataFrame] = None
     val kept = cfg.decontamEval match {
       case Some(ev) =>
+        // materialize the flagged set ONCE: without the checkpoint the
+        // band join/estimate ran twice per delivery — count() once,
+        // then again from scratch under the left_anti (only the
+        // localCheckpointed sigs inside lshDecontam were reused). The
+        // flagged frame is contaminated ids only (small by contract —
+        // it is broadcast below), so the block round-trip is cheap;
+        // blocks are released after the ingest consumes the anti-join.
         val flagged = Dedup.lshDecontam(
           kept0, ev, "doc_id", "text", threshold = cfg.decontamThreshold)
           .select("doc_id")
+          .localCheckpoint()
+        flaggedBlocks = Some(flagged)
         nContaminated = flagged.count()
         kept0.join(broadcast(flagged), Seq("doc_id"), "left_anti")
       case None => kept0
@@ -134,6 +144,7 @@ object CurationPipeline {
     // the composition (they inform review queues downstream; exact
     // re-deliveries are already gone via the fingerprint anti-join)
     val nNear = ing.nearDups.count()
+    flaggedBlocks.foreach(Checkpoints.dropBlocks)
     if (nFresh == 0) registry.setStatus(id, DatasetStatus.Empty)
     DeliveryResult(label, id, nFresh, nNear, ing.compacted, nContaminated)
   }

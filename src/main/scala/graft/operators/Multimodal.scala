@@ -23,7 +23,22 @@ import org.apache.spark.sql.types._
   *     partition-wise plumbing bit-for-bit through the stub while
   *     MultimodalSpec drives the real decoder over real PNG/JPEG/BMP
   *     bytes.
-  * Audio/video stay stubbed — those codecs are not in the JDK.
+  *
+  * The real decoders ARE oracle-gated despite DuckDB having no codecs
+  * (mm06/mm07): [[MediaFixtures]] builds payloads by running the REAL
+  * JDK encoders (ImageIO PNG/BMP writers, `javax.sound.sampled`'s WAV
+  * writer) over rasters/PCM whose content is an arithmetic function of
+  * the id. Both container formats are LOSSLESS, so the decoded pixels/
+  * samples equal the synthesized ones and the oracle recomputes every
+  * decoded fact (dimensions, pixel-fold checksum, luma aHash, sample
+  * checksum, energy hash) from first principles — while the engine
+  * side exercises the full encode → container bytes → real decode
+  * path on executors.
+  *
+  * Audio gets the same treatment as images via [[WavDecoder]]
+  * (`javax.sound.sampled` ships WAV/PCM parsing in the JDK — an
+  * earlier note here claiming otherwise was wrong); video containers
+  * are the one family still stubbed (no JDK demuxer).
   */
 object Multimodal {
 
@@ -187,6 +202,219 @@ object Multimodal {
         j += 1
       }
       code
+    }
+  }
+
+  /** Per-image decoded facts: the real-decoder output surface mm06
+    * oracle-checks (byte length is deliberately ABSENT — encoded size
+    * is a property of the encoder, not of the decode; mm02 pins the
+    * byte-level plumbing).
+    */
+  final case class ImageFacts(
+      media_id: Long,
+      mime: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      pixel_checksum: Long,
+      ahash: Long
+  )
+
+  /** Partition-wise REAL image decode ([[ImageIODecoder]] mechanics)
+    * emitting the full decoded-fact row including the luma-grid
+    * [[ImageIODecoder.pixelAHash63]]. Undecodable payloads degrade to
+    * `application/octet-stream` with zero dims and the byte-fold
+    * checksum (quarantine, not crash) — same contract as
+    * [[decodeFeatures]].
+    */
+  def decodeImageFacts(media: DataFrame): Dataset[ImageFacts] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          sniffImageMime(bytes)
+            .flatMap(m => ImageIODecoder.readImage(bytes).map((m, _))) match {
+            case Some((m, (bi, nFrames))) =>
+              ImageFacts(id, m, bi.getWidth, bi.getHeight, nFrames,
+                ImageIODecoder.pixelFnv(bi), ImageIODecoder.pixelAHash63(bi))
+            case None =>
+              ImageFacts(id, "application/octet-stream", 0, 0, 0, byteFnv(bytes), 0L)
+          }
+        }
+      }
+  }
+
+  /** Per-clip decoded audio facts (mm07's surface): container-level
+    * format fields plus two content fingerprints — the PCM-sample fold
+    * (re-encodes of the same samples collide) and a 63-bit
+    * energy-envelope hash feeding the same banded near-dup join as the
+    * image/text hashes.
+    */
+  final case class AudioFacts(
+      media_id: Long,
+      mime: String,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Long,
+      duration_ms: Long,
+      pcm_checksum: Long,
+      energy_hash: Long
+  )
+
+  /** Magic-byte sniff for RIFF/WAVE containers. */
+  private[operators] def sniffWavMime(b: Array[Byte]): Option[String] =
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+      Some("audio/wav")
+    else None
+
+  /** REAL JDK-only audio decode (`javax.sound.sampled`): WAV/PCM.
+    * Format fields come from the parsed header, the checksum folds the
+    * decoded 16-bit samples (little-endian signed, masked to their
+    * unsigned bit pattern — so a WAV re-write of the same PCM
+    * collides), and the energy hash applies the shared above-mean rule
+    * to 63 absolute-amplitude grid samples. Non-WAV or non-PCM16
+    * payloads quarantine as `application/octet-stream`.
+    */
+  object WavDecoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): AudioFacts = {
+      val parsed = sniffWavMime(bytes).flatMap { _ =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+            else {
+              val data = in.readAllBytes()
+              val ch = fmt.getChannels
+              val n = data.length / (2 * ch)
+              var h = 1469598103934665603L
+              val amps = new Array[Long](63)
+              var ampSum = 0L
+              var i = 0
+              while (i < n * ch) {
+                val lo = data(2 * i) & 0xff
+                val hi = data(2 * i + 1).toInt // sign-extends
+                val s = (hi << 8) | lo
+                h = h * 1000003L + (s & 0xffffL)
+                i += 1
+              }
+              var j = 0
+              while (j < 63) {
+                // channel-0 grid samples (frame-major layout)
+                val fi = if (n <= 1) 0 else ((j.toLong * (n - 1)) / 62).toInt
+                val lo = data(2 * fi * ch) & 0xff
+                val hi = data(2 * fi * ch + 1).toInt
+                val s = (hi << 8) | lo
+                amps(j) = math.abs(s.toLong)
+                ampSum += amps(j)
+                j += 1
+              }
+              var code = 0L
+              j = 0
+              while (j < 63) {
+                if (amps(j) * 63 > ampSum) code |= (1L << j)
+                j += 1
+              }
+              val rate = math.round(fmt.getSampleRate.toDouble).toInt
+              Some(AudioFacts(id, "audio/wav", rate, ch, 16, n.toLong,
+                n.toLong * 1000L / rate, h, code))
+            }
+          } finally in.close()
+        } catch { case _: Exception => None }
+      }
+      parsed.getOrElse(
+        AudioFacts(id, "application/octet-stream", 0, 0, 0, 0L, 0L, byteFnv(bytes), 0L))
+    }
+  }
+
+  /** Partition-wise real WAV decode → [[AudioFacts]] rows. */
+  def decodeAudioFacts(media: DataFrame): Dataset[AudioFacts] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) => WavDecoder.decode(id, bytes) })
+  }
+
+  /** Deterministic REAL-codec fixture payloads: content is an
+    * arithmetic function of the id, the container bytes come from the
+    * actual JDK encoders. Because PNG/BMP/WAV are lossless, a decode
+    * of these payloads must reproduce the arithmetic content exactly —
+    * which is what lets mm06/mm07 oracle-check the real decoders
+    * against a DuckDB side that recomputes the same content without
+    * any codec.
+    */
+  object MediaFixtures {
+    def imgW(id: Long): Int = 9 + math.floorMod(id, 8).toInt  // 9..16
+    def imgH(id: Long): Int = 7 + math.floorMod(id, 5).toInt  // 7..11
+
+    /** Opaque-RGB channel values at (x, y): small-integer arithmetic a
+      * SQL oracle replays verbatim.
+      */
+    def rgb(id: Long, x: Int, y: Int): Int = {
+      val r = math.floorMod(id * 7 + 13L * x + 31L * y, 256).toInt
+      val g = math.floorMod(id * 11 + 17L * x + 5L * y, 256).toInt
+      val b = math.floorMod(id * 3 + 29L * x + 23L * y, 256).toInt
+      (0xff << 24) | (r << 16) | (g << 8) | b
+    }
+
+    /** Real container bytes: even ids encode PNG, odd ids BMP — both
+      * JDK writers, both lossless for opaque 24-bit RGB.
+      */
+    def imageBytes(id: Long): Array[Byte] = {
+      val w = imgW(id); val h = imgH(id)
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { bi.setRGB(x, y, rgb(id, x, y)); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val fmt = if (id % 2 == 0) "png" else "bmp"
+      require(javax.imageio.ImageIO.write(bi, fmt, out), s"no JDK $fmt writer")
+      out.toByteArray
+    }
+
+    def wavRate(id: Long): Int = math.floorMod(id, 3) match {
+      case 0 => 8000
+      case 1 => 16000
+      case _ => 44100
+    }
+    def wavFrames(id: Long): Int = 120 + math.floorMod(id, 257).toInt // 120..376
+
+    /** Signed 16-bit PCM sample i of clip `id`. */
+    def pcmSample(id: Long, i: Int): Int =
+      math.floorMod(id * 31 + 7919L * i + 12345L, 65536).toInt - 32768
+
+    /** Real RIFF/WAVE bytes via the JDK writer: mono PCM16 LE. */
+    def wavBytes(id: Long): Array[Byte] = {
+      val n = wavFrames(id)
+      val data = new Array[Byte](2 * n)
+      var i = 0
+      while (i < n) {
+        val s = pcmSample(id, i)
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        wavRate(id).toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
     }
   }
 

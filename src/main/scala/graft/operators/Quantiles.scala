@@ -425,6 +425,25 @@ object Quantiles {
     madCore(df, groupCol, valueCol, Some(k), mantissaBits, maxGroups, maxCells, collectBudget)
   }
 
+  /** True iff `t` (or any cause in its chain) is the driver
+    * result-size abort. Matched three ways so a Spark release that
+    * rewords the TaskSetManager message or starts attaching an error
+    * condition still routes a cell blow-up to the exact fallback
+    * instead of failing the job: the config-key fragment, the abort
+    * message prefix, and any SparkThrowable condition naming
+    * RESULT_SIZE.
+    */
+  private def isResultSizeBlowUp(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).exists { e =>
+      val m = Option(e.getMessage).getOrElse("")
+      val cond = e match {
+        case st: org.apache.spark.SparkThrowable => Option(st.getCondition).getOrElse("")
+        case _ => ""
+      }
+      m.contains("maxResultSize") || m.contains("Total size of serialized results") ||
+        cond.contains("RESULT_SIZE")
+    }
+
   private def madCore(
       df: DataFrame,
       groupCol: String,
@@ -475,7 +494,10 @@ object Quantiles {
       }
     }
     val shift = 52 - mantissaBits
-    val keyed = base.withColumn("k", graft.functions.DoubleBitsShift(col("v"), shift))
+    // register the histogram-key kernel on THIS frame's session: inside
+    // foreachBatch the micro-batch analyzes in a cloned session where a
+    // SparkSession.active registration would be invisible
+    val keyed = base.withColumn("k", graft.functions.DoubleBitsShift(spark, col("v"), shift))
     // scan 1: ONE map-side-combining hash aggregation inside
     // whole-stage codegen — the stats and the histogram in the same
     // pass. A plain collect, NOT limit(maxCells): CollectLimitExec
@@ -489,8 +511,7 @@ object Quantiles {
           .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
           .collect()
       catch {
-        case e: org.apache.spark.SparkException
-            if e.getMessage != null && e.getMessage.contains("maxResultSize") =>
+        case e: org.apache.spark.SparkException if isResultSizeBlowUp(e) =>
           return fallback()
       }
     if (cells0.length > maxCells) return fallback()

@@ -1792,6 +1792,115 @@ object TrainingData {
     }
   )
 
+  /** REAL image decode, oracle-gated (the r11 VERDICT's mm06): the
+    * engine synthesizes per-doc payloads with the REAL JDK encoders
+    * ([[Multimodal.MediaFixtures.imageBytes]] — even ids PNG, odd ids
+    * BMP, pixels an arithmetic function of doc_id), then runs the REAL
+    * `javax.imageio` decode ([[Multimodal.decodeImageFacts]]: magic
+    * sniff, dimension extraction, ARGB pixel-fold checksum, 9×7
+    * luma-grid aHash). PNG and BMP are lossless for opaque 24-bit RGB,
+    * so the decoded raster equals the synthesized one and DuckDB
+    * recomputes every decoded fact from the same arithmetic — no codec
+    * needed on the oracle side, yet a wrong IDCT-path, channel order,
+    * row order, or luma weight on the engine side breaks the hash
+    * compare. Encoded byte length is intentionally not an output
+    * column (it is an encoder property, not a decode fact).
+    */
+  val mm06RealImageDecode = Query(
+    "mm06_real_image_decode",
+    Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(9 + doc_id % 8 AS INT) AS w, CAST(7 + doc_id % 5 AS INT) AS h
+         |  FROM documents),
+         |px AS (
+         |  SELECT doc_id, w, h,
+         |    list_transform(range(0, CAST(w AS BIGINT) * h), i ->
+         |      CAST(4278190080 +
+         |        ((doc_id * 7  + 13 * (i % w) + 31 * (i // w)) % 256) * 65536 +
+         |        ((doc_id * 11 + 17 * (i % w) + 5  * (i // w)) % 256) * 256 +
+         |        ((doc_id * 3  + 29 * (i % w) + 23 * (i // w)) % 256) AS HUGEINT)) AS argb
+         |  FROM d),
+         |lum AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 63), j ->
+         |      (299 * ((doc_id * 7  + 13 * (((j % 9) * (w - 1)) // 8) + 31 * (((j // 9) * (h - 1)) // 6)) % 256) +
+         |       587 * ((doc_id * 11 + 17 * (((j % 9) * (w - 1)) // 8) + 5  * (((j // 9) * (h - 1)) // 6)) % 256) +
+         |       114 * ((doc_id * 3  + 29 * (((j % 9) * (w - 1)) // 8) + 23 * (((j // 9) * (h - 1)) // 6)) % 256)) // 1000) AS l
+         |  FROM d)
+         |SELECT px.doc_id AS media_id,
+         |  CASE WHEN px.doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS mime,
+         |  w AS width, h AS height, 1 AS n_frames,
+         |  ${toSignedSql(
+        """list_reduce(list_prepend(1469598103934665603::HUGEINT, argb),
+          |    (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT)""".stripMargin)} AS pixel_checksum,
+         |  CAST(list_sum(list_transform(range(0, 63), j ->
+         |    CASE WHEN l[CAST(j AS INT) + 1] * 63 > list_sum(l)
+         |         THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END)) AS BIGINT) AS ahash
+         |FROM px JOIN lum ON px.doc_id = lum.doc_id
+         |ORDER BY media_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      import spark.implicits._
+      val media = t.documents
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.MediaFixtures.imageBytes(id))))
+        .toDF("media_id", "payload")
+      Multimodal.decodeImageFacts(media).toDF().orderBy("media_id")
+    }
+  )
+
+  /** REAL audio decode, oracle-gated (the r11 VERDICT's mm07 — the
+    * JDK DOES ship WAV/PCM parsing in `javax.sound.sampled`): payloads
+    * are real RIFF/WAVE containers written by the JDK encoder over
+    * arithmetic mono PCM16 ([[Multimodal.MediaFixtures.wavBytes]]:
+    * rate ∈ {8000, 16000, 44100} by id, 120–376 frames, samples a
+    * linear-congruential function of (id, i)), decoded by the REAL
+    * parser ([[Multimodal.WavDecoder]]: header fields, sample-fold
+    * checksum over the decoded little-endian PCM, 63-point
+    * absolute-amplitude energy hash under the shared above-mean rule).
+    * WAV is lossless, so the oracle recomputes all of it from the
+    * arithmetic; a wrong endianness, header parse, or channel stride
+    * on the engine side breaks the compare.
+    */
+  val mm07RealAudioDecode = Query(
+    "mm07_real_audio_decode",
+    Some(
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+         |    CAST(120 + doc_id % 257 AS BIGINT) AS n
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, rate, n,
+         |    list_transform(range(0, n), i ->
+         |      (doc_id * 31 + 7919 * i + 12345) % 65536) AS u
+         |  FROM d)
+         |SELECT doc_id AS media_id, 'audio/wav' AS mime,
+         |  CAST(rate AS INT) AS sample_rate, 1 AS channels, 16 AS bits,
+         |  n AS n_samples, n * 1000 // rate AS duration_ms,
+         |  ${toSignedSql(
+        """list_reduce(list_prepend(1469598103934665603::HUGEINT,
+          |      list_transform(u, v -> CAST((v + 32768) % 65536 AS HUGEINT))),
+          |    (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT)""".stripMargin)} AS pcm_checksum,
+         |  CAST(list_sum(list_transform(range(0, 63), j ->
+         |    CASE WHEN abs(u[CAST((j * (n - 1)) // 62 AS INT) + 1] - 32768) * 63 >
+         |              list_sum(list_transform(range(0, 63), k ->
+         |                abs(u[CAST((k * (n - 1)) // 62 AS INT) + 1] - 32768)))
+         |         THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END)) AS BIGINT) AS energy_hash
+         |FROM s ORDER BY media_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      import spark.implicits._
+      val media = t.documents
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.MediaFixtures.wavBytes(id))))
+        .toDF("media_id", "payload")
+      Multimodal.decodeAudioFacts(media).toDF().orderBy("media_id")
+    }
+  )
+
   /** T5-style span corruption (Raffel et al. 2020) — the pretraining
     * target builder: tokens are grouped into 3-token blocks, a block
     * is masked iff the mixed hash of (doc, block) ≡ 0 mod 7 (~14%
@@ -5468,6 +5577,7 @@ object TrainingData {
     ss19CappedMultiprobe, td55QualityClassifier, td56ClassifierSample,
     ss20CappedRecall, ss21CappedTriangles, ss22CappedLinkpred,
     ss23CappedLabelprop, ss24NnDescent, ss25Sq8Rerank, ss26IvfSq8,
-    ss27BinaryQuant, dd20LshDecontam, dd21SortedNeighborhood
+    ss27BinaryQuant, dd20LshDecontam, dd21SortedNeighborhood,
+    mm06RealImageDecode, mm07RealAudioDecode
   )
 }

@@ -101,6 +101,70 @@ class MultimodalSpec extends SparkSpec {
     assert(repart == pairs, "hashes are per-row pure -> pairs partition-invariant")
   }
 
+  test("decodeImageFacts round-trips MediaFixtures content exactly (PNG and BMP)") {
+    import graft.operators.Multimodal.MediaFixtures
+    val ids = Seq(0L, 1L, 2L, 7L, 40L) // both parities -> both codecs
+    val media = ids.map(id => (id, MediaFixtures.imageBytes(id)))
+      .toDF("media_id", "payload")
+    val facts = Multimodal.decodeImageFacts(media)
+      .collect().map(f => f.media_id -> f).toMap
+    ids.foreach { id =>
+      val f = facts(id)
+      assert(f.mime == (if (id % 2 == 0) "image/png" else "image/bmp"))
+      assert(f.width == MediaFixtures.imgW(id) && f.height == MediaFixtures.imgH(id))
+      assert(f.n_frames == 1)
+      // lossless codecs: decoded pixels == synthesized pixels, so the
+      // fold recomputed here locally must equal the decoder's
+      var h = 1469598103934665603L
+      for (y <- 0 until f.height; x <- 0 until f.width)
+        h = h * 1000003L + (MediaFixtures.rgb(id, x, y) & 0xffffffffL)
+      assert(f.pixel_checksum == h, s"pixel fold mismatch for id=$id")
+    }
+    // junk quarantines instead of crashing
+    val junk = Seq((9L, Array.tabulate[Byte](20)(i => (i * 7).toByte)))
+      .toDF("media_id", "payload")
+    val q = Multimodal.decodeImageFacts(junk).collect().head
+    assert(q.mime == "application/octet-stream" && q.width == 0 && q.ahash == 0L)
+  }
+
+  test("WavDecoder parses real JDK-written WAV bytes exactly") {
+    import graft.operators.Multimodal.{MediaFixtures, WavDecoder}
+    val ids = Seq(0L, 1L, 2L, 5L, 301L) // all three sample rates
+    ids.foreach { id =>
+      val f = WavDecoder.decode(id, MediaFixtures.wavBytes(id))
+      assert(f.mime == "audio/wav" && f.channels == 1 && f.bits == 16)
+      assert(f.sample_rate == MediaFixtures.wavRate(id))
+      assert(f.n_samples == MediaFixtures.wavFrames(id).toLong)
+      assert(f.duration_ms == f.n_samples * 1000L / f.sample_rate)
+      // WAV is lossless: recompute the sample fold from the arithmetic
+      var h = 1469598103934665603L
+      (0 until MediaFixtures.wavFrames(id)).foreach { i =>
+        h = h * 1000003L + (MediaFixtures.pcmSample(id, i) & 0xffffL)
+      }
+      assert(f.pcm_checksum == h, s"pcm fold mismatch for id=$id")
+    }
+    // identical PCM written into a fresh container collides on the
+    // content checksum (the dedup property the fingerprint exists for)
+    val a = WavDecoder.decode(3L, MediaFixtures.wavBytes(3L))
+    val b = WavDecoder.decode(99L, MediaFixtures.wavBytes(3L))
+    assert(a.pcm_checksum == b.pcm_checksum && a.energy_hash == b.energy_hash)
+    // junk and truncated containers quarantine
+    val junk = WavDecoder.decode(9L, Array.tabulate[Byte](30)(i => (i * 3).toByte))
+    assert(junk.mime == "application/octet-stream" && junk.n_samples == 0L)
+    val truncated = MediaFixtures.wavBytes(4L).take(10)
+    assert(WavDecoder.decode(4L, truncated).mime == "application/octet-stream")
+  }
+
+  test("decodeAudioFacts is partition-invariant") {
+    import graft.operators.Multimodal.MediaFixtures
+    val media = (0L until 12L).map(id => (id, MediaFixtures.wavBytes(id)))
+      .toDF("media_id", "payload")
+    val a = Multimodal.decodeAudioFacts(media).collect().sortBy(_.media_id).toSeq
+    val b = Multimodal.decodeAudioFacts(media.repartition(7))
+      .collect().sortBy(_.media_id).toSeq
+    assert(a == b)
+  }
+
   test("mm02 stub path is unchanged by the real decoder's existence") {
     // the oracle-replayable row keeps the stub contract: byte-derived
     // features, bit-stable under partitioning

@@ -135,6 +135,15 @@ def ensure_notch(src, dst, factor):
 SPILL_HEAVY = []
 
 
+def read_canary():
+    """Latest tools/bench_canary.py stamp, or None — every artifact
+    header carries the host-health verdict it was generated under."""
+    try:
+        return json.load(open("/root/repo/.tmp/canary_last.json"))
+    except Exception:
+        return None
+
+
 def run_bench(sf_dir, runs, timeout_s):
     def one(only, tag):
         env = dict(os.environ,
@@ -142,12 +151,15 @@ def run_bench(sf_dir, runs, timeout_s):
                    SPARK_GRAFT_BENCH_RUNS=str(runs),
                    SPARK_GRAFT_ONLY=",".join(only),
                    SPARK_GRAFT_QUERY_TIMEOUT=str(timeout_s),
+                   # campaigns manage their own wall-clock; the global
+                   # deadline exists for the driver's bare invocation
+                   SPARK_GRAFT_BENCH_DEADLINE_SEC="100000",
                    SPARK_GRAFT_SF1="0")
         print(f"[bench] {sf_dir} {tag} ({runs} measured runs)", flush=True)
         r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                            cwd="/root/repo", env=env, capture_output=True, text=True)
         for line in reversed(r.stdout.splitlines()):
-            if '"metric"' in line:
+            if '"spread"' in line:
                 return json.loads(line)
         print(r.stdout[-3000:], r.stderr[-3000:])
         sys.exit(f"bench produced no JSON line for {sf_dir}")
@@ -177,15 +189,30 @@ def main():
     ap.add_argument("--timeout", type=int, default=420,
                     help="per-query bench timeout in seconds")
     ap.add_argument("--out", default="/root/repo/SCALING.md")
+    ap.add_argument("--agg", choices=["auto", "median", "min"], default="auto",
+                    help="per-query aggregate: auto = median on a healthy "
+                    "canary, min-of-runs on a degraded one (the NOTES "
+                    "measurement-discipline policy)")
     a = ap.parse_args()
 
     ensure_notch(a.src, a.sf1_dir, 10)
     ensure_notch(a.src, a.sf10_dir, 100)
 
+    canary = read_canary()
+    degraded = (canary or {}).get("status") != "healthy"
+    agg = a.agg if a.agg != "auto" else ("min" if degraded else "median")
+
     b1 = run_bench(a.sf1_dir, a.sf1_runs, a.timeout)
     b10 = run_bench(a.sf10_dir, a.sf10_runs, a.timeout)
-    q1, q10 = b1["queries"], b10["queries"]
     s1, s10 = b1.get("spread", {}), b10.get("spread", {})
+    if agg == "min":
+        # min-of-runs: on a host with one-sided I/O-latency jitter the
+        # minimum is the best available estimate of the un-stalled cost
+        # (jitter only ADDS time); medians stay readable in the spread
+        q1 = {k: v.get("min", -1.0) for k, v in s1.items()}
+        q10 = {k: v.get("min", -1.0) for k, v in s10.items()}
+    else:
+        q1, q10 = b1["queries"], b10["queries"]
 
     rows = []
     for q in SUBSET:
@@ -203,9 +230,22 @@ def main():
         f.write(f"- Notches: sf1 = 10x `{a.src}`, sf10 = 100x (GenData, "
                 f"deterministic word-permuted replication)  \n")
         f.write(f"- Generated: {time.strftime('%Y-%m-%d %H:%M:%S')} by "
-                f"`tools/bench_scaling.py` (medians of {a.sf1_runs}/"
+                f"`tools/bench_scaling.py` ({agg} of {a.sf1_runs}/"
                 f"{a.sf10_runs} measured runs at local[32], warmup "
                 f"excluded, checkpoint blocks dropped between runs)  \n")
+        if canary:
+            f.write(f"- **Host canary** (`tools/bench_canary.py`, {canary.get('ts')}): "
+                    f"x42 sf10 {canary.get('x42_sf10')} s (bar {canary.get('x42_max')}), "
+                    f"ss19 sf10 {canary.get('ss19_sf10')} s (bar {canary.get('ss19_max')}) "
+                    f"→ **{canary.get('status', '?').upper()}**"
+                    + (". Per the measurement-discipline policy (NOTES.md) this "
+                       "campaign records MIN-of-runs: the host's one-sided "
+                       "I/O-latency jitter only adds time, so the minimum is "
+                       "the closest available estimate of un-stalled cost; "
+                       "medians remain in the spread JSON below.  \n"
+                       if agg == "min" else ".  \n"))
+        else:
+            f.write("- Host canary: NOT RUN before this campaign (no stamp file).  \n")
         f.write(f"- **Subset totals: sf1 {tot1:.1f} s, sf10 {tot10:.1f} s "
                 f"over {len(ok)} queries — {le8}/{len(ok)} within the 8x "
                 f"local envelope at 10x the data.**  \n")
@@ -217,6 +257,14 @@ def main():
         for q, t1, t10, ratio in sorted(rows, key=lambda r: -(r[3] or -1)):
             rs = f"{ratio:.1f}x" if ratio is not None else "—"
             f.write(f"| {q} | {t1:.2f} | {t10:.2f} | {rs} |\n")
+        f.write("\nFootnote — **ss25_sq8_rerank's scaling posture** (by design, "
+                "not a defect): ss25 is a FLAT compressed-domain scan — every "
+                "query scores all N SQ8 codes — so its cost is linear in N and "
+                "its sf10/sf1 ratio is expected to read ~10x at 10x the data; "
+                "it is the linear-scan BASELINE of the compression ladder. The "
+                "scale path over a growing corpus is ss26 (IVF-SQ8: the probe "
+                "equi-join bounds the scanned codes to nprobe clusters) — the "
+                "ss01-vs-ss03 relationship, one tier down the ladder.\n")
         f.write("\n## Excluded from the sf10 campaign (measured grounds)\n\n")
         for ids, why in EXCLUSIONS:
             f.write(f"- **{ids}** — {why}.\n")

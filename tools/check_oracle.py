@@ -4,12 +4,69 @@ run graft.Verify at a given SF dir, then run each oracle SQL in DuckDB
 over the same parquet tables and compare results.
 
 Usage: python3 tools/check_oracle.py <sfDir> <outDir> [--skip-verify]
-           [--only name1,name2]
+           [--only name1,name2] [--no-cache]
+
+DuckDB results are CACHED keyed on (query name, SQL text hash, data
+fingerprint): a full-catalog re-sweep whose SQL and parquet inputs are
+unchanged re-pays only the engine side — dd05's 19-minute recursive-CC
+replay (SWEEP_SF1_r11.log) runs once per (SQL, data) combination, not
+once per sweep. Any SQL edit or data regeneration changes the key and
+re-runs that row. --no-cache disables both read and write.
 """
-import json, math, os, subprocess, sys, time
+import hashlib, json, math, os, pickle, subprocess, sys, time
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+CACHE_DIR = "/root/repo/.tmp/oracle_cache"
+
+
+def data_fingerprint(sf_dir):
+    """Hash of (relative path, size, mtime_ns) over every parquet file
+    of every table — regeneration or replacement changes the key."""
+    h = hashlib.sha256()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        files = []
+        if os.path.isdir(p):
+            for root, _, names in os.walk(p):
+                files += [os.path.join(root, n) for n in names]
+        elif os.path.exists(p):
+            files = [p]
+        for fp in sorted(files):
+            st = os.stat(fp)
+            h.update(f"{os.path.relpath(fp, sf_dir)}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:16]
+
+
+def cache_path(name, sql, data_fp):
+    key = hashlib.sha256(f"{hashlib.sha256(sql.encode()).hexdigest()}|{data_fp}".encode()).hexdigest()[:16]
+    return os.path.join(CACHE_DIR, f"{name}.{key}.pkl")
+
+
+def cache_load(name, sql, data_fp):
+    p = cache_path(name, sql, data_fp)
+    try:
+        with open(p, "rb") as f:
+            return pickle.load(f)
+    except Exception:
+        return None
+
+
+def cache_store(name, sql, data_fp, cols, rows):
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    p = cache_path(name, sql, data_fp)
+    # one entry per query name: stale (SQL, data) variants are dead keys
+    for old in os.listdir(CACHE_DIR):
+        if old.startswith(name + ".") and old.endswith(".pkl"):
+            try:
+                os.remove(os.path.join(CACHE_DIR, old))
+            except OSError:
+                pass
+    tmp = p + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump((cols, rows), f)
+    os.replace(tmp, p)
 
 
 def norm(v):
@@ -71,7 +128,9 @@ def main():
     if "--only" in sys.argv:
         keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
         oracle = {k: v for k, v in oracle.items() if k in keep}
-    n_pass = n_fail = 0
+    use_cache = "--no-cache" not in sys.argv
+    data_fp = data_fingerprint(sf_dir) if use_cache else None
+    n_pass = n_fail = n_hit = 0
     for name, sql in sorted(oracle.items()):
         res_dir = f"{out_dir}/{name}"
         t0 = time.time()
@@ -79,14 +138,18 @@ def main():
             print(f"FAIL {name}: no spark output", flush=True)
             n_fail += 1
             continue
+        cached = cache_load(name, sql, data_fp) if use_cache else None
         def evaluate(c):
             got = c.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
             gc = sorted(got.columns)
             gr = c.execute(
                 f"SELECT {', '.join(gc)} FROM '{res_dir}/*.parquet'").fetchall()
-            exp = c.sql(sql)
-            ec = sorted(exp.columns)
-            er = c.execute(f"SELECT {', '.join(ec)} FROM ({sql})").fetchall()
+            if cached is not None:
+                ec, er = cached
+            else:
+                exp = c.sql(sql)
+                ec = sorted(exp.columns)
+                er = c.execute(f"SELECT {', '.join(ec)} FROM ({sql})").fetchall()
             return gc, gr, ec, er
         try:
             try:
@@ -123,6 +186,10 @@ def main():
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
+        if use_cache and cached is None:
+            cache_store(name, sql, data_fp, exp_cols, exp_rows)
+        if cached is not None:
+            n_hit += 1
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
             n_fail += 1
@@ -130,7 +197,8 @@ def main():
         g = [tuple(norm(v) for v in r) for r in got_rows]
         e = [tuple(norm(v) for v in r) for r in exp_rows]
         if g == e:
-            print(f"PASS {name} ({len(g)} rows, {time.time()-t0:.1f}s)", flush=True)
+            hit = " [oracle cached]" if cached is not None else ""
+            print(f"PASS {name} ({len(g)} rows, {time.time()-t0:.1f}s){hit}", flush=True)
             n_pass += 1
         elif sorted(map(repr, g)) == sorted(map(repr, e)):
             print(f"WARN {name}: rows match only after sorting ({len(g)} rows)",
@@ -142,7 +210,8 @@ def main():
             diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
             for a, b in diff:
                 print(f"  spark:  {a}\n  oracle: {b}")
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    print(f"\n{n_pass} pass, {n_fail} fail"
+          + (f" ({n_hit} oracle-cache hits)" if use_cache else " (cache off)"))
     sys.exit(1 if n_fail else 0)
 
 
