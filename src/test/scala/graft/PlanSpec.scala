@@ -534,6 +534,105 @@ class PlanSpec extends SparkSpec {
       s"no per-dst array materialization may remain in the rank fold:\n$p")
   }
 
+  // ── lshDecontam broadcast contract (r11 VERDICT item 4) ───────────
+  // shared traversal: the eval side of BOTH hinted joins (band
+  // postings, signature re-fetch) must sit under a broadcast build —
+  // the corpus never shuffles for decontamination.
+  private def broadcastJoins(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    p match {
+      case a: AdaptiveSparkPlanExec => broadcastJoins(a.executedPlan)
+      case q: QueryStageExec => broadcastJoins(q.plan)
+      case b: BroadcastHashJoinExec =>
+        b +: (b.children ++ b.subqueries).flatMap(broadcastJoins)
+      case other => (other.children ++ other.subqueries).flatMap(broadcastJoins)
+    }
+  }
+  private def evalBuild(
+      b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec,
+      alsoWith: String): Boolean = {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val build = b.buildSide match { case BuildLeft => b.left; case BuildRight => b.right }
+    val names = build.output.map(_.name).toSet
+    names.contains("eval_id") && names.contains(alsoWith)
+  }
+  private def assertEvalBroadcast(plan: org.apache.spark.sql.execution.SparkPlan): Unit = {
+    val bhjs = broadcastJoins(plan)
+    assert(bhjs.exists(evalBuild(_, "band_key")),
+      s"band join must build on the broadcast EVAL postings:\n$plan")
+    assert(bhjs.exists(evalBuild(_, "sig_b")),
+      s"signature re-fetch must build on the broadcast EVAL sigs:\n$plan")
+  }
+  private def longDoc(seed: Int): String =
+    (0 until 30).map(i => s"tok${seed}x$i").mkString(" ") // doc-unique vocab: cross-doc Jaccard 0
+
+  test("lshDecontam broadcasts ONLY eval-derived frames, even across sessions") {
+    import graft.operators.Dedup
+    // the foreachBatch condition: the corpus frame analyzes in a
+    // DIFFERENT session than the eval suite came from
+    val s2 = spark.newSession()
+    val train = s2.createDataFrame(
+      (0L until 40L).map(i => (i, longDoc(i.toInt))))
+      .toDF("doc_id", "text")
+    val eval = Seq((1000L, longDoc(3)), (1001L, longDoc(7)))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.lshDecontam(train, eval, "doc_id", "text", threshold = 0.35)
+    // cross-session analysis must succeed (kernels registered on both)
+    val hit = flagged.collect().map(_.getLong(0)).sorted.toSeq
+    assert(hit == Seq(3L, 7L), s"self-leak rows must flag: $hit")
+    assertEvalBroadcast(flagged.queryExecution.executedPlan)
+  }
+
+  test("composed pipeline's decontam stage broadcasts the eval side INSIDE the foreachBatch clone") {
+    import graft.operators.CurationPipeline
+    // a QueryExecutionListener registered on the main session is
+    // inherited by the micro-batch's cloned session, so the decontam
+    // materialization that runs inside foreachBatch is observable
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.execution.SparkPlan]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-decontam-plan").toString
+      spark.createDataFrame((0L until 40L).map(i => (i, longDoc(i.toInt), "src")))
+        .toDF("doc_id", "text", "source")
+        .coalesce(1).write.mode("overwrite").json(s"$dir/landing")
+      val eval = Seq((1000L, longDoc(5))).toDF("doc_id", "text")
+      val cfg = CurationPipeline.Config(
+        s"$dir/work", java.sql.Date.valueOf("2026-01-01"),
+        thresholds = graft.operators.TextAnalysis.QualityThresholds(
+          minTokens = 1, maxTokens = 1000000,
+          maxRepetitionRatio = 1.0, maxPunctRatio = 1.0),
+        decontamEval = Some(eval))
+      val reg = new graft.registry.DatasetRegistry(spark, cfg.registryPath)
+      val src = spark.readStream
+        .schema("doc_id LONG, text STRING, source STRING")
+        .json(s"$dir/landing")
+      graft.streaming.StreamingIngest.runAvailableNow(
+        src, s"$dir/ckpt",
+        (df, id) => { CurationPipeline.processDelivery(df, s"b$id", reg, cfg); () })
+      spark.streams.resetTerminated()
+      // at least one execution captured from the cloned session must
+      // carry the decontam chain with both eval-side broadcast builds
+      import scala.jdk.CollectionConverters._
+      val withDecontam = plans.asScala.filter { p =>
+        val b = broadcastJoins(p)
+        b.exists(evalBuild(_, "band_key")) && b.exists(evalBuild(_, "sig_b"))
+      }
+      assert(withDecontam.nonEmpty,
+        s"no captured micro-batch execution shows the broadcast-eval decontam chain " +
+          s"(${plans.size()} executions captured)")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("media canonical dedup joins metadata by id — payload columns never shuffle") {
     val df = TrainingData.mm05MediaCanonical.build(spark, sf)
     df.collect() // finalize AQE
