@@ -46,6 +46,14 @@ ASYMMETRIC = {
         "Spark side runs the full E2E pipeline (landing zone, dedup "
         "index writes, registry commits, shard pack); DuckDB replays "
         "only the final counts",
+    "mm06_real_image_decode":
+        "Spark side runs REAL codecs (JDK PNG/BMP encode + javax.imageio "
+        "decode per payload); DuckDB recomputes the decoded facts from "
+        "the fixture arithmetic without any codec",
+    "mm07_real_audio_decode":
+        "Spark side runs REAL codecs (JDK WAV encode + javax.sound "
+        "parse per payload); DuckDB recomputes the decoded facts from "
+        "the fixture arithmetic without any codec",
 }
 
 

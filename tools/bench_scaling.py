@@ -58,6 +58,8 @@ SUBSET = [
     "ss27_binary_quant",       # 1-bit Hamming scan + exact rerank
     "dd20_lsh_decontam",       # MinHash fuzzy eval-decontam (broadcast eval)
     "dd21_sorted_neighborhood",  # O(N*w) sorted-neighborhood candidates
+    "mm06_real_image_decode",  # real ImageIO encode+decode, map-only
+    "mm07_real_audio_decode",  # real WAV encode+decode, map-only
     "dd01_minhash_lsh",      # MinHash band join (linear dedup path)
     "dd12_span_dedup",       # exploded window spans (shuffle-volume heavy)
     "dd18_cdc_chunks",       # content-defined chunking
