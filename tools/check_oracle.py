@@ -56,13 +56,17 @@ def cache_load(name, sql, data_fp):
 def cache_store(name, sql, data_fp, cols, rows):
     os.makedirs(CACHE_DIR, exist_ok=True)
     p = cache_path(name, sql, data_fp)
-    # one entry per query name: stale (SQL, data) variants are dead keys
-    for old in os.listdir(CACHE_DIR):
-        if old.startswith(name + ".") and old.endswith(".pkl"):
-            try:
-                os.remove(os.path.join(CACHE_DIR, old))
-            except OSError:
-                pass
+    # keep a few keys per query name (sf0.01 driver gate + sf1/sf10
+    # sweeps coexist without thrashing); evict oldest beyond that
+    siblings = sorted(
+        (os.path.join(CACHE_DIR, f) for f in os.listdir(CACHE_DIR)
+         if f.startswith(name + ".") and f.endswith(".pkl") and f != os.path.basename(p)),
+        key=os.path.getmtime)
+    for old in siblings[:max(0, len(siblings) - 3)]:
+        try:
+            os.remove(old)
+        except OSError:
+            pass
     tmp = p + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump((cols, rows), f)
