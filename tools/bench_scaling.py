@@ -259,6 +259,16 @@ def main():
         for q, t1, t10, ratio in sorted(rows, key=lambda r: -(r[3] or -1)):
             rs = f"{ratio:.1f}x" if ratio is not None else "—"
             f.write(f"| {q} | {t1:.2f} | {t10:.2f} | {rs} |\n")
+        f.write("\nFootnote — **mm07_real_audio_decode is map-only** (zero "
+                "shuffle at both notches, per the spread JSON): per-clip JDK "
+                "`AudioSystem` SPI dispatch is the whole cost, so the ratio is "
+                "a constant-factor reading, linear by construction; wide sf10 "
+                "run spread under a degraded canary moves it around 10x. "
+                "**ss19/dd01 above 8x** are the banded shuffle-write rows the "
+                "degraded host's virtio write-latency inflates 2-4x (healthy "
+                "campaigns read them 5.7x/3.2x — NOTES r10/r8); their "
+                "shuffle_mb counters are byte-identical across runs, so the "
+                "work is unchanged.\n")
         f.write("\nFootnote — **ss25_sq8_rerank's scaling posture** (by design, "
                 "not a defect): ss25 is a FLAT compressed-domain scan — every "
                 "query scores all N SQ8 codes — so its cost is linear in N and "
