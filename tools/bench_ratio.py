@@ -102,7 +102,16 @@ def ensure_oracle_json(sf_dir, work_dir, expected=()):
     return json.load(open(p))
 
 
-def duckdb_times(sf_dir, oracle, spill_dir, threads, mem, timeout_s, max_spill):
+def duckdb_times(sf_dir, oracle, spill_dir, threads, mem, timeout_s, max_spill,
+                 progress_path=None):
+    """Single-shot DuckDB timings with CRASH-RESUMABLE progress: each
+    completed query is appended to `progress_path`, and entries already
+    there are skipped. DuckDB is embedded in-process, so its
+    allocation-cascade failure mode (r12: tiny-block bad_alloc ~100
+    queries into a campaign, process heap poisoned beyond reconnects)
+    can only be cured by a FRESH process — the outer loop in
+    run_campaigns.sh reruns this script until every query has a row.
+    """
     import duckdb
     import threading
 
@@ -122,9 +131,32 @@ def duckdb_times(sf_dir, oracle, spill_dir, threads, mem, timeout_s, max_spill):
                 c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         return c
 
-    con = connect(threads)
     out = {}
+    if progress_path and os.path.exists(progress_path):
+        out = json.load(open(progress_path))
+        print(f"[duckdb] resuming: {len(out)} rows already measured", flush=True)
+
+    def save():
+        if progress_path:
+            tmp = progress_path + ".tmp"
+            json.dump(out, open(tmp, "w"))
+            os.replace(tmp, progress_path)
+
+    con = connect(threads)
+    done_since_recycle = 0
     for name, sql in sorted(oracle.items()):
+        if name in out:
+            continue
+        # proactive connection recycle: bound buffer-pool accumulation
+        # across a ~190-query campaign (the cascade precondition)
+        if done_since_recycle >= 20:
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect(threads)
+            done_since_recycle = 0
+        done_since_recycle += 1
         t0 = time.time()
         # cooperative per-query timeout: interrupt() makes the running
         # execute() raise InterruptException; the connection survives
@@ -168,8 +200,11 @@ def duckdb_times(sf_dir, oracle, spill_dir, threads, mem, timeout_s, max_spill):
                 out[name] = f"error: {type(e).__name__}"
         finally:
             timer.cancel()
+            if name in out:
+                save()
         print(f"[duckdb] {name}: {out[name] if isinstance(out[name], str) else '%.2fs' % out[name]}",
               flush=True)
+    save()
     return out
 
 
@@ -217,7 +252,8 @@ def main():
     oracle = {k: v for k, v in oracle.items() if k in spark}
 
     duck = duckdb_times(a.sf_dir, oracle, f"{a.work}/duckdb_spill", a.threads, a.mem,
-                        a.oracle_timeout, a.max_spill)
+                        a.oracle_timeout, a.max_spill,
+                        progress_path=f"{a.work}/duck_progress.json")
 
     rows = []
     for q in sorted(spark):
