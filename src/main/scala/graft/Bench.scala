@@ -100,9 +100,16 @@ object Bench {
     val pool = Executors.newCachedThreadPool()
 
     /** Run `fn` in a cancellable job group; seconds, or -1 on
-      * timeout/failure.
+      * timeout/failure. Every execution is clamped to BOTH the
+      * per-query timeout and the remaining global deadline (minus a
+      * stop/JSON reserve): admission estimates can be realistic
+      * instead of worst-case because no single execution — warmup
+      * included — can push the bench past the driver's hard kill
+      * (ADVICE r12: a query admitted on an estimate that ignored the
+      * warmup's own possible timeout could overrun the deadline).
       */
     def guarded(name: String)(fn: => Unit): Double = {
+      val capSec = TimeoutSec.min((DeadlineSec - 30 - elapsedSec).toLong.max(1L))
       val fut = pool.submit(new java.util.concurrent.Callable[Double] {
         def call(): Double = {
           // job group is thread-local: set it in the executing thread
@@ -112,7 +119,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
       })
-      try fut.get(TimeoutSec, TimeUnit.SECONDS)
+      try fut.get(capSec, TimeUnit.SECONDS)
       catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(s"bench-$name")
@@ -175,13 +182,25 @@ object Bench {
     def runCatalog(
         dir: String, runs: Int,
         order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-        estSec: String => Double
-    ): (Seq[(String, Seq[RunStat])], Seq[String]) = {
+        estSec: String => Double,
+        cached: Map[String, Seq[RunStat]] = Map.empty,
+        onMeasured: (String, Seq[RunStat], Double) => Unit = (_, _, _) => ()
+    ): (Seq[(String, Seq[RunStat])], Seq[String], Seq[String]) = {
       val out = Seq.newBuilder[(String, Seq[RunStat])]
       val skipped = Seq.newBuilder[String]
+      val resumed = Seq.newBuilder[String]
       order.foreach { case (name, fn) =>
         val remaining = DeadlineSec - 60 - elapsedSec
-        if (remaining < estSec(name)) {
+        if (cached.contains(name)) {
+          // persist/resume (VERDICT r12 item 5): a row measured by an
+          // earlier invocation in THIS session against byte-identical
+          // data (fingerprint-keyed) is reused instead of re-measured,
+          // so the driver-gated artifact carries the full catalog even
+          // when its own deadline window cannot. Resumed rows are
+          // listed by name in the JSON — never silent.
+          resumed += name
+          out += (name -> cached(name))
+        } else if (remaining < estSec(name)) {
           System.err.println(f"[bench] SKIP $name @ $dir (deadline: ${elapsedSec}%.0f s elapsed, est ${estSec(name)}%.0f s)")
           skipped += name
         } else {
@@ -189,6 +208,7 @@ object Bench {
         // query that OOMs or stalls the JVM is identifiable from the
         // log tail instead of killing an anonymous bench
         System.err.println(s"[bench] $name @ $dir")
+        val qT0 = elapsedSec // full realized cost incl. warmups, for adaptive estimates
         guarded(name)(fn(spark, dir).count()) // warmup: codegen + JIT + footers
         // checkpoint-heavy queries (x27/x44-style iterated graph folds)
         // get TWO extra warmups at this section's own scale: their
@@ -214,9 +234,10 @@ object Bench {
         }
         clearPersisted()
         out += (name -> times)
+        onMeasured(name, times, elapsedSec - qT0)
         }
       }
-      (out.result(), skipped.result())
+      (out.result(), skipped.result(), resumed.result())
     }
 
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
@@ -247,8 +268,10 @@ object Bench {
     // sf0.1 section: alphabetical order, flat estimate — the section is
     // cheap relative to the deadline; the estimate only bites if the
     // host is catastrophically degraded, where a partial artifact still
-    // beats the driver's rc=124.
-    val (results, skipped01) = runCatalog(sfDir, Runs, selected, _ => (Runs + 2) * 10.0)
+    // beats the driver's rc=124. (Per-execution deadline clamping in
+    // `guarded` is what actually guarantees the deadline; this estimate
+    // only decides admission.)
+    val (results, skipped01, _) = runCatalog(sfDir, Runs, selected, _ => (Runs + 2) * 10.0)
 
     // Scale-notch section: re-run the catalog at sf1 (10× the primary
     // sf0.1 dir, materialized deterministically by GenData on first
@@ -270,25 +293,97 @@ object Bench {
           graft.tools.GenData.generate(spark, sfDir, sf1Dir, 10)
           (System.nanoTime() - t0) / 1e9
         }
+
+      // --- sf1 persist/resume (VERDICT r12 item 5) -------------------
+      // Rows measured by an earlier Bench invocation in this session
+      // (e.g. the closing campaign) are reused when the sf1 data files,
+      // run count, and query timeout are IDENTICAL — keyed by a
+      // fingerprint over (relpath|size|mtimeNs) of every parquet file,
+      // so any GenData regeneration invalidates the cache. This is what
+      // lets the driver's 2940 s window ship all ~190 sf1 rows instead
+      // of skipping the expensive tail (r12: 11 skipped). Resumed rows
+      // are named in the artifact ("sf1_resumed") — never silent.
+      val progressPath = java.nio.file.Paths.get("/root/repo/.tmp/bench_sf1_progress.tsv")
+      val resumeEnabled = sys.env.getOrElse("SPARK_GRAFT_SF1_RESUME", "1") != "0"
+      def dirFingerprint(dir: String): String = {
+        val root = java.nio.file.Paths.get(dir)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        if (java.nio.file.Files.isDirectory(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(p => s"${root.relativize(p)}|${java.nio.file.Files.size(p)}|${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+            .toSeq.sorted
+            .foreach(s => md.update((s + "\n").getBytes("UTF-8")))
+        }
+        md.digest().take(8).map("%02x".format(_)).mkString
+      }
+      val fp = dirFingerprint(sf1Dir) + s"|runs=$sf1Runs|timeout=$TimeoutSec"
+      def parseRuns(fields: Array[String]): Option[Seq[RunStat]] =
+        try {
+          val Array(ss, gg, pp, hh) = fields.map(_.split(",").filter(_.nonEmpty))
+          val stats = ss.indices.map(i =>
+            RunStat(ss(i).toDouble, gg(i).toLong, pp(i).toLong, hh(i).toLong))
+          // never resume a row containing a failed run: re-measure it
+          if (stats.nonEmpty && stats.forall(_.sec >= 0)) Some(stats) else None
+        } catch { case _: Throwable => None }
+      val cached: Map[String, Seq[RunStat]] =
+        if (!resumeEnabled || !java.nio.file.Files.exists(progressPath)) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.readAllLines(progressPath).asScala.toSeq
+            .map(_.split("\t", -1))
+            .collect { case a if a.length == 6 && a(0) == fp =>
+              parseRuns(a.drop(2)).map(a(1) -> _)
+            }.flatten.toMap
+        }
+      def appendProgress(name: String, ts: Seq[RunStat]): Unit =
+        try {
+          val line = Seq(fp, name,
+            ts.map(t => f(t.sec)).mkString(","), ts.map(_.gcMs).mkString(","),
+            ts.map(_.spillMb).mkString(","), ts.map(_.shuffleMb).mkString(",")
+          ).mkString("\t") + "\n"
+          java.nio.file.Files.writeString(progressPath, line,
+            java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+        } catch { case _: Throwable => () }
+
       // CHEAPEST-FIRST by this run's own sf0.1 medians (unknown/-1 last):
       // if the deadline lands mid-section, what's lost is the expensive
       // tail, not an alphabetical suffix (r11 died at ss27 with the td/x
-      // families unmeasured). Pessimistic per-query estimate: the sf0.1
-      // median × 10 (the scale factor) × (runs + 2 warmup-ish
-      // executions) × 2 safety, floored at 30 s; unknown rows estimate
-      // at the per-run timeout.
+      // families unmeasured). Admission estimate is ADAPTIVE: seed with
+      // the pessimistic ×10-scale extrapolation, then as measured sf1
+      // rows accumulate, predict from the REALIZED wall-clock ratio
+  	  // (full per-query cost incl. warmups ÷ sf0.1 median) × 1.5
+      // headroom — r12's static ×80 overestimate skipped 11 rows the
+      // deadline had room for. Unknown rows estimate at the advice-
+      // corrected (runs+1)×timeout (warmup can itself hit the timeout);
+      // the deadline clamp in `guarded` is the hard backstop either way.
       val med01 = results.map { case (k, ts) => k -> median(secs(ts)) }.toMap
       val order1 = selected.sortBy { case (k, _) =>
         med01.get(k).filter(_ >= 0).getOrElse(Double.MaxValue)
       }
+      var realizedWall = 0.0
+      var realizedMed01 = 0.0
       def est1(k: String): Double = med01.get(k).filter(_ >= 0) match {
-        case Some(m) => (m * 10 * (sf1Runs + 2) * 2).max(30.0)
-        case None    => sf1Runs * TimeoutSec.toDouble
+        case Some(m) =>
+          val ratio =
+            if (realizedMed01 > 0.5) (realizedWall / realizedMed01) * 1.5
+            else 10.0 * (sf1Runs + 2) * 2
+          (m * ratio).max(30.0).min((sf1Runs + 3) * TimeoutSec.toDouble)
+        case None => (sf1Runs + 1) * TimeoutSec.toDouble
       }
-      val (r1, skipped1) = runCatalog(sf1Dir, sf1Runs, order1, est1)
+      val (r1, skipped1, resumed1) = runCatalog(sf1Dir, sf1Runs, order1, est1,
+        cached = cached,
+        onMeasured = (name, ts, wall) => {
+          appendProgress(name, ts)
+          med01.get(name).filter(_ >= 0).foreach { m =>
+            realizedWall += wall; realizedMed01 += m
+          }
+        })
       val skippedJson = skipped1.map("\"" + _ + "\"").mkString("[", ",", "]")
-      (s""","sf1":{"dir":"$sf1Dir","runs":$sf1Runs,"gen_sec":${f(genSec)},"total":${f(totalOf(r1))},"n_measured":${r1.size},"skipped":$skippedJson,"queries":${qsJson(r1)},"spread":${spreadJson(r1)}}""",
-        Some((totalOf(r1), r1.size, skipped1.size)))
+      val resumedJson = resumed1.map("\"" + _ + "\"").mkString("[", ",", "]")
+      (s""","sf1":{"dir":"$sf1Dir","runs":$sf1Runs,"gen_sec":${f(genSec)},"total":${f(totalOf(r1))},"n_measured":${r1.size},"n_resumed":${resumed1.size},"skipped":$skippedJson,"resumed":$resumedJson,"queries":${qsJson(r1)},"spread":${spreadJson(r1)}}""",
+        Some((totalOf(r1), r1.size, skipped1.size, resumed1.size)))
     }
 
     pool.shutdownNow()
@@ -309,7 +404,19 @@ object Bench {
           Some(s)
         else None
       } catch { case _: Throwable => None }
-    val canaryDegraded = hostCanary.exists(_.contains("\"status\":\"degraded\""))
+    // Freshness (ADVICE r12): a stamp from a PREVIOUS session says
+    // nothing about this window's host health — embed it (age is
+    // evidence too) but mark it stale and never let it flip the
+    // degraded note on this artifact.
+    val canaryAgeSec: Option[Long] = hostCanary.flatMap { s =>
+      """"ts"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).flatMap(m =>
+        try Some(java.time.Duration.between(
+          java.time.Instant.parse(m.group(1)), java.time.Instant.now()).getSeconds)
+        catch { case _: Throwable => None })
+    }
+    val canaryStale = canaryAgeSec.forall(a => a > 6 * 3600 || a < -300)
+    val canaryDegraded =
+      !canaryStale && hostCanary.exists(_.contains("\"status\":\"degraded\""))
     // free-form note (campaign scripts set it); a degraded canary
     // verdict is appended automatically so a polluted artifact can
     // never be silent about it
@@ -320,7 +427,10 @@ object Bench {
     val noteJson =
       if (noteParts.isEmpty) ""
       else s""","note":"${noteParts.mkString("; ").replace("\"", "'")}""""
-    val canaryJson = hostCanary.map(c => s""","host_canary":$c""").getOrElse("")
+    val canaryJson = hostCanary.map(c => s""","host_canary":$c""").getOrElse("") +
+      (if (hostCanary.isDefined && canaryStale)
+        s""","host_canary_stale":true,"host_canary_age_sec":${canaryAgeSec.getOrElse(-1L)}"""
+      else "")
 
     // Both scale notches' totals go at the very END of the line: the
     // driver's BENCH file preserves only the output TAIL, so in r6 the
@@ -343,7 +453,7 @@ object Bench {
     // pointer to the full artifact. The full contract line (with the
     // per-query map) is printed immediately before it and persisted to
     // .tmp/bench_last.json.
-    val skippedNote = sf1Total.map(t => s""","sf1_measured":${t._2},"sf1_skipped":${t._3}""").getOrElse("")
+    val skippedNote = sf1Total.map(t => s""","sf1_measured":${t._2},"sf1_skipped":${t._3},"sf1_resumed":${t._4}""").getOrElse("")
     val compact = s"""{"metric":"total","value":${f(totalOf(results))},"unit":"sec","runs":$Runs,"sf":"$sfDir","n_queries":${results.size},"skipped_sf01":${skipped01.size}$skippedNote$noteJson$canaryJson$totalsTail,"full":"/root/repo/.tmp/bench_last.json","elapsed_sec":${f(elapsedSec)}}"""
     // stop (and silence) Spark BEFORE printing: the JSON must be the
     // LAST line of output — a driver that parses the tail line must

@@ -68,6 +68,19 @@ object CurationPipeline {
     def shardsPath: String = s"$workDir/shards"
     def manifestPath: String = s"$workDir/manifest"
     def registryPath: String = s"$workDir/registry"
+
+    /** Eval-side decontam index, built lazily ONCE per pipeline
+      * instance and shared by every delivery (VERDICT r12 item 4): the
+      * eval suite is static for the life of a pipeline, so
+      * re-shingling it per delivery was pure repeated work — the
+      * DecontamAb A/B isolated it at ≈ +12 s per 4 deliveries, most of
+      * it eval-signature rebuild. Each delivery now broadcasts the
+      * tiny materialized signatures instead. Blocks live for the
+      * Config's lifetime; a long-lived service would call
+      * `decontamIndex.foreach(_.release())` when retiring the suite.
+      */
+    lazy val decontamIndex: Option[Dedup.EvalIndex] =
+      decontamEval.map(ev => Dedup.prepareEvalIndex(ev, "doc_id", "text"))
   }
 
   final case class DeliveryResult(
@@ -109,21 +122,29 @@ object CurationPipeline {
     // interleaving
     var nContaminated = 0L
     var flaggedBlocks: Option[DataFrame] = None
-    val kept = cfg.decontamEval match {
-      case Some(ev) =>
+    val kept = cfg.decontamIndex match {
+      case Some(idx) =>
         // materialize the flagged set ONCE: without the checkpoint the
         // band join/estimate ran twice per delivery — count() once,
         // then again from scratch under the left_anti (only the
-        // localCheckpointed sigs inside lshDecontam were reused). The
+        // localCheckpointed sigs inside the probe were reused). The
         // flagged frame is contaminated ids only (small by contract —
         // it is broadcast below), so the block round-trip is cheap;
-        // blocks are released after the ingest consumes the anti-join.
-        val flagged = Dedup.lshDecontam(
-          kept0, ev, "doc_id", "text", threshold = cfg.decontamThreshold)
+        // blocks — including the delivery's own signature checkpoint —
+        // are released after the ingest consumes the anti-join. The
+        // eval side comes from the ONCE-built `cfg.decontamIndex`
+        // (amortized across deliveries, VERDICT r12 item 4).
+        var trainSigs: Option[DataFrame] = None
+        val flagged = Dedup.lshDecontamPrepared(
+          kept0, idx, "doc_id", "text", threshold = cfg.decontamThreshold,
+          onTrainSigs = s => trainSigs = Some(s))
           .select("doc_id")
           .localCheckpoint()
         flaggedBlocks = Some(flagged)
         nContaminated = flagged.count()
+        // flagged is materialized: the delivery's train-side signature
+        // blocks have served both their consumers (band join + estimate)
+        trainSigs.foreach(Checkpoints.dropBlocks)
         kept0.join(broadcast(flagged), Seq("doc_id"), "left_anti")
       case None => kept0
     }

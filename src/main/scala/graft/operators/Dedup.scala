@@ -532,6 +532,149 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "cont_a", "cont_b")
   }
 
+  // ── size gates for the exact-pair family ──────────────────────────
+  /** Exact fan-out of the all-shingle self-join [[jaccardPairs]] /
+    * [[containmentPairs]] would execute: Σ_h n_h² over the shingle-
+    * hash postings (ordered-pair count, which upper-bounds the
+    * unordered `id_a < id_b` join). ONE narrow pass — explode to
+    * 8-byte hashes, partial-aggregated count per hash, one scalar sum
+    * — so the gate costs a corpus scan, never the join it is guarding
+    * against. This is the "pre-filter before joining facts" discipline
+    * (reference `create_f_get_event_changes.sql:26-60`) applied to the
+    * one operator family whose cost is quadratic in duplicate
+    * multiplicity.
+    */
+  def exactPairFanout(df: DataFrame, idCol: String, textCol: String, k: Int = 3): Long =
+    // n² and its sum run in DECIMAL: a single hyper-frequent shingle at
+    // corpus scale squares past 2^63, and an ANSI overflow inside the
+    // GATE would kill exactly the oversized run it is supposed to
+    // reroute. Saturate to Long.MaxValue — "too big" is all callers ask.
+    df.select(explode(graft.functions.Sketches.gramXxHashesCol(col(textCol), k)).as("h"))
+      .groupBy("h").agg(count(lit(1)).cast("decimal(19,0)").as("n"))
+      .agg(sum(col("n") * col("n")).as("f"))
+      .collect().headOption.flatMap(r => Option(r.get(0))).map {
+        case d: java.math.BigDecimal =>
+          if (d.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) > 0) Long.MaxValue
+          else d.longValueExact()
+        case other => other.toString.toLong
+      }.getOrElse(0L)
+
+  /** Exact containment pairs with PREFIX FILTERING — the asymmetric
+    * counterpart of [[jaccardPairsPrefix]], same results as
+    * [[containmentPairs]] at the same threshold (spec-proven).
+    *
+    * Bound: a pair qualifies iff n_common ≥ t·min(n_a, n_b). Sort each
+    * doc's grams rarest-first (global df asc, hash asc); the SMALLER
+    * doc s then has ⌈t·n_s⌉ ≤ n_common common grams, of which at most
+    * ⌈t·n_s⌉ − 1 fit in its suffix of that size — so at least one
+    * common gram lies inside s's own prefix of length
+    * n_s − ⌈t·n_s⌉ + 1. Joining every doc's prefix against the FULL
+    * postings therefore catches every qualifying pair (with the
+    * prefix side playing the smaller role); frequent grams still
+    * join, but only through the few docs rare-poor enough to carry
+    * them in a prefix — the posting-squared term collapses to
+    * Σ_h pfx_h·n_h. Verification is exact and confined to the
+    * candidate neighborhood, as in [[jaccardPairsPrefix]].
+    */
+  def containmentPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(threshold > 0, "prefix filtering needs a positive threshold")
+    val sh = df
+      .select(col(idCol).as("id"),
+        explode(graft.functions.Sketches.gramXxHashesCol(col(textCol), k)).as("h"))
+      .localCheckpoint()
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = sh
+      .join(dfreq, "h")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("g"),
+        count(lit(1)).as("n"))
+    val plen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val prefix = ordered
+      .select(col("id"), explode(slice(col("g"), lit(1), plen)).as("p"))
+      .select(col("id"), col("p.h").as("h"))
+    // prefix side ⋈ FULL postings (not prefix ⋈ prefix): only the
+    // smaller doc of a qualifying pair is guaranteed a prefix hit
+    val cand = prefix.alias("a")
+      .join(sh.alias("b"), col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val shC = sh.join(ids, Seq("id"), "left_semi").localCheckpoint()
+    val sizes = shC.groupBy("id").agg(count(lit(1)).as("n"))
+    shC.alias("x")
+      .join(shC.alias("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("cont_a", col("n_common").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("n_common").cast("double") / col("n_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "n_common", "cont_a", "cont_b")
+  }
+
+  /** Size-gated exact Jaccard pairs (VERDICT r12 item 1): measure the
+    * self-join fan-out FIRST ([[exactPairFanout]], one narrow pass);
+    * under `maxFanout` run the plain all-shingle join, over it route
+    * through the prefix-filtered form — same exact output either way
+    * (both are [[jaccardPairs]]-equal at the same threshold), so the
+    * gate trades plan shape, never answers. A zero/negative threshold
+    * over the cap is REFUSED loudly: with no threshold there is no
+    * prefix bound, and silently running a posting-squared join over an
+    * oversized corpus is exactly the 100 TB failure this gate exists
+    * to prevent — LSH-restrict the pair set (dd01 → verify) instead.
+    */
+  def jaccardPairsGated(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.5,
+      maxFanout: Long = 2000000000L
+  ): DataFrame = {
+    val fan = exactPairFanout(df, idCol, textCol, k)
+    if (fan <= maxFanout) jaccardPairs(df, idCol, textCol, k, threshold)
+    else {
+      require(threshold > 0,
+        s"exact-pair fan-out $fan exceeds maxFanout=$maxFanout and threshold=0 " +
+          "admits no prefix bound: restrict candidates first (minHashCandidates " +
+          "→ exact verify) or raise the threshold")
+      jaccardPairsPrefix(df, idCol, textCol, k, threshold)
+    }
+  }
+
+  /** Size-gated exact containment pairs — [[jaccardPairsGated]]'s
+    * asymmetric sibling, routing oversized corpora through
+    * [[containmentPairsPrefix]] (exact, prefix-pruned on the smaller
+    * side of each pair).
+    */
+  def containmentPairsGated(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.5,
+      maxFanout: Long = 2000000000L
+  ): DataFrame = {
+    val fan = exactPairFanout(df, idCol, textCol, k)
+    if (fan <= maxFanout) containmentPairs(df, idCol, textCol, k, threshold)
+    else {
+      require(threshold > 0,
+        s"exact-pair fan-out $fan exceeds maxFanout=$maxFanout and threshold=0 " +
+          "admits no prefix bound: restrict candidates first (minHashCandidates " +
+          "→ exact verify) or raise the threshold")
+      containmentPairsPrefix(df, idCol, textCol, k, threshold)
+    }
+  }
+
   /** Exact Jaccard self-join with PREFIX FILTERING (the PPJoin family,
     * Xiao et al.): a pair can reach jaccard ≥ t only if the two
     * documents share a token inside their first |x| − ⌈t·|x|⌉ + 1
@@ -647,26 +790,78 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.35
-  ): DataFrame = {
+  ): DataFrame =
+    lshDecontamPrepared(train,
+      prepareEvalIndex(eval, idCol, textCol, k, numHashes, bands),
+      idCol, textCol, threshold)
+
+  /** Materialized eval-side decontamination index: MinHash signatures
+    * of the eval suite, computed ONCE and reused across every probe
+    * (VERDICT r12 item 4 — re-shingling a static eval corpus per
+    * delivery was the measured ≈ +12 s/4-delivery stage cost in the
+    * DecontamAb isolation). The sigs frame is `localCheckpoint`ed, so
+    * each delivery's broadcast build reads tiny materialized blocks
+    * instead of re-running the shingle→minhash kernels; call
+    * [[EvalIndex.release]] when the pipeline instance retires.
+    */
+  final case class EvalIndex(sigs: DataFrame, k: Int, numHashes: Int, bands: Int) {
+    def release(): Unit = Checkpoints.dropBlocks(sigs)
+  }
+
+  /** Build the eval side of [[lshDecontam]] once. Same sketch
+    * constants as [[minHashCandidates]] by default; the probe side
+    * must use a matching `k`/`numHashes` (it reads them off the
+    * index).
+    */
+  def prepareEvalIndex(
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): EvalIndex = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
-    // train and eval may live in DIFFERENT sessions (a foreachBatch
-    // micro-batch analyzes in a cloned session while the eval suite
-    // came from the main one) — register the kernels on both, not just
-    // on whatever SparkSession.active happens to be
-    Seq(train.sparkSession, eval.sparkSession).foreach { s =>
-      graft.functions.Sketches.register(s)
-      graft.functions.VectorKernels.register(s)
-    }
-    def sigsOf(df: DataFrame, idName: String) = df
-      .select(col(idCol).as(idName), minHashSignature(col(textCol), k, numHashes).as("sig"))
+    graft.functions.Sketches.register(eval.sparkSession)
+    graft.functions.VectorKernels.register(eval.sparkSession)
+    val sigs = eval
+      .select(col(idCol).as("eval_id"), minHashSignature(col(textCol), k, numHashes).as("sig"))
       .where(size(col("sig")) > 0)
       .localCheckpoint()
+    EvalIndex(sigs, k, numHashes, bands)
+  }
+
+  /** Probe a prepared [[EvalIndex]] with a train batch — the
+    * per-delivery half of [[lshDecontam]]. The train side may live in
+    * a DIFFERENT session (a foreachBatch micro-batch analyzes in a
+    * cloned session while the index came from the main one): the
+    * index's checkpointed sigs are session-portable (LogicalRDD over
+    * shared-context blocks), and the kernels are registered on the
+    * train session here. `onTrainSigs` hands the caller the train-side
+    * checkpoint so it can release those blocks once the (small) result
+    * has been materialized.
+    */
+  def lshDecontamPrepared(
+      train: DataFrame,
+      idx: EvalIndex,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.35,
+      onTrainSigs: DataFrame => Unit = _ => ()
+  ): DataFrame = {
+    val r = idx.numHashes / idx.bands
+    graft.functions.Sketches.register(train.sparkSession)
+    graft.functions.VectorKernels.register(train.sparkSession)
     def bandsOf(sigs: DataFrame, idName: String) = sigs
-      .select(col(idName), explode(lshBands(col("sig"), bands, r)).as("band"))
+      .select(col(idName), explode(lshBands(col("sig"), idx.bands, r)).as("band"))
       .select(col(idName), col("band.band_idx"), col("band.band_key"))
-    val trainSigs = sigsOf(train, "doc_id")
-    val evalSigs = sigsOf(eval, "eval_id")
+    val trainSigs = train
+      .select(col(idCol).as("doc_id"),
+        minHashSignature(col(textCol), idx.k, idx.numHashes).as("sig"))
+      .where(size(col("sig")) > 0)
+      .localCheckpoint()
+    onTrainSigs(trainSigs)
+    val evalSigs = idx.sigs
     val cand = bandsOf(trainSigs, "doc_id")
       .join(broadcast(bandsOf(evalSigs, "eval_id")), Seq("band_idx", "band_key"))
       .select("doc_id", "eval_id")
@@ -676,7 +871,7 @@ object Dedup {
       .join(broadcast(evalSigs.select(col("eval_id"), col("sig").as("sig_b"))), "eval_id")
       .select(col("doc_id"), col("eval_id"),
         (graft.functions.VectorKernels.longEqCount(col("sig_a"), col("sig_b"))
-          .cast("double") / numHashes).as("est_jaccard"))
+          .cast("double") / idx.numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .groupBy("doc_id")
       .agg(countDistinct(col("eval_id")).as("n_eval_docs"),

@@ -344,6 +344,78 @@ object Multimodal {
       .mapPartitions(rows => rows.map { case (id, bytes) => WavDecoder.decode(id, bytes) })
   }
 
+  /** Header-only audio facts — every [[AudioFacts]] field that does
+    * NOT require decoding PCM data. */
+  final case class AudioHeader(
+      media_id: Long,
+      mime: String,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Long,
+      duration_ms: Long
+  )
+
+  /** Header-only WAV parse (VERDICT r12 item 6): a direct RIFF chunk
+    * walk over the fmt/data headers — no PCM pass, no allocation, and
+    * crucially no `javax.sound` SERVICE DISPATCH: `tools.AudioBudget`
+    * measured `AudioSystem`'s provider lookup at ~48 μs/row on these
+    * clips, i.e. ~90% of the FULL decoder's cost for short audio, so a
+    * header path built on `getAudioFileFormat` saves almost nothing.
+    * This parse reads the same fields the javax reader exposes
+    * (PCM format tag, channels, rate, bits, data length) and the
+    * fixture oracle pins the agreement. Audits that only need
+    * format/duration facts (mime census, duration histograms, rate
+    * mix) take this path; only checksum/energy facts pay
+    * [[WavDecoder]]'s full cost. Same quarantine contract: non-WAV /
+    * non-PCM16 / malformed payloads come back as
+    * `application/octet-stream` with zeroed fields.
+    */
+  object WavHeaderDecoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): AudioHeader = {
+      val quarantine = AudioHeader(id, "application/octet-stream", 0, 0, 0, 0L, 0L)
+      if (sniffWavMime(bytes).isEmpty) quarantine
+      else {
+        def u16(o: Long) = (bytes(o.toInt) & 0xff) | ((bytes(o.toInt + 1) & 0xff) << 8)
+        def u32(o: Long): Long = (u16(o).toLong | (u16(o + 2).toLong << 16)) & 0xffffffffL
+        var off = 12L // past RIFF<size>WAVE
+        var rate = 0; var ch = 0; var fmtOk = false; var dataLen = -1L
+        while (off + 8 <= bytes.length && !(fmtOk && dataLen >= 0)) {
+          val c0 = bytes(off.toInt); val c1 = bytes(off.toInt + 1)
+          val c2 = bytes(off.toInt + 2); val c3 = bytes(off.toInt + 3)
+          val len = u32(off + 4)
+          if (c0 == 'f' && c1 == 'm' && c2 == 't' && c3 == ' ' &&
+            len >= 16 && off + 8 + 16 <= bytes.length) {
+            val formatTag = u16(off + 8)
+            ch = u16(off + 10)
+            rate = u32(off + 12).toInt
+            val bits = u16(off + 22)
+            fmtOk = formatTag == 1 && bits == 16 && ch > 0 && rate > 0
+          } else if (c0 == 'd' && c1 == 'a' && c2 == 't' && c3 == 'a') {
+            // a truncated payload caps the data run at what is present
+            dataLen = math.min(len, bytes.length - off - 8)
+          }
+          off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+        }
+        if (!fmtOk || dataLen < 0) quarantine
+        else {
+          val n = dataLen / (2L * ch)
+          AudioHeader(id, "audio/wav", rate, ch, 16, n, n * 1000L / rate)
+        }
+      }
+    }
+  }
+
+  /** Partition-wise header-only WAV parse → [[AudioHeader]] rows. */
+  def decodeAudioHeaders(media: DataFrame): Dataset[AudioHeader] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) => WavHeaderDecoder.decode(id, bytes) })
+  }
+
   /** Deterministic REAL-codec fixture payloads: content is an
     * arithmetic function of the id, the container bytes come from the
     * actual JDK encoders. Because PNG/BMP/WAV are lossless, a decode

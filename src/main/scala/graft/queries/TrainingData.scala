@@ -1901,6 +1901,39 @@ object TrainingData {
     }
   )
 
+  /** Header-only audio facts ([[Multimodal.WavHeaderDecoder]], VERDICT
+    * r12 item 6): the format/duration half of mm07 WITHOUT the PCM
+    * pass — `getAudioFileFormat` parses the RIFF/fmt chunks and stops.
+    * `tools.AudioBudget` measures the per-row split (full decode ≈ the
+    * PCM fold; header ≈ two orders of magnitude less), so mime census
+    * / duration histogram / rate-mix audits at corpus scale take this
+    * row's path and only checksum-needing facts pay mm07's cost. The
+    * oracle recomputes the same header facts from the fixture
+    * arithmetic — a wrong header parse (rate, frame count, channel
+    * stride) breaks the compare exactly as it does for mm07.
+    */
+  val mm08AudioHeaders = Query(
+    "mm08_audio_headers",
+    Some(
+      """SELECT doc_id AS media_id, 'audio/wav' AS mime,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+        |  1 AS channels, 16 AS bits,
+        |  CAST(120 + doc_id % 257 AS BIGINT) AS n_samples,
+        |  CAST(120 + doc_id % 257 AS BIGINT) * 1000
+        |    // CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      import spark.implicits._
+      val media = t.documents
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.MediaFixtures.wavBytes(id))))
+        .toDF("media_id", "payload")
+      Multimodal.decodeAudioHeaders(media).toDF().orderBy("media_id")
+    }
+  )
+
   /** T5-style span corruption (Raffel et al. 2020) — the pretraining
     * target builder: tokens are grouped into 3-token blocks, a block
     * is masked iff the mixed hash of (doc, block) ≡ 0 mod 7 (~14%
@@ -4072,6 +4105,70 @@ object TrainingData {
     }
   )
 
+  /** Size-GATED exact Jaccard ([[Dedup.jaccardPairsGated]], VERDICT
+    * r12 item 1): the engine measures the all-shingle self-join's
+    * fan-out first (Σ n_h², one narrow pass) and routes oversized
+    * corpora through the prefix-filtered form instead. `maxFanout = 0`
+    * here FORCES the over-cap route, so the green oracle row is the
+    * proof that the gate's reroute is exact — the SQL is the plain
+    * all-pairs ground truth at the same threshold, identical to what
+    * the under-cap route must produce. GateSpec covers the routing
+    * logic itself (both branches + the loud threshold-0 refusal).
+    */
+  val dd22GatedJaccard = Query(
+    "dd22_gated_jaccard",
+    Some("""WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            |       FROM words, UNNEST(range(1, LEN(w) - 1)) AS t(i)),
+            |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+            |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
+            |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+            |SELECT id_a, id_b, n_common,
+            |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+            |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+            |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Dedup.jaccardPairsGated(t.documents, "doc_id", "text", k = 3,
+          threshold = 0.5, maxFanout = 0L),
+        "id_a", "id_b")
+    }
+  )
+
+  /** Size-GATED exact containment ([[Dedup.containmentPairsGated]]) —
+    * dd22's asymmetric sibling. The over-cap route is
+    * [[Dedup.containmentPairsPrefix]]: prefixes are pruned against the
+    * SMALLER side of each pair (a qualifying pair must share a gram in
+    * the smaller doc's rarest-first prefix), joined against full
+    * postings, then exact-verified. `maxFanout = 0` forces that route;
+    * the oracle is dd09's plain all-pairs containment SQL, so a green
+    * row proves the prefix bound loses nothing.
+    */
+  val dd23GatedContainment = Query(
+    "dd23_gated_containment",
+    Some("""WITH words AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') w FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+            |       FROM words, UNNEST(range(1, LEN(w) - 1)) AS t(i)),
+            |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+            |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
+            |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+            |SELECT id_a, id_b, n_common,
+            |  CAST(n_common AS DOUBLE) / sa.n AS cont_a,
+            |  CAST(n_common AS DOUBLE) / sb.n AS cont_b
+            |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+            |WHERE GREATEST(CAST(n_common AS DOUBLE) / sa.n, CAST(n_common AS DOUBLE) / sb.n) >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin),
+    (spark, dir) => {
+      val t = Tables(spark, dir)
+      Query.checkpointSort(
+        Dedup.containmentPairsGated(t.documents, "doc_id", "text", k = 3,
+          threshold = 0.5, maxFanout = 0L),
+        "id_a", "id_b")
+    }
+  )
+
   /** Duplicate-span detection (exact-substring dedup shape, Lee et
     * al. 2021) over 10-word windows: per doc, merged spans of windows
     * that occur more than once anywhere in the corpus. The Spark side
@@ -5562,7 +5659,8 @@ object TrainingData {
     td28SplitAssign, td29Chunking, td30VocabBuild, td31RollingDistinct, td32Bm25,
     dd10PrefixJaccard, td33SourceCap, td34RollingExact, td35CharDiversity,
     td36BudgetSelect, td37NegativeSamples, td38EpochShuffle, dd11IncrementalDedup,
-    dd12SpanDedup, td39PrioritySample, dd13SpanRemoval, td40BpeMerges, td41BpeSegment,
+    dd12SpanDedup, dd22GatedJaccard, dd23GatedContainment,
+    td39PrioritySample, dd13SpanRemoval, td40BpeMerges, td41BpeSegment,
     td42DupNgrams, td43BigramLm, ss09TruncatedRecall, dd14QualityCanonical,
     ss10CentroidOutliers, td44NovelNgrams,
     ss11RrfFusion, td45PerplexityBuckets, mm04FrameSample, dd15ClusterProfile,
@@ -5578,6 +5676,6 @@ object TrainingData {
     ss20CappedRecall, ss21CappedTriangles, ss22CappedLinkpred,
     ss23CappedLabelprop, ss24NnDescent, ss25Sq8Rerank, ss26IvfSq8,
     ss27BinaryQuant, dd20LshDecontam, dd21SortedNeighborhood,
-    mm06RealImageDecode, mm07RealAudioDecode
+    mm06RealImageDecode, mm07RealAudioDecode, mm08AudioHeaders
   )
 }

@@ -155,6 +155,29 @@ class MultimodalSpec extends SparkSpec {
     assert(WavDecoder.decode(4L, truncated).mime == "application/octet-stream")
   }
 
+  test("WavHeaderDecoder agrees with the full decoder on every header fact") {
+    import graft.operators.Multimodal.{MediaFixtures, WavDecoder, WavHeaderDecoder}
+    (0L until 40L).foreach { id =>
+      val bytes = MediaFixtures.wavBytes(id)
+      val full = WavDecoder.decode(id, bytes)
+      val hdr = WavHeaderDecoder.decode(id, bytes)
+      assert((hdr.mime, hdr.sample_rate, hdr.channels, hdr.bits, hdr.n_samples,
+        hdr.duration_ms) ==
+        (full.mime, full.sample_rate, full.channels, full.bits, full.n_samples,
+          full.duration_ms), s"header/full drift for id=$id")
+    }
+    // same quarantine contract as the full decoder
+    val junk = WavHeaderDecoder.decode(9L, Array.tabulate[Byte](30)(i => (i * 3).toByte))
+    assert(junk.mime == "application/octet-stream" && junk.n_samples == 0L)
+    val truncated = MediaFixtures.wavBytes(4L).take(10)
+    assert(WavHeaderDecoder.decode(4L, truncated).mime == "application/octet-stream")
+    // a data chunk cut mid-run caps n at what is actually present
+    val cut = MediaFixtures.wavBytes(6L)
+    val short = cut.take(cut.length - 20)
+    val h = WavHeaderDecoder.decode(6L, short)
+    assert(h.mime == "audio/wav" && h.n_samples == MediaFixtures.wavFrames(6L) - 10L)
+  }
+
   test("decodeAudioFacts is partition-invariant") {
     import graft.operators.Multimodal.MediaFixtures
     val media = (0L until 12L).map(id => (id, MediaFixtures.wavBytes(id)))

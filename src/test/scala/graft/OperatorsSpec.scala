@@ -789,6 +789,61 @@ class OperatorsSpec extends SparkSpec {
     assert(jac.count() == 0, "jaccard at 0.5 must miss the asymmetric pair")
   }
 
+  test("prefix-filtered containment equals the full join at thresholds 0.3/0.5/0.7") {
+    // the asymmetric excerpt pair from the test above plus the corpus:
+    // the prefix bound must hold for short-inside-long pairs too (the
+    // case where only the SMALLER side guarantees a prefix hit)
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 17).map(i => s"w$i").mkString(" ")
+    val extra = Seq((9001L, long), (9002L, excerpt)).toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").unionByName(extra)
+    Seq(0.3, 0.5, 0.7).foreach { t =>
+      val full = Dedup.containmentPairs(corpus, "doc_id", "text", k = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val pref = Dedup.containmentPairsPrefix(corpus, "doc_id", "text", k = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pref == full, s"threshold $t: containment prefix filter must be lossless " +
+        s"(missing=${full -- pref} extra=${pref -- full})")
+    }
+  }
+
+  test("exact-pair size gate measures fan-out and routes each side of the cap") {
+    // fan-out estimator: Σ n_h² over shingle postings, computed
+    // independently here
+    val expected = docs
+      .select(explode(graft.functions.Sketches.gramXxHashesCol(col("text"), 3)).as("h"))
+      .groupBy("h").count()
+      .collect().map(r => { val n = r.getLong(1); n * n }).sum
+    val fan = Dedup.exactPairFanout(docs, "doc_id", "text", k = 3)
+    assert(fan == expected, s"fanout $fan != independent Σ n² $expected")
+    assert(fan > 0)
+
+    // over the cap + no threshold = no prefix bound: the gate must
+    // REFUSE loudly rather than run the posting-squared join
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsGated(docs, "doc_id", "text", k = 3,
+        threshold = 0.0, maxFanout = 0L)
+    }
+    assert(e.getMessage.contains("maxFanout"))
+    // under the cap, threshold 0 is the plain exact join — allowed
+    assert(Dedup.jaccardPairsGated(docs, "doc_id", "text", k = 3,
+      threshold = 0.0, maxFanout = Long.MaxValue).count() ==
+      Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.0).count())
+
+    // both routes agree with the ungated form (the oracle rows dd22/
+    // dd23 prove the same at sf0.01 against DuckDB)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = key(Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5))
+    assert(key(Dedup.jaccardPairsGated(docs, "doc_id", "text", k = 3,
+      threshold = 0.5, maxFanout = 0L)) == base, "over-cap route (prefix) drifted")
+    assert(key(Dedup.jaccardPairsGated(docs, "doc_id", "text", k = 3,
+      threshold = 0.5, maxFanout = Long.MaxValue)) == base, "under-cap route drifted")
+    val baseC = key(Dedup.containmentPairs(docs, "doc_id", "text", k = 3, threshold = 0.5))
+    assert(key(Dedup.containmentPairsGated(docs, "doc_id", "text", k = 3,
+      threshold = 0.5, maxFanout = 0L)) == baseC, "over-cap containment route drifted")
+  }
+
   test("mix-weights sampling keeps every max-count language doc and downsamples the rest") {
     val q = graft.queries.TrainingData.td24MixWeights
     val out = q.build(spark, sf).select("lang", "rate").collect()

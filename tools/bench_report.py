@@ -8,13 +8,31 @@ Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Bench" | tools/bench_report.py 
 import json, os, sys, time
 
 
+def parse_bench(text):
+    """Bench prints TWO JSON lines (full line with "queries"/"spread",
+    then a <1 KB compact summary without them). Accept either a piped
+    stream or a file containing both: scan lines in reverse and return
+    the first that parses AND carries the per-query map."""
+    for l in reversed(text.splitlines()):
+        if '"metric"' not in l:
+            continue
+        try:
+            d = json.loads(l[l.index("{"):])
+        except (ValueError, json.JSONDecodeError):
+            continue
+        if "queries" in d:
+            return d
+    raise SystemExit("no Bench JSON line with a 'queries' map found "
+                     "(grep '\"spread\"' selects the full line)")
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     if len(sys.argv) > 2:
-        line = open(sys.argv[2]).read()
+        text = open(sys.argv[2]).read()
     else:
-        line = next(l for l in sys.stdin if '"metric"' in l)
-    d = json.loads(line[line.index("{"):])
+        text = sys.stdin.read()
+    d = parse_bench(text)
     q = d["queries"]
 
     import duckdb

@@ -27,6 +27,7 @@ envelope (shuffles leave page cache and the single local disk caps
 throughput well below a cluster's aggregate shuffle bandwidth).
 """
 import argparse
+import calendar
 import json
 import os
 import subprocess
@@ -60,6 +61,7 @@ SUBSET = [
     "dd21_sorted_neighborhood",  # O(N*w) sorted-neighborhood candidates
     "mm06_real_image_decode",  # real ImageIO encode+decode, map-only
     "mm07_real_audio_decode",  # real WAV encode+decode, map-only
+    "mm08_audio_headers",      # header-only RIFF walk (no PCM pass, no SPI dispatch)
     "dd01_minhash_lsh",      # MinHash band join (linear dedup path)
     "dd12_span_dedup",       # exploded window spans (shuffle-volume heavy)
     "dd18_cdc_chunks",       # content-defined chunking
@@ -137,13 +139,29 @@ def ensure_notch(src, dst, factor):
 SPILL_HEAVY = []
 
 
+# A canary stamp older than this says nothing about THIS measurement
+# window; stale/absent stamps must not flip the aggregate to
+# min-of-runs (that switch requires evidence of degradation).
+CANARY_MAX_AGE_S = 6 * 3600
+
+
 def read_canary():
     """Latest tools/bench_canary.py stamp, or None — every artifact
-    header carries the host-health verdict it was generated under."""
+    header carries the host-health verdict it was generated under.
+    Stale stamps (> CANARY_MAX_AGE_S) come back with stale=True and are
+    treated as absent for aggregate selection."""
     try:
-        return json.load(open("/root/repo/.tmp/canary_last.json"))
+        c = json.load(open("/root/repo/.tmp/canary_last.json"))
     except Exception:
         return None
+    try:
+        age = time.time() - calendar.timegm(
+            time.strptime(c.get("ts", ""), "%Y-%m-%dT%H:%M:%SZ"))
+        c["age_s"] = int(age)
+        c["stale"] = not (-300 <= age <= CANARY_MAX_AGE_S)
+    except Exception:
+        c["stale"] = True
+    return c
 
 
 def run_bench(sf_dir, runs, timeout_s):
@@ -201,7 +219,10 @@ def main():
     ensure_notch(a.src, a.sf10_dir, 100)
 
     canary = read_canary()
-    degraded = (canary or {}).get("status") != "healthy"
+    # min-of-runs requires EVIDENCE of degradation: a missing or stale
+    # stamp defaults to median (ADVICE r12)
+    fresh = canary is not None and not canary.get("stale")
+    degraded = fresh and canary.get("status") != "healthy"
     agg = a.agg if a.agg != "auto" else ("min" if degraded else "median")
 
     b1 = run_bench(a.sf1_dir, a.sf1_runs, a.timeout)
@@ -240,6 +261,9 @@ def main():
                     f"x42 sf10 {canary.get('x42_sf10')} s (bar {canary.get('x42_max')}), "
                     f"ss19 sf10 {canary.get('ss19_sf10')} s (bar {canary.get('ss19_max')}) "
                     f"→ **{canary.get('status', '?').upper()}**"
+                    + (f" — stamp STALE (age {canary.get('age_s', '?')} s > "
+                       f"{CANARY_MAX_AGE_S} s): treated as absent; medians "
+                       "recorded" if canary.get("stale") else "")
                     + (". Per the measurement-discipline policy (NOTES.md) this "
                        "campaign records MIN-of-runs: the host's one-sided "
                        "I/O-latency jitter only adds time, so the minimum is "
@@ -260,10 +284,17 @@ def main():
             rs = f"{ratio:.1f}x" if ratio is not None else "—"
             f.write(f"| {q} | {t1:.2f} | {t10:.2f} | {rs} |\n")
         f.write("\nFootnote — **mm07_real_audio_decode is map-only** (zero "
-                "shuffle at both notches, per the spread JSON): per-clip JDK "
-                "`AudioSystem` SPI dispatch is the whole cost, so the ratio is "
-                "a constant-factor reading, linear by construction; wide sf10 "
+                "shuffle at both notches, per the spread JSON) and its per-row "
+                "budget is MEASURED (`tools.AudioBudget`, single-thread tight "
+                "loop on the same fixture clips): full decode ~37 us/row, of "
+                "which the `AudioSystem` SPI dispatch+stream setup is ~everything "
+                "for short clips — real codec work, linear by construction, not "
+                "a plan defect; wide sf10 "
                 "run spread under a degraded canary moves it around 10x. "
+                "**mm08_audio_headers** is the committed fast path for "
+                "format/duration-only audits: a direct RIFF chunk walk at "
+                "~0.12 us/row (~300x less), oracle-pinned to agree with the "
+                "full decoder's header facts. "
                 "**ss19/dd01 above 8x** are the banded shuffle-write rows the "
                 "degraded host's virtio write-latency inflates 2-4x (healthy "
                 "campaigns read them 5.7x/3.2x — NOTES r10/r8); their "
