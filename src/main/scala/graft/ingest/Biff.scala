@@ -127,10 +127,15 @@ object Cfb {
       var msid = target.startSector
       var guard = 0
       while (msid != EndOfChain && msid >= 0 && guard < MaxChain && out.size < target.size) {
-        val off = msid * 64
+        // Long offsets: a corrupt mini-sector id near 2^31/64 wraps
+        // `msid * 64` negative and sails past the bounds check into an
+        // IndexOutOfBounds (found by the directory-entry fuzzer)
+        val off = msid.toLong * 64
         if (off + 64 > miniStream.length) return None
-        out.write(miniStream, off, 64)
-        msid = if ((msid + 1) * 4 <= miniFatBytes.length) i32(miniFatBytes, msid * 4) else EndOfChain
+        out.write(miniStream, off.toInt, 64)
+        msid =
+          if ((msid.toLong + 1) * 4 <= miniFatBytes.length) i32(miniFatBytes, msid * 4)
+          else EndOfChain
         guard += 1
       }
       val all = out.toByteArray

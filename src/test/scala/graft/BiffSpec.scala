@@ -446,4 +446,167 @@ class BiffSpec extends AnyFunSuite {
     assert(decoded > 0, "no corrupted container decoded — corruption too destructive to test the reader")
     assert(fellThrough > 0, "every corrupted container decoded — corruption never reached the reader")
   }
+
+  /** Scalacheck driver (the FunctionsSpec pattern — the scalatest
+    * bridge artifact isn't on the offline classpath, so sample
+    * directly).
+    */
+  private def forAllish[A](gen: org.scalacheck.Gen[A], n: Int)(check: A => Unit): Unit =
+    Iterator.continually(gen.sample).flatten.take(n).foreach(check)
+
+  test("property: adversarial DIFAT chains never hang, loop, or escape the converter seam") {
+    import org.scalacheck.Gen
+    // The parser walks header DIFAT slots then CHAINED DIFAT sectors —
+    // the one CFB structure the generic fuzz rarely reaches (the
+    // fixture builder leaves firstDifat = ENDOFCHAIN). Target it:
+    // point firstDifat and the 109 header slots at adversarial sector
+    // ids — self-cycles, mutual cycles, the FAT/directory sectors,
+    // one-past-the-end, huge, negative — so the DIFAT walk, FAT build,
+    // and every downstream chain read run over hostile sector maps.
+    val base = cfb(workbook(
+      Seq("A", "B"),
+      Seq("Data" -> sheet(labelSst(0, 0, 0), labelSst(1, 0, 1), number(2, 0, 7.5)))))
+    val nSectors = base.length / 512 - 1
+    val adversarial = Gen.oneOf(
+      Gen.chooseNum(0, math.max(0, nSectors - 1)),      // real sectors (incl. FAT/dir)
+      Gen.const(nSectors),                              // one past the end
+      Gen.oneOf(0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFD),    // chain terminators / markers
+      Gen.chooseNum(Int.MinValue, Int.MaxValue))        // arbitrary, incl. wrap hazards
+    val gen = for {
+      firstDifat <- adversarial
+      nSlots <- Gen.chooseNum(1, 30)
+      slots <- Gen.listOfN(nSlots, Gen.zip(Gen.chooseNum(0, 108), adversarial))
+      alsoFlip <- Gen.chooseNum(0, 4)
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (firstDifat, slots, alsoFlip, seed)
+    val dir = Files.createTempDirectory("graft-difat-fuzz")
+    var parsed = 0
+    var refused = 0
+    forAllish(gen, 200) { case (firstDifat, slots, alsoFlip, seed) =>
+      val bytes = base.clone()
+      def i32(o: Int, v: Int): Unit = {
+        bytes(o) = (v & 0xFF).toByte; bytes(o + 1) = ((v >> 8) & 0xFF).toByte
+        bytes(o + 2) = ((v >> 16) & 0xFF).toByte; bytes(o + 3) = ((v >> 24) & 0xFF).toByte
+      }
+      i32(68, firstDifat)
+      slots.foreach { case (slot, sid) => i32(76 + 4 * slot, sid) }
+      val rnd = new scala.util.Random(seed)
+      (0 until alsoFlip).foreach { _ =>
+        val i = rnd.nextInt(bytes.length)
+        bytes(i) = (bytes(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      // Cfb.stream is called OUTSIDE firstSheetRowsOfFile's try — it
+      // must contain its own hostility: None or a bounded stream, no
+      // throw, no unbounded allocation
+      val s = graft.ingest.Cfb.stream(bytes, Set("Workbook", "Book"))
+      s.foreach(wb => assert(wb.length <= bytes.length,
+        s"chain read produced ${wb.length} bytes from a ${bytes.length}-byte file"))
+      if (s.isDefined) parsed += 1 else refused += 1
+      val p = dir.resolve("f.xls")
+      Files.write(p, bytes)
+      val csv = new graft.ingest.BiffConverter().toCsv(p) // must not throw
+      assert(Files.size(csv) <= bytes.length.toLong + (1 << 20),
+        "converter output unbounded under DIFAT corruption")
+      Files.deleteIfExists(csv); Files.delete(p)
+    }
+    assert(parsed > 0 && refused > 0,
+      s"DIFAT fuzz must hit both outcomes (parsed=$parsed refused=$refused)")
+  }
+
+  test("property: truncated/corrupted directory entries quarantine with bounded output") {
+    import org.scalacheck.Gen
+    val base = cfb(workbook(
+      Seq("A", "B"),
+      Seq("Data" -> sheet(labelSst(0, 0, 0), labelSst(1, 0, 1)))))
+    val dirOff = 1024 // fixture layout: header, FAT sector, then the directory sector
+    val gen = for {
+      entry <- Gen.chooseNum(0, 2)
+      field <- Gen.oneOf("nameLen", "objType", "start", "size", "nameBytes", "truncate")
+      v <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    } yield (entry, field, v)
+    val dir = Files.createTempDirectory("graft-dir-fuzz")
+    forAllish(gen, 200) { case (entry, field, v) =>
+      val base128 = dirOff + entry * 128
+      val bytes0 = base.clone()
+      def w16(o: Int, x: Int): Unit = {
+        bytes0(o) = (x & 0xFF).toByte; bytes0(o + 1) = ((x >> 8) & 0xFF).toByte
+      }
+      def w32(o: Int, x: Int): Unit = { w16(o, x & 0xFFFF); w16(o + 2, (x >>> 16) & 0xFFFF) }
+      val bytes = field match {
+        case "nameLen" => w16(base128 + 64, v & 0xFFFF); bytes0
+        case "objType" => bytes0(base128 + 66) = (v & 0xFF).toByte; bytes0
+        case "start" => w32(base128 + 116, v); bytes0
+        case "size" => w32(base128 + 120, v); bytes0
+        case "nameBytes" =>
+          (0 until 8).foreach(i => bytes0(base128 + i) = ((v >> (i % 4) * 8) & 0xFF).toByte)
+          bytes0
+        case "truncate" =>
+          // cut INSIDE the directory sector: entries end mid-record
+          bytes0.take(dirOff + math.floorMod(v, 512))
+      }
+      val s = graft.ingest.Cfb.stream(bytes, Set("Workbook", "Book")) // must not throw
+      s.foreach(wb => assert(wb.length <= bytes.length + 512,
+        "directory corruption produced an oversized stream"))
+      val p = dir.resolve("f.xls")
+      Files.write(p, bytes)
+      val res =
+        try graft.ingest.Biff.firstSheetRowsOfFile(p)
+        catch { case _: Exception => None } // the converter seam's catch
+      res.foreach(grid => assert(grid.iterator.map(_.length.toLong).sum <= 100000L))
+      Files.delete(p)
+    }
+  }
+
+  test("property: malformed SST CONTINUE splits quarantine — counts, flags, and boundaries lie") {
+    import org.scalacheck.Gen
+    val strings = (0 until 12).map(i => s"string-$i-" + ("padding" * 8))
+    val payload = sstPayload(strings)
+    val gen = for {
+      split <- Gen.chooseNum(9, payload.length - 1) // always inside character data
+      mutation <- Gen.oneOf("cstUnique", "cch", "flags", "dropContinue",
+        "dupContinue", "shortContinue", "splitOnly")
+      v <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    } yield (split, mutation, v)
+    val dir = Files.createTempDirectory("graft-sst-fuzz")
+    var decoded = 0
+    forAllish(gen, 200) { case (split, mutation, v) =>
+      val part1 = payload.take(split)
+      val part2 = payload.drop(split)
+      def w16(a: Array[Byte], o: Int, x: Int): Unit = {
+        a(o) = (x & 0xFF).toByte; a(o + 1) = ((x >> 8) & 0xFF).toByte
+      }
+      val sstRecs: Seq[Array[Byte]] = mutation match {
+        case "cstUnique" => // inflate the unique-string count past the data
+          val a = part1.clone(); w16(a, 4, v & 0xFFFF); w16(a, 6, 0)
+          Seq(rec(0x00FC, a), rec(0x003C, part2))
+        case "cch" => // first string claims up to 65535 chars
+          val a = part1.clone(); if (a.length >= 10) w16(a, 8, v & 0xFFFF)
+          Seq(rec(0x00FC, a), rec(0x003C, part2))
+        case "flags" => // corrupt grbit: rich-text/ext bits demand runs that aren't there
+          val a = part1.clone(); if (a.length >= 11) a(10) = (v & 0xFF).toByte
+          Seq(rec(0x00FC, a), rec(0x003C, part2))
+        case "dropContinue" => Seq(rec(0x00FC, part1))
+        case "dupContinue" => Seq(rec(0x00FC, part1), rec(0x003C, part2), rec(0x003C, part2))
+        case "shortContinue" =>
+          Seq(rec(0x00FC, part1), rec(0x003C, part2.take(math.floorMod(v, part2.length + 1))))
+        case "splitOnly" => Seq(rec(0x00FC, part1), rec(0x003C, part2))
+      }
+      val wb = workbook(sstRecs,
+        Seq("Data" -> sheet((0 until strings.length).map(i => labelSst(i, 0, i)): _*)))
+      val p = dir.resolve("f.xls")
+      Files.write(p, cfb(wb))
+      val res =
+        try graft.ingest.Biff.firstSheetRowsOfFile(p)
+        catch { case _: Exception => None } // the converter seam's catch
+      res.foreach { grid =>
+        decoded += 1
+        assert(grid.iterator.flatten.map(_.length.toLong).sum <= 10000000L,
+          "SST corruption inflated decoded content unboundedly")
+      }
+      Files.delete(p)
+    }
+    // the unmutated split must decode exactly — the property run must
+    // include working splits, or the mutations tested nothing
+    assert(decoded > 0, "every SST mutation fell through — splits never decoded")
+  }
 }
