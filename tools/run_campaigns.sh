@@ -14,7 +14,12 @@
 # Artifacts: SCALING.md, BENCHRATIO.md, BENCH_CLOSING_<round>.json.
 set -e
 cd /root/repo
-R="${1:-r12}"
+# campaign lock: tools/healthy_window.py skips canary probes while a
+# campaign owns the box (a probe under self-inflicted load reads SICK
+# and means nothing)
+mkdir -p .tmp; touch .tmp/campaign.lock
+trap 'rm -f .tmp/campaign.lock' EXIT
+R="${1:-r13}"
 echo "== canary (stamps .tmp/canary_last.json; does not gate) =="
 python3 tools/bench_canary.py || echo "host SICK - generators will record min-of-runs with the in-artifact stamp"
 echo "== SCALING (subset, sf1 + sf10) =="
