@@ -122,6 +122,7 @@ object CurationPipeline {
     // interleaving
     var nContaminated = 0L
     var flaggedBlocks: Option[DataFrame] = None
+    var trainSigs: Option[DataFrame] = None
     val kept = cfg.decontamIndex match {
       case Some(idx) =>
         // materialize the flagged set ONCE: without the checkpoint the
@@ -129,12 +130,13 @@ object CurationPipeline {
         // then again from scratch under the left_anti (only the
         // localCheckpointed sigs inside the probe were reused). The
         // flagged frame is contaminated ids only (small by contract —
-        // it is broadcast below), so the block round-trip is cheap;
-        // blocks — including the delivery's own signature checkpoint —
-        // are released after the ingest consumes the anti-join. The
-        // eval side comes from the ONCE-built `cfg.decontamIndex`
-        // (amortized across deliveries, VERDICT r12 item 4).
-        var trainSigs: Option[DataFrame] = None
+        // it is broadcast below), so the block round-trip is cheap.
+        // The eval side comes from the ONCE-built `cfg.decontamIndex`
+        // (amortized across deliveries, VERDICT r12 item 4); the
+        // train-side signature checkpoint is KEPT alive and handed to
+        // the ingest below (`precomputedSigs`), which would otherwise
+        // re-sketch the same surviving texts — the remaining
+        // per-delivery sketch cost after the eval amortization.
         val flagged = Dedup.lshDecontamPrepared(
           kept0, idx, "doc_id", "text", threshold = cfg.decontamThreshold,
           onTrainSigs = s => trainSigs = Some(s))
@@ -142,9 +144,6 @@ object CurationPipeline {
           .localCheckpoint()
         flaggedBlocks = Some(flagged)
         nContaminated = flagged.count()
-        // flagged is materialized: the delivery's train-side signature
-        // blocks have served both their consumers (band join + estimate)
-        trainSigs.foreach(Checkpoints.dropBlocks)
         kept0.join(broadcast(flagged), Seq("doc_id"), "left_anti")
       case None => kept0
     }
@@ -160,12 +159,17 @@ object CurationPipeline {
           fresh.select(col("doc_id"), col("text"), col("source"))
             .withColumn("datasetid", lit(id))
             .write.mode("append").parquet(cfg.curatedPath)
-      })
+      },
+      // same sketch constants as the probe by construction (both sides
+      // use the Dedup defaults): the ingest's signature pass collapses
+      // to an id semi-join of the probe's materialized signatures
+      precomputedSigs = trainSigs)
     // candidates are forced here so the index probe genuinely runs in
     // the composition (they inform review queues downstream; exact
     // re-deliveries are already gone via the fingerprint anti-join)
     val nNear = ing.nearDups.count()
     flaggedBlocks.foreach(Checkpoints.dropBlocks)
+    trainSigs.foreach(Checkpoints.dropBlocks)
     if (nFresh == 0) registry.setStatus(id, DatasetStatus.Empty)
     DeliveryResult(label, id, nFresh, nNear, ing.compacted, nContaminated)
   }

@@ -357,18 +357,30 @@ object Dedup {
       k: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      freshSink: DataFrame => Unit = _ => ()
+      freshSink: DataFrame => Unit = _ => (),
+      precomputedSigs: Option[DataFrame] = None
   ): BatchIngest = {
     val spark = batch.sparkSession
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val bootstrap = !new java.io.File(fingerprintPath).exists()
     val deduped = exactDedup(batch, idCol, Seq(textCol))
     // the batch is sketched ONCE; the same materialized signatures feed
-    // the index probe and the index append
-    def sigsOf(df: DataFrame) = df
-      .select(col(idCol).as("id"), minHashSignature(col(textCol), k, numHashes).as("sig"))
-      .where(size(col("sig")) > 0)
-      .localCheckpoint()
+    // the index probe and the index append. A caller that already
+    // sketched the batch upstream (the curation pipeline's decontam
+    // probe sketches every quality survivor BEFORE this ingest) passes
+    // `precomputedSigs` — columns (idCol, sig), computed with the SAME
+    // (k, numHashes) — and the per-delivery text pass here collapses to
+    // an id semi-join of the materialized signatures.
+    def sigsOf(df: DataFrame) = precomputedSigs match {
+      case Some(pre) =>
+        pre.select(col(idCol).as("id"), col("sig"))
+          .join(df.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          .localCheckpoint()
+      case None => df
+        .select(col(idCol).as("id"), minHashSignature(col(textCol), k, numHashes).as("sig"))
+        .where(size(col("sig")) > 0)
+        .localCheckpoint()
+    }
     if (bootstrap) {
       val fresh = deduped.localCheckpoint()
       freshSink(fresh)
