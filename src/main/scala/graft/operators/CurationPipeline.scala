@@ -113,6 +113,12 @@ object CurationPipeline {
       registry: DatasetRegistry,
       cfg: Config
   ): DeliveryResult = {
+    // stage labels (guide §1.5): purely observational — JobProfile /
+    // the Spark UI attribute this composed operator's many small jobs
+    // to their pipeline stage
+    val sc = batch.sparkSession.sparkContext
+    def stage(s: String): Unit = sc.setJobDescription(s"in-pipeline[$label] $s")
+    stage("quality+decontam probe")
     val (kept0, _) = TextAnalysis.qualityFilter(batch, col("text"), cfg.thresholds)
     // fuzzy eval-set decontamination between the quality gate and the
     // dedup ingest: contamination is a function of the TEXT (identical
@@ -147,8 +153,10 @@ object CurationPipeline {
         kept0.join(broadcast(flagged), Seq("doc_id"), "left_anti")
       case None => kept0
     }
+    stage("registry insert")
     val id = registry.insert(cfg.datasetdate, label, datasettypeid = 1, datasourceid = 1)
     var nFresh = 0L
+    stage("dedup ingest")
     val ing = Dedup.ingestBatch(
       kept, "doc_id", "text",
       cfg.lshPath, cfg.fingerprintPath,
@@ -167,10 +175,12 @@ object CurationPipeline {
     // candidates are forced here so the index probe genuinely runs in
     // the composition (they inform review queues downstream; exact
     // re-deliveries are already gone via the fingerprint anti-join)
+    stage("near-dup candidates")
     val nNear = ing.nearDups.count()
     flaggedBlocks.foreach(Checkpoints.dropBlocks)
     trainSigs.foreach(Checkpoints.dropBlocks)
     if (nFresh == 0) registry.setStatus(id, DatasetStatus.Empty)
+    sc.setJobDescription(null)
     DeliveryResult(label, id, nFresh, nNear, ing.compacted, nContaminated)
   }
 
@@ -182,6 +192,9 @@ object CurationPipeline {
     * @return (shard_id, n_docs, manifest_n, matches), ordered.
     */
   def packAndAudit(spark: SparkSession, cfg: Config): DataFrame = {
+    val sc = spark.sparkContext
+    def stage(s: String): Unit = sc.setJobDescription(s"in-pipeline[pack] $s")
+    stage("curated distinct")
     graft.functions.MixedHash64.register(spark)
     // content-distinct read: a crashed-and-retried delivery appends its
     // survivors at-least-once (under a fresh datasetid, dropped by this
@@ -190,26 +203,35 @@ object CurationPipeline {
     // exactly-once whatever the retry history. Crash-free this is a
     // distinct over already-unique rows (the fingerprint anti-join
     // guarantees content uniqueness across deliveries).
+    // distinct computed ONCE: the checkpoint materializes it, the count
+    // reads the blocks, and the (cheap, hash-projection-only) shard_id
+    // extension recomputes over the same blocks for both consumers —
+    // the previous shape ran the full distinct twice (count, then a
+    // second materialization for the checkpoint)
     val curated = spark.read.parquet(cfg.curatedPath)
       .select("doc_id", "text", "source")
       .distinct()
+      .localCheckpoint()
     val n = curated.count()
     val nShards = math.max(1L, (n + cfg.shardSize - 1) / cfg.shardSize)
     val sharded = curated.withColumn(
       "shard_id",
       pmod(graft.functions.MixedHash64(col("doc_id").cast("string")), lit(nShards)))
-      .localCheckpoint() // one computation feeds the store and the manifest
     // one file per shard: repartition BY the partition column so the
     // writer never fans each task out over every shard directory
+    stage("shards write")
     sharded.repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(cfg.shardsPath)
+    stage("manifest write")
     sharded.groupBy("shard_id").agg(count(lit(1)).as("manifest_n"))
       .coalesce(1).write.mode("overwrite").json(cfg.manifestPath)
     // both consumers of the checkpoint have run (the audit below
     // re-reads from disk); release its blocks now rather than holding
     // a corpus-sized block set per pack until ContextCleaner GC —
     // this composition is the nightly-loop target
-    Checkpoints.dropBlocks(sharded)
+    Checkpoints.dropBlocks(curated)
+    // audit jobs run lazily in the caller's thread under its own label
+    sc.setJobDescription(null)
     val actual = spark.read.parquet(cfg.shardsPath)
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"))

@@ -240,12 +240,28 @@ object Dedup {
     */
   private def writeLshIndexSigs(
       sigs: DataFrame, path: String, bands: Int, rowsPerBand: Int, mode: String): Unit = {
-    sigs
-      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
-      .select(col("id"), col("band.band_idx"), col("band.band_key"))
-      .repartition(col("band_idx"))
-      .write.mode(mode).partitionBy("band_idx").parquet(s"$path/bands")
-    sigs.write.mode(mode).parquet(s"$path/sigs")
+    // The two index parts are independent (different dirs, both read
+    // from the materialized `sigs` blocks) and BOTH complete before
+    // this returns, so the ingest's crash-ordering contract — sink ≺
+    // lsh index ≺ fingerprint index — is unchanged; overlapping them
+    // just back-fills the tail of one small write job with the other
+    // (guide §2.6). Failures from either write surface after both have
+    // settled, so no write is left running behind a thrown exception.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val bandsF = Future {
+      sigs
+        .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("band"))
+        .select(col("id"), col("band.band_idx"), col("band.band_key"))
+        .repartition(col("band_idx"))
+        .write.mode(mode).partitionBy("band_idx").parquet(s"$path/bands")
+    }
+    val sigsF = Future {
+      sigs.write.mode(mode).parquet(s"$path/sigs")
+    }
+    val settled = Seq(bandsF, sigsF).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    settled.foreach(_.get)
   }
 
   /** Index maintenance for the incremental dedup indexes — the VACUUM
@@ -652,7 +668,11 @@ object Dedup {
       threshold: Double = 0.5,
       maxFanout: Long = 2000000000L
   ): DataFrame = {
-    val fan = exactPairFanout(df, idCol, textCol, k)
+    // maxFanout <= 0 decides the route with NO probe: fan ≥ 0 always,
+    // and fan = 0 (an empty/shingle-free corpus) yields an empty result
+    // from either path — so the probe scan would be paid only to learn
+    // nothing (guide §1.2: don't compute things you throw away).
+    val fan = if (maxFanout <= 0) Long.MaxValue else exactPairFanout(df, idCol, textCol, k)
     if (fan <= maxFanout) jaccardPairs(df, idCol, textCol, k, threshold)
     else {
       require(threshold > 0,
@@ -676,7 +696,8 @@ object Dedup {
       threshold: Double = 0.5,
       maxFanout: Long = 2000000000L
   ): DataFrame = {
-    val fan = exactPairFanout(df, idCol, textCol, k)
+    // see jaccardPairsGated: maxFanout <= 0 needs no probe scan
+    val fan = if (maxFanout <= 0) Long.MaxValue else exactPairFanout(df, idCol, textCol, k)
     if (fan <= maxFanout) containmentPairs(df, idCol, textCol, k, threshold)
     else {
       require(threshold > 0,

@@ -69,18 +69,24 @@ object QualityModel {
       lr: Double = 4.0
   ): Trained = {
     val f = features.localCheckpoint()
-    val n = f.count().toDouble
-    require(n > 0, "quality classifier: empty feature frame")
     val grain = lit(1e9)
     val w = Array.fill(xCols.size + 1)(0.0)
+    // row count rides the FIRST gradient aggregate (one extra count
+    // column in the same job) instead of a separate count() pass —
+    // n is loop-invariant, so later iterations reuse it
+    var n = -1.0
     for (_ <- 1 to iters) {
       val r = link(affine(w.toIndexedSeq, xCols)) - col(yCol)
       val grains =
-        sum(round(r * grain).cast(DecimalType(38, 0))).as("g0") +:
+        (sum(round(r * grain).cast(DecimalType(38, 0))).as("g0") +:
           xCols.zipWithIndex.map { case (c, i) =>
             sum(round((r * col(c)) * grain).cast(DecimalType(38, 0))).as(s"g${i + 1}")
-          }
+          }) :+ count(org.apache.spark.sql.functions.lit(1)).as("n")
       val sums = f.agg(grains.head, grains.tail: _*).head()
+      if (n < 0) {
+        n = sums.getLong(xCols.size + 1).toDouble
+        require(n > 0, "quality classifier: empty feature frame")
+      }
       for (j <- w.indices) {
         val g = sums.getDecimal(j).doubleValue() / 1e9 / n
         w(j) = w(j) - lr * g

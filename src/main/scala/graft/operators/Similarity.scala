@@ -448,6 +448,79 @@ object Similarity {
       .select("query_id", "corpus_id", "sim", "rank")
   }
 
+  /** One-pass bucket-cap SWEEP of [[lshKnnCapped]]: per cap `c`, the
+    * returned frame is row-identical to
+    * `lshKnnCapped(corpus, …, bucketCap = c).filter(queryPred on query)`
+    * — but the corpus is sketched, bucketed, truncated, joined and
+    * rescored ONCE at `caps.max` instead of once per cap.
+    *
+    * Equivalence: a pair (q, c') is in cap c's candidate set iff some
+    * shared (table, bucket) holds c' inside c's truncation window,
+    * i.e. MIN over shared buckets of rn ≤ c — so one join at the
+    * largest cap carrying `min_rn` reconstructs every smaller cap's
+    * candidate set by a filter, and the per-query top-k window over
+    * that filtered set sees exactly the per-cap run's input. (The
+    * DuckDB oracle for ss20 has used this same single-join shape since
+    * round 8; this moves the engine to it too — guide §1.2: don't
+    * recompute what a previous pass already knows.) `queryPred` is a
+    * predicate over the bucket frame's `id` column, applied to the
+    * QUERY side before the join: top-k is per-query independent, so
+    * pre-filtering queries equals post-filtering results.
+    */
+  def lshKnnCappedSweep(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int,
+      tables: Int,
+      caps: Seq[Int],
+      queryPred: Column,
+      roundTo: Int = 4
+  ): Map[Int, DataFrame] = {
+    import graft.functions.VectorKernels
+    graft.functions.MixedHash64.register(corpus.sparkSession)
+    val maxCap = caps.max
+    val base = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("v_norm", sqrt(VectorKernels.vecDot(col("v"), col("v"))))
+      .localCheckpoint()
+    val buckets = (0 until tables).map { t =>
+      base.select(col("id"), lit(t).as("table_id"),
+        VectorKernels.hyperplaneSig(col("v"), bits, seed = t).as("bucket"))
+    }.reduce(_ union _)
+    val wB = Window.partitionBy("table_id", "bucket")
+      .orderBy(col("hid").asc, col("id").asc)
+    val capped = buckets
+      .withColumn("hid", graft.functions.MixedHash64(col("id").cast("string")))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= maxCap)
+      .select("id", "table_id", "bucket", "rn")
+    val cand = buckets.filter(queryPred).alias("a")
+      .join(capped.alias("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("query_id"), col("b.id").as("corpus_id"))
+      .agg(min(col("b.rn")).as("min_rn"))
+    // rescored once; every cap's top-k reads these materialized rows
+    val pairs = cand
+      .join(base.select(col("id").as("query_id"), col("v").as("qv"), col("v_norm").as("qn")), "query_id")
+      .join(base.select(col("id").as("corpus_id"), col("v").as("cv"), col("v_norm").as("cn")), "corpus_id")
+      .select(
+        col("query_id"), col("corpus_id"), col("min_rn"),
+        round(VectorKernels.vecDot(col("qv"), col("cv")) /
+          (col("qn") * col("cn")), roundTo).as("sim"))
+      .localCheckpoint()
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("corpus_id"))
+    caps.map { c =>
+      c -> pairs.filter(col("min_rn") <= c)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "corpus_id", "sim", "rank")
+    }.toMap
+  }
+
   /** NN-Descent kNN-graph refinement (Dong et al., WWW 2011,
     * "Efficient k-nearest neighbor graph construction for generic
     * similarity measures"): start from ANY approximate kNN edge set

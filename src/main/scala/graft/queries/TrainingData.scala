@@ -740,11 +740,17 @@ object TrainingData {
         .select("query_id", "corpus_id")
         .localCheckpoint() // feeds every cap's hit join + the query count
       val nq = exact.select("query_id").distinct().count()
+      // ONE capped run at the largest cap carrying min_rn reconstructs
+      // every smaller cap's result by a filter (lshKnnCappedSweep —
+      // the engine-side twin of this oracle's round-8 single-join
+      // rewrite): 3 corpus sketch/bucket/join/rescore passes → 1, and
+      // the query side is pre-filtered to the 50-query slice before
+      // the candidate join instead of after the top-k.
+      val sweep = Similarity.lshKnnCappedSweep(t.embeddings, "vec_id", "embedding",
+        k = 3, bits = 8, tables = 2, caps = Seq(8, 32, 128),
+        queryPred = col("id") < 50)
       val rows = Seq(8, 32, 128).map { cap =>
-        val ann = Similarity.lshKnnCapped(t.embeddings, "vec_id", "embedding",
-          k = 3, bits = 8, tables = 2, bucketCap = cap)
-          .filter(col("query_id") < 50)
-          .select("query_id", "corpus_id")
+        val ann = sweep(cap).select("query_id", "corpus_id")
         val hits = exact.join(ann, Seq("query_id", "corpus_id"), "left_semi").count()
         // 3-element control-plane: the sweep table itself is the result
         (cap.toLong, nq, hits, hits * 10000L / (3L * nq))
@@ -2067,23 +2073,32 @@ object TrainingData {
       // and the candidate neighborhood is the whole corpus (measured at
       // sf1), so the prefix path is strictly slower (24.9 s vs 20.3 s).
       // Every tighter threshold filters the same materialized frame.
+      import spark.implicits._
       val pairs = Dedup.jaccardPairs(t.documents, "doc_id", "text", k = 3, threshold = 0.2)
         .select(col("id_a").as("a"), col("id_b").as("b"), col("jaccard").as("jac"))
-        .localCheckpoint() // one scan, three threshold filters
+        .localCheckpoint() // one scan, all three thresholds read it
       val nDocs = t.documents.count()
       val th = Seq(0.2, 0.5, 0.8)
-      val sweep = th.map { cut =>
-        val fl = pairs.filter(col("jac") >= cut)
-        val flagged = fl.select(col("a").as("id"))
-          .union(fl.select(col("b").as("id")))
-          .agg(countDistinct("id").as("n_flagged"))
-        fl.agg(count(lit(1)).as("n_pairs"))
-          .crossJoin(flagged)
-          .select(lit(cut).as("threshold"), col("n_pairs"),
-            col("n_flagged"),
-            (col("n_flagged").cast("double") / nDocs).as("frac_flagged"))
-      }.reduce(_ unionByName _)
-      sweep.orderBy("threshold")
+      // ONE conditional aggregate answers every threshold's pair count,
+      // and ONE per-id max-jaccard pass answers every flagged-doc count
+      // (an id is flagged at cut c iff its best pair reaches c) — the
+      // r12 shape ran 2 aggregate jobs PER threshold over the same
+      // checkpointed pairs; integer counts and the same final division,
+      // so the sweep rows are value-identical.
+      val pairCounts = pairs
+        .agg(count(lit(1)), th.map(c => count(when(col("jac") >= c, lit(1)))): _*)
+        .head()
+      val flaggedCounts = pairs
+        .select(explode(array(col("a"), col("b"))).as("id"), col("jac"))
+        .groupBy("id").agg(max(col("jac")).as("mj"))
+        .agg(count(lit(1)), th.map(c => count(when(col("mj") >= c, lit(1)))): _*)
+        .head()
+      th.zipWithIndex.map { case (cut, i) =>
+        val nPairs = pairCounts.getLong(i + 1)
+        val nFlagged = flaggedCounts.getLong(i + 1)
+        (cut, nPairs, nFlagged, nFlagged.toDouble / nDocs)
+      }.toDF("threshold", "n_pairs", "n_flagged", "frac_flagged")
+        .orderBy("threshold")
     }
   )
 

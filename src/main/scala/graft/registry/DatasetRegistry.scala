@@ -49,6 +49,26 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
   /** Committed snapshots kept for lagging readers before pruning. */
   private val keepVersions = 16
 
+  /** (version → rows) of the last snapshot this instance read or
+    * wrote. Committed snapshots are IMMUTABLE under the CAS protocol
+    * (a version's data dir is written once by its claim winner and
+    * never rewritten), so a cache hit on the committed-head version is
+    * exactly what a re-read would return — and it saves one Spark
+    * read job + file listing per mutation. A cross-process writer
+    * bumps the head version, which simply misses the cache. Registry
+    * rows are control-plane sized by contract, so holding one
+    * snapshot's rows on the driver is free.
+    */
+  @volatile private var rowCache: Option[(Long, Seq[DatasetMeta])] = None
+
+  private def snapshotRows(v: Long): Seq[DatasetMeta] = rowCache match {
+    case Some((cv, rows)) if cv == v => rows
+    case _ =>
+      val rows = spark.read.parquet(dataDir(v).toString).as[DatasetMeta].collect().toSeq
+      rowCache = Some((v, rows))
+      rows
+  }
+
   private def fs =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -143,7 +163,7 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
         else {
           val base = committedMax()
           val rows =
-            if (base > 0) spark.read.parquet(dataDir(base).toString).as[DatasetMeta].collect().toSeq
+            if (base > 0) snapshotRows(base)
             else if (legacyExists()) spark.read.parquet(path).as[DatasetMeta].collect().toSeq
             else Nil
           val (newRows, result) = f(rows)
@@ -153,6 +173,7 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
             // rename fails only when the slot was tombstoned while we
             // stalled between claim and rename (the zombie case) — then
             // fall through to rebase like a claim loser
+            rowCache = Some((target, newRows)) // data-{target} == newRows, by the rename
             prune()
             Some(result)
           } else {
@@ -201,7 +222,10 @@ final class DatasetRegistry(spark: SparkSession, path: String) {
 
   def load(): Dataset[DatasetMeta] = {
     val v = committedMax()
-    if (v > 0) spark.read.parquet(dataDir(v).toString).as[DatasetMeta]
+    // snapshot rows come from the immutable-version cache when this
+    // instance already read/wrote version v (control-plane sized by
+    // contract; see rowCache)
+    if (v > 0) spark.createDataset(snapshotRows(v))
     else if (legacyExists()) spark.read.parquet(path).as[DatasetMeta]
     else spark.emptyDataset[DatasetMeta]
   }

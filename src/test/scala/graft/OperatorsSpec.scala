@@ -263,6 +263,25 @@ class OperatorsSpec extends SparkSpec {
       "multi-probe bucket truncation must bound per-query candidates")
   }
 
+  test("capped LSH sweep: per-cap frames equal independent lshKnnCapped runs exactly") {
+    // the r13 one-pass sweep (min_rn at the largest cap + per-cap
+    // filter) must be row-identical to running lshKnnCapped per cap
+    // and post-filtering the query slice — the ss20 rewrite's contract
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val caps = Seq(2, 5, 1000000)
+    val sweep = Similarity.lshKnnCappedSweep(emb, "vec_id", "embedding",
+      k = 3, bits = 3, tables = 2, caps = caps, queryPred = col("id") < 30)
+    caps.foreach { c =>
+      val independent = Similarity.lshKnnCapped(
+        emb, "vec_id", "embedding", k = 3, bits = 3, tables = 2, bucketCap = c)
+        .filter(col("query_id") < 30)
+      assert(rows(sweep(c)) == rows(independent),
+        s"sweep at cap=$c must equal the per-cap run")
+    }
+  }
+
   test("multi-probe LSH: 1 table + bit-flip probes recalls at least as much as 1 plain table") {
     def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
       val brute = Similarity
