@@ -278,11 +278,20 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       targetFileBytes: Long = 128L * 1024 * 1024
-  ): Seq[graft.ops.Maintenance.CompactionReport] = Seq(
-    graft.ops.Maintenance.compact(spark, s"$path/bands", targetFileBytes,
-      partitionCols = Seq("band_idx"), dropDuplicates = true),
-    graft.ops.Maintenance.compact(spark, s"$path/sigs", targetFileBytes,
-      dropDuplicates = true))
+  ): Seq[graft.ops.Maintenance.CompactionReport] = {
+    // disjoint dirs → concurrent rewrites, both settled before return
+    // (same §2.6 overlap as writeLshIndexSigs)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val parts = Seq(
+      Future(graft.ops.Maintenance.compact(spark, s"$path/bands", targetFileBytes,
+        partitionCols = Seq("band_idx"), dropDuplicates = true)),
+      Future(graft.ops.Maintenance.compact(spark, s"$path/sigs", targetFileBytes,
+        dropDuplicates = true)))
+    val settled = parts.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    settled.map(_.get)
+  }
 
   /** Compact the exact-dedup fingerprint index: merges append-mode
     * small files AND re-distincts fingerprints that multiple batches
@@ -307,17 +316,24 @@ object Dedup {
       fingerprintPath: Option[String] = None,
       maxFiles: Long = 256L
   ): Boolean = {
-    val lsh = lshPath.exists { p =>
-      if (graft.ops.Maintenance.parquetFileCount(spark, p) > maxFiles) {
-        compactLshIndex(spark, p); true
-      } else false
-    }
-    val fp = fingerprintPath.exists { p =>
-      if (graft.ops.Maintenance.parquetFileCount(spark, p) > maxFiles) {
-        compactFingerprintIndex(spark, p); true
-      } else false
-    }
-    lsh || fp
+    // The three compactions (bands, sigs, fingerprints) rewrite
+    // DISJOINT directories from already-committed inputs, so when both
+    // indexes are due they run concurrently (guide §2.6) — all settle
+    // before return, and a failure surfaces only after every rewrite
+    // has finished or failed, exactly as the sequential form did.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val lshDue = lshPath.filter(p =>
+      graft.ops.Maintenance.parquetFileCount(spark, p) > maxFiles)
+    val fpDue = fingerprintPath.filter(p =>
+      graft.ops.Maintenance.parquetFileCount(spark, p) > maxFiles)
+    val work: Seq[Future[Unit]] =
+      lshDue.map(p => Future { compactLshIndex(spark, p); () }).toSeq ++
+        fpDue.map(p => Future { compactFingerprintIndex(spark, p); () }).toSeq
+    val settled = work.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    settled.foreach(_.get)
+    lshDue.nonEmpty || fpDue.nonEmpty
   }
 
   /** Result of one [[ingestBatch]]: the batch rows that survived exact

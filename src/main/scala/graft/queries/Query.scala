@@ -25,14 +25,20 @@ object Query {
   val sumMoneySql: String => String =
     c => s"CAST(SUM(CAST($c AS DECIMAL(12,2))) AS DOUBLE)"
 
-  /** Deterministic global sort for an EXPENSIVE pipeline: materialize
-    * once (localCheckpoint), then range-sort the materialized rows.
-    * Spark's RangePartitioner executes its child twice — once to
-    * sample partition bounds, once to shuffle — so an un-checkpointed
-    * orderBy doubles the whole upstream pipeline. Result sets here are
-    * report-sized; for genuinely huge sorted outputs skip the
-    * checkpoint and eat the resample instead of pinning blocks.
+  /** Deterministic global sort for an EXPENSIVE pipeline feeding a
+    * REPORT-SIZED result. A plain `orderBy` range-sorts: the
+    * RangePartitioner executes the child twice (bounds sample +
+    * shuffle), doubling the upstream pipeline; the r1–r12 form paid a
+    * `localCheckpoint` (its own job + block round-trip) to avoid that.
+    * r13: a single round-robin exchange into ONE partition + an
+    * in-partition sort runs the upstream exactly once with NO
+    * checkpoint job, no sampling pass, and no pinned blocks — total
+    * order is identical because callers sort by a unique key set
+    * (the oracle-parity contract). The one-task sort is fine precisely
+    * because results here are report-sized; for genuinely huge sorted
+    * outputs use a plain orderBy and eat the resample.
     */
   def checkpointSort(df: DataFrame, cols: String*): DataFrame =
-    df.localCheckpoint().orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
+    df.repartition(1)
+      .sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
 }
