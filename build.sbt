@@ -37,6 +37,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // section (10x sf0.1) OOM'd the old 8g default mid-bench. The
   // container has 125 GiB; tests run fine either way.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // GCLocker spurious-OOM mitigation (JDK-8192647): with 32 tasks in
+  // lz4 JNI critical sections, tiny allocations ("5 words" in the
+  // r13 sf1 bench log) fail after the default 2 GCLocker retries and
+  // kill the JVM with heap to spare. Raising the retry budget lets
+  // the allocation wait for the locker to drain and a real GC to run.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
   // GC is env-swappable for A/B measurement (SPARK_GC=UseParallelGC
   // etc.); default stays the JVM's own choice unless overridden.
 ) ++ sys.env.get("SPARK_GC").map(g => s"-XX:+$g").toSeq
