@@ -189,7 +189,8 @@ object Bench {
         order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
         estSec: String => Double,
         cached: Map[String, Seq[RunStat]] = Map.empty,
-        onMeasured: (String, Seq[RunStat], Double) => Unit = (_, _, _) => ()
+        onMeasured: (String, Seq[RunStat], Double) => Unit = (_, _, _) => (),
+        secondWarmup: Boolean = true
     ): (Seq[(String, Seq[RunStat])], Seq[String], Seq[String]) = {
       val out = Seq.newBuilder[(String, Seq[RunStat])]
       val skipped = Seq.newBuilder[String]
@@ -233,7 +234,7 @@ object Bench {
             clearPersisted()
             guarded(name)(fn(spark, dir).count())
           }
-        } else if (warmup1Sec < 5.0) {
+        } else if (secondWarmup && warmup1Sec < 5.0) {
           // r13 (methodology, documented in OPTIMIZATION_r13.md): one
           // warmup does not reach JIT steady state — baseline spreads
           // showed monotonically-falling measured runs with ZERO in-run
@@ -343,7 +344,11 @@ object Bench {
         }
         md.digest().take(8).map("%02x".format(_)).mkString
       }
-      val fp = dirFingerprint(sf1Dir) + s"|runs=$sf1Runs|timeout=$TimeoutSec"
+      // cpus is part of the key: the driver re-runs the bench at a
+      // LOWER core count to measure per-query scaling, and a resume
+      // hit across core counts would silently report the 32-core
+      // numbers as the low-core measurement.
+      val fp = dirFingerprint(sf1Dir) + s"|cpus=$cpus|runs=$sf1Runs|timeout=$TimeoutSec"
       def parseRuns(fields: Array[String]): Option[Seq[RunStat]] =
         try {
           val Array(ss, gg, pp, hh) = fields.map(_.split(",").filter(_.nonEmpty))
@@ -397,8 +402,16 @@ object Bench {
           (m * ratio).max(30.0).min((sf1Runs + 3) * TimeoutSec.toDouble)
         case None => (sf1Runs + 1) * TimeoutSec.toDouble
       }
+      // No adaptive second warmup here: by the time the sf1 section
+      // runs, every query already executed warmup(s) + all measured
+      // runs at sf0.1 in this same JVM, so the query code is at JIT
+      // steady state; ~180 sub-5s rows would each pay an extra
+      // execution for nothing, and that wall-clock is exactly what
+      // pushes the driver's 2940 s deadline into skipping the
+      // expensive sf1 tail.
       val (r1, skipped1, resumed1) = runCatalog(sf1Dir, sf1Runs, order1, est1,
         cached = cached,
+        secondWarmup = false,
         onMeasured = (name, ts, wall) => {
           appendProgress(name, ts)
           med01.get(name).filter(_ >= 0).foreach { m =>
